@@ -1,0 +1,142 @@
+"""Kernel micro-tests.
+
+Tier (a) of the reference's test strategy (SURVEY.md §4): exact-value checks
+where the math is closed-form, mirroring tests/vit_tests.rs:91-229 — plus the
+strengthened versions the reference lacked (correct softmax row-sum indexing,
+LN statistics on non-constant input, attention vs the NumPy oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitrs_tpu.ops import basic
+from vitrs_tpu.oracle import numpy_ref as oracle
+
+
+def test_residual_exact():
+    """1 + 2 = 3 (tests/vit_tests.rs:91-101)."""
+    a = jnp.ones((2, 3, 4)) * 1.0
+    b = jnp.ones((2, 3, 4)) * 2.0
+    np.testing.assert_array_equal(np.asarray(a + b), 3.0)
+
+
+def test_matmul_exact_reference_workload():
+    """B2 T3 C4 OC5, inp=1, w=2, bias=3 (tests/vit_tests.rs:103-132).
+
+    True value is sum_{i<4}(1*2) + 3 = 11.  The reference test's hard-coded
+    expectation of 35.0 is arithmetically wrong (the suite never compiled or
+    ran — reference gap G1); we pin the *correct* closed-form value and verify
+    against the scalar-loop oracle as the tie-breaker."""
+    x = jnp.ones((2, 3, 4))
+    w = jnp.full((5, 4), 2.0)
+    b = jnp.full((5,), 3.0)
+    out = basic.linear(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), 11.0)
+    want = oracle.matmul_forward(np.ones((2, 3, 4), np.float32),
+                                 np.full((5, 4), 2.0, np.float32),
+                                 np.full((5,), 3.0, np.float32))
+    np.testing.assert_allclose(np.asarray(out), want)
+
+
+def test_matmul_matches_oracle():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5, 8), dtype=np.float32)
+    w = rng.standard_normal((12, 8), dtype=np.float32)
+    b = rng.standard_normal(12, dtype=np.float32)
+    got = np.asarray(basic.linear(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    want = oracle.matmul_forward(x, w, b)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_layernorm_stats_and_oracle():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 16), dtype=np.float32)
+    w = rng.standard_normal(16, dtype=np.float32)
+    b = rng.standard_normal(16, dtype=np.float32)
+    out, mean, rstd = basic.layernorm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    o_out, o_mean, o_rstd = oracle.layernorm_forward(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), o_out, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), o_mean, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rstd), o_rstd, rtol=1e-4, atol=1e-5)
+    # normalized (pre-affine) rows have mean ~0, var ~1
+    norm = (x - o_mean[..., None]) * o_rstd[..., None]
+    np.testing.assert_allclose(norm.mean(-1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(norm.var(-1), 1.0, atol=1e-3)
+
+
+def test_gelu_matches_oracle():
+    x = np.linspace(-4, 4, 64, dtype=np.float32)
+    got = np.asarray(basic.gelu(jnp.asarray(x)))
+    np.testing.assert_allclose(got, oracle.gelu_forward(x), rtol=1e-5, atol=1e-6)
+
+
+def test_softmax_rows_sum_to_one():
+    """Fixes the reference's broken row-indexing check (tests/vit_tests.rs:225
+    only validated row 0)."""
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((3, 4, 17), dtype=np.float32) * 5
+    p = np.asarray(basic.softmax(jnp.asarray(logits)))
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(p, oracle.softmax_forward(logits), rtol=1e-5, atol=1e-7)
+
+
+def test_attention_dense_matches_oracle_causal():
+    rng = np.random.default_rng(3)
+    B, T, C, NH = 2, 8, 16, 4
+    qkv = rng.standard_normal((B, T, 3 * C), dtype=np.float32)
+    got, att = basic.attention_dense(jnp.asarray(qkv), NH, causal=True)
+    want, o_att, _ = oracle.attention_forward(qkv, NH, causal=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(att), o_att, rtol=1e-5, atol=1e-6)
+
+
+def test_attention_quirks_matches_oracle():
+    """G5/G11 reproduction: unnormalized diagonal, -1e4 max init."""
+    rng = np.random.default_rng(4)
+    B, T, C, NH = 1, 6, 8, 2
+    qkv = rng.standard_normal((B, T, 3 * C), dtype=np.float32)
+    got, att = basic.attention_dense(jnp.asarray(qkv), NH, causal=True, quirks=True)
+    want, o_att, _ = oracle.attention_forward(qkv, NH, causal=True, quirks=True)
+    np.testing.assert_allclose(np.asarray(att), o_att, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    # quirk G5 is visible: rows don't sum to 1 once T > 1
+    assert not np.allclose(np.asarray(att)[:, :, 1:, :].sum(-1), 1.0)
+
+
+def test_attention_bidirectional():
+    """ViT mode (gap G14): every position attends to every other."""
+    rng = np.random.default_rng(5)
+    qkv = rng.standard_normal((1, 4, 24), dtype=np.float32)
+    got, att = basic.attention_dense(jnp.asarray(qkv), 2, causal=False)
+    want, o_att, _ = oracle.attention_forward(qkv, 2, causal=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(att) > 0)  # no masked entries
+
+
+def test_cross_entropy_fused_matches_log_softmax():
+    rng = np.random.default_rng(6)
+    logits = rng.standard_normal((2, 3, 11), dtype=np.float32) * 3
+    targets = rng.integers(0, 11, (2, 3))
+    got = np.asarray(basic.cross_entropy_from_logits(
+        jnp.asarray(logits), jnp.asarray(targets)))
+    probs = oracle.softmax_forward(logits)
+    want = oracle.crossentropy_forward(probs, targets)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_patchify_unpatchify_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.standard_normal((2, 8, 8, 3), dtype=np.float32)
+    p = basic.patchify(jnp.asarray(img), 4)
+    assert p.shape == (2, 4, 48)
+    back = basic.unpatchify(p, 4, 8, 3)
+    np.testing.assert_array_equal(np.asarray(back), img)
+
+
+def test_patchify_block_content():
+    """Each row of the patchified output is one P×P×C block, row-major."""
+    img = np.arange(2 * 4 * 4 * 1, dtype=np.float32).reshape(2, 4, 4, 1)
+    p = np.asarray(basic.patchify(jnp.asarray(img), 2))
+    np.testing.assert_array_equal(p[0, 0], img[0, :2, :2, 0].reshape(-1))
+    np.testing.assert_array_equal(p[0, 1], img[0, :2, 2:, 0].reshape(-1))
+    np.testing.assert_array_equal(p[0, 2], img[0, 2:, :2, 0].reshape(-1))

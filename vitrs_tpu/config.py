@@ -1,0 +1,111 @@
+"""Model configuration.
+
+The reference stores its config in 5 fields decoded from the checkpoint header
+(/root/reference/rusty_vit.rs:9-16, train_vit.rs:56-63): max_seq_len, vocab_size,
+num_layers, num_heads, channels.  We keep those five verbatim (the checkpoint header
+remains the source of truth on load, see checkpoint.py) and add the vision-front-end
+fields the reference names but never implements (its `encoder_forward` is called but
+undefined — rusty_vit.rs:282): image size, patch size, number of classes, pooling.
+
+Two operating modes share one config:
+  * mode="gpt"  — GPT-parity mode: token inputs, causal attention, weight-tied
+                  vocab head. This is the reference's actual semantics.
+  * mode="vit"  — real Vision Transformer: patch-embedding encoder, bidirectional
+                  attention, CLS/mean-pool classifier head (reference gap G14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    # --- the reference's five header fields (rusty_vit.rs:9-16) ---
+    max_seq_len: int = 1024
+    vocab_size: int = 50257
+    num_layers: int = 12
+    num_heads: int = 12
+    channels: int = 768
+
+    # --- vision front-end (the undefined-encoder seam, rusty_vit.rs:282) ---
+    mode: str = "gpt"                 # "gpt" | "vit"
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    num_classes: int = 1000
+    pool: str = "cls"                 # "cls" | "mean"
+
+    # --- numerics / implementation switches ---
+    dtype: str = "float32"            # compute dtype for activations ("float32"|"bfloat16")
+    param_dtype: str = "float32"      # storage dtype for params
+    quirks: bool = False              # reproduce reference-as-written math (G5/G6/G11)
+    use_flash: bool = True            # Pallas flash attention on TPU (fallback: jnp)
+    remat: bool = False               # activation checkpointing over blocks
+    drop_rate: float = 0.0            # head dropout (train-time)
+    mask_ratio: float = 0.0           # MAE-style random patch masking (0 = off)
+
+    @property
+    def head_size(self) -> int:
+        assert self.channels % self.num_heads == 0
+        return self.channels // self.num_heads
+
+    @property
+    def num_patches(self) -> int:
+        assert self.img_size % self.patch_size == 0
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        """Token count actually processed per example."""
+        if self.mode == "vit":
+            return self.num_patches + (1 if self.pool == "cls" else 0)
+        return self.max_seq_len
+
+    def validate(self) -> "ViTConfig":
+        assert self.mode in ("gpt", "vit"), self.mode
+        assert self.pool in ("cls", "mean"), self.pool
+        assert self.channels % self.num_heads == 0
+        if self.mode == "vit":
+            assert self.img_size % self.patch_size == 0
+            assert self.seq_len <= self.max_seq_len, (
+                f"seq_len {self.seq_len} > max_seq_len {self.max_seq_len}")
+        return self
+
+    def replace(self, **kw) -> "ViTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Named presets, matching BASELINE.json configs.
+# ---------------------------------------------------------------------------
+
+def _vit(depth, heads, width, patch, img, classes, **kw) -> ViTConfig:
+    n_tok = (img // patch) ** 2 + 1
+    return ViTConfig(
+        mode="vit", num_layers=depth, num_heads=heads, channels=width,
+        patch_size=patch, img_size=img, num_classes=classes,
+        # max_seq_len bounds the learned positional table (wpe analogue)
+        max_seq_len=n_tok, vocab_size=classes, **kw,
+    ).validate()
+
+
+PRESETS = {
+    # the reference test-suite config: GPT-2 124M (tests/vit_tests.rs:10-15)
+    "gpt2-124m": ViTConfig().validate(),
+    # tiny GPT config for parity/gradient tests
+    "gpt-nano": ViTConfig(max_seq_len=16, vocab_size=97, num_layers=2,
+                          num_heads=2, channels=16).validate(),
+    # BASELINE.json configs[0..4]
+    "vit-tiny-4-cifar10": _vit(12, 3, 192, 4, 32, 10),
+    "vit-s-16": _vit(12, 6, 384, 16, 224, 1000),
+    "vit-b-16": _vit(12, 12, 768, 16, 224, 1000),
+    "vit-l-16": _vit(24, 16, 1024, 16, 224, 1000),
+    "clip-l-14": _vit(24, 16, 1024, 14, 224, 768),   # CLIP image tower: projects to embed dim
+}
+
+
+def get_config(name: str, **overrides) -> ViTConfig:
+    cfg = PRESETS[name]
+    return cfg.replace(**overrides).validate() if overrides else cfg

@@ -1,0 +1,161 @@
+"""Pure-functional transformer forward — the TPU redesign of the reference's
+`ViT::forward` orchestration (/root/reference/rusty_vit.rs:269-351).
+
+The reference walks a Rust `for l in 0..L` loop slicing per-layer views out of
+stacked arenas (rusty_vit.rs:285-332).  Here the same stacked-leading-L layout
+(params.py) feeds `jax.lax.scan`, so XLA compiles ONE block body reused L times
+— compile time and code size stay O(1) in depth, and the whole model is a
+single jit-compiled program.
+
+Two modes (config.mode):
+  gpt — token inputs, causal attention, weight-tied vocab head + softmax CE:
+        the reference's actual semantics, used for parity testing.
+  vit — patch-embedding encoder (the reference's undefined `encoder_forward`
+        seam, gap G2), bidirectional attention (gap G14), CLS/mean-pool
+        classifier head, label CE.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ViTConfig
+from ..ops import basic
+from ..ops.attention import attention
+
+BLOCK_KEYS = ("ln1w", "ln1b", "qkvw", "qkvb", "attprojw", "attprojb",
+              "ln2w", "ln2b", "fcw", "fcb", "fcprojw", "fcprojb")
+
+
+def _block(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
+           causal: bool) -> jax.Array:
+    """The 10-op pre-LN block, exact op order of rusty_vit.rs:322-331."""
+    ln1, _, _ = basic.layernorm(x, p["ln1w"], p["ln1b"])
+    qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
+    atty = attention(qkv, cfg.num_heads, causal=causal, quirks=cfg.quirks,
+                     use_flash=cfg.use_flash)
+    attproj = basic.linear(atty, p["attprojw"], p["attprojb"])
+    x = x + attproj
+    ln2, _, _ = basic.layernorm(x, p["ln2w"], p["ln2b"])
+    fch = basic.linear(ln2, p["fcw"], p["fcb"])
+    fch_gelu = basic.gelu(fch)
+    fcproj = basic.linear(fch_gelu, p["fcprojw"], p["fcprojb"])
+    return x + fcproj
+
+
+def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
+                causal: bool) -> jax.Array:
+    """Scan the block over the stacked-L parameter slabs."""
+    blocks = {k: params[k] for k in BLOCK_KEYS}
+    body = functools.partial(_block, cfg=cfg, causal=causal)
+    if cfg.remat:
+        body = jax.checkpoint(body)  # trade FLOPs for HBM on deep configs
+
+    def step(carry, p):
+        return body(carry, p), None
+
+    x, _ = jax.lax.scan(step, x, blocks)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# GPT-parity mode
+# ---------------------------------------------------------------------------
+
+def gpt_encode(tokens: jax.Array, params: Dict[str, jax.Array],
+               dtype: jnp.dtype) -> jax.Array:
+    """llm.c encoder semantics for the undefined `encoder_forward` (gap G2):
+    wte lookup + learned positional embedding."""
+    T = tokens.shape[-1]
+    return (params["wte"][tokens] + params["wpe"][None, :T, :]).astype(dtype)
+
+
+def gpt_forward(params: Dict[str, jax.Array], tokens: jax.Array,
+                cfg: ViTConfig) -> jax.Array:
+    """Returns logits (B, T, V).  Head is weight-tied to wte with no bias
+    (rusty_vit.rs:336 passes an empty bias)."""
+    dtype = jnp.dtype(cfg.dtype)
+    x = gpt_encode(tokens, params, dtype)
+    x = transformer(x, params, cfg, causal=True)
+    lnf, _, _ = basic.layernorm(x, params["lnfw"], params["lnfb"])
+    return basic.linear(lnf, params["wte"].astype(dtype), None)
+
+
+def gpt_loss(params: Dict[str, jax.Array], tokens: jax.Array,
+             targets: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Mean CE over B*T (rusty_vit.rs:342-347).  quirks=True uses the
+    reference's literal -p loss (gap G6) for oracle parity."""
+    logits = gpt_forward(params, tokens, cfg)
+    if cfg.quirks:
+        probs = basic.softmax(logits.astype(jnp.float32), quirks=True)
+        losses = basic.cross_entropy_quirk(probs, targets)
+    else:
+        losses = basic.cross_entropy_from_logits(logits, targets)
+    return jnp.mean(losses)
+
+
+# ---------------------------------------------------------------------------
+# ViT mode
+# ---------------------------------------------------------------------------
+
+def vit_encode(images: jax.Array, params: Dict[str, jax.Array],
+               cfg: ViTConfig,
+               keep_ids: Optional[jax.Array] = None) -> jax.Array:
+    """Patch-embed encoder: patchify (layout-only) then ONE MXU matmul, plus
+    positional embedding and optional CLS token.
+
+    keep_ids (B, K) selects a per-example subset of patches — the MAE masking
+    hook (BASELINE.json configs[4]); gather happens *after* pos-embed add so
+    position information survives masking.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    patches = basic.patchify(images, cfg.patch_size)          # (B, N, P*P*C)
+    x = basic.linear(patches.astype(dtype), params["patchw"].astype(dtype),
+                     params["patchb"].astype(dtype))          # (B, N, C)
+    n_prefix = 1 if cfg.pool == "cls" else 0
+    x = x + params["wpe"][None, n_prefix:n_prefix + x.shape[1], :].astype(dtype)
+    if keep_ids is not None:
+        x = jnp.take_along_axis(x, keep_ids[..., None], axis=1)
+    if cfg.pool == "cls":
+        cls = (params["cls"] + params["wpe"][None, :1, :]).astype(dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[2])), x],
+                            axis=1)
+    return x
+
+
+def vit_forward(params: Dict[str, jax.Array], images: jax.Array,
+                cfg: ViTConfig,
+                train: bool = False,
+                rng: Optional[jax.Array] = None) -> jax.Array:
+    """Returns class logits (B, num_classes)."""
+    x = vit_encode(images, params, cfg)
+    x = transformer(x, params, cfg, causal=False)
+    lnf, _, _ = basic.layernorm(x, params["lnfw"], params["lnfb"])
+    if cfg.pool == "cls":
+        pooled = lnf[:, 0, :]
+    else:
+        pooled = jnp.mean(lnf, axis=1)
+    if train and cfg.drop_rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_rate, pooled.shape)
+        pooled = jnp.where(keep, pooled / (1.0 - cfg.drop_rate), 0.0)
+    return basic.linear(pooled, params["headw"], params["headb"]).astype(jnp.float32)
+
+
+def vit_loss(params: Dict[str, jax.Array], images: jax.Array,
+             labels: jax.Array, cfg: ViTConfig,
+             train: bool = True,
+             rng: Optional[jax.Array] = None) -> jax.Array:
+    logits = vit_forward(params, images, cfg, train=train, rng=rng)
+    return jnp.mean(basic.cross_entropy_from_logits(logits, labels))
+
+
+def loss_fn(params, batch_inputs, batch_targets, cfg: ViTConfig,
+            rng: Optional[jax.Array] = None) -> jax.Array:
+    """Unified loss entry: dispatches on config mode."""
+    if cfg.mode == "vit":
+        return vit_loss(params, batch_inputs, batch_targets, cfg, rng=rng)
+    return gpt_loss(params, batch_inputs, batch_targets, cfg)

@@ -1,0 +1,70 @@
+"""Optimizers over the flat parameter vector.
+
+The reference allocates AdamW moment buffers `m`/`v` of num_parameters floats
+(train_vit.rs:73-74) but its `optimizer_step` is plain SGD over the flat arena
+(train_vit.rs:737-743, gap G7).  We provide both:
+
+  * sgd_step   — the reference-as-written update, for parity mode;
+  * adamw_step — the intended llm.c AdamW (bias-corrected, decoupled weight
+                 decay), operating on the flat f32 vector so the whole update
+                 is one fused pass (Pallas kernel on TPU, jnp elsewhere —
+                 either way a single HBM-bandwidth-bound sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sgd_step(flat_params: jax.Array, flat_grads: jax.Array,
+             lr: float) -> jax.Array:
+    """p[i] -= lr * g[i] — train_vit.rs:737-743 verbatim semantics."""
+    return flat_params - lr * flat_grads
+
+
+def adamw_step_jnp(p: jax.Array, g: jax.Array, m: jax.Array, v: jax.Array,
+                   step: jax.Array, lr: jax.Array,
+                   beta1: float = 0.9, beta2: float = 0.999,
+                   eps: float = 1e-8, weight_decay: float = 0.0,
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    g = g.astype(jnp.float32)
+    m = beta1 * m + (1.0 - beta1) * g
+    v = beta2 * v + (1.0 - beta2) * g * g
+    t = step.astype(jnp.float32)
+    mhat = m / (1.0 - beta1 ** t)
+    vhat = v / (1.0 - beta2 ** t)
+    p = p - lr * (mhat / (jnp.sqrt(vhat) + eps) + weight_decay * p)
+    return p, m, v
+
+
+@functools.cache
+def _use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def adamw_step(p, g, m, v, step, lr, beta1=0.9, beta2=0.999, eps=1e-8,
+               weight_decay=0.0):
+    """Fused AdamW on the flat vector. Dispatches to the Pallas kernel on TPU."""
+    if _use_pallas():
+        from .fused_adamw import adamw_pallas
+        return adamw_pallas(p, g, m, v, step, lr, beta1=beta1, beta2=beta2,
+                            eps=eps, weight_decay=weight_decay)
+    return adamw_step_jnp(p, g, m, v, step, lr, beta1=beta1, beta2=beta2,
+                          eps=eps, weight_decay=weight_decay)
+
+
+def cosine_lr(step: jax.Array, base_lr: float, warmup: int, total: int,
+              min_lr: float = 0.0) -> jax.Array:
+    """Linear warmup + cosine decay schedule for the train loop."""
+    step = step.astype(jnp.float32)
+    warm = base_lr * step / jnp.maximum(1.0, warmup)
+    prog = jnp.clip((step - warmup) / jnp.maximum(1.0, total - warmup), 0.0, 1.0)
+    cos = min_lr + 0.5 * (base_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * prog))
+    return jnp.where(step < warmup, warm, cos)
