@@ -1,0 +1,422 @@
+"""Pallas TPU flash attention — forward and backward, packed-qkv native.
+
+The reference materializes the full O(B·NH·T²) `preatt`/`att` score buffers in
+HBM and loops over them scalar-wise (rusty_vit.rs:512-563, buffers at
+rusty_vit.rs:157-158); its backward re-reads the stashed `att`
+(train_vit.rs:559-601).  Its own running-max softmax (attention.rs:22-44) is
+the scalar seed of exactly the algorithm used here: blockwise **online
+softmax** — only running (m, l, acc) statistics live on-chip and the score
+matrix never touches HBM.
+
+Layout: the kernels read the reference's packed activation layout directly —
+qkv (B, T, 3C) with head h's Q at channels [h·D, (h+1)·D), K at C + h·D, V at
+2C + h·D (rusty_vit.rs:520-555).  BlockSpec index maps slice heads straight
+out of HBM, so there is **no transpose or split anywhere** on the hot path;
+the same qkv buffer is passed three times with three index maps (three views,
+zero copies).
+
+Mosaic requires the last block dimension to be a multiple of 128 lanes, and
+every target config has head_dim D = 64 — so each grid cell owns a 128-wide
+channel block covering G = 128//D heads and the kernel iterates the G heads
+with per-head scratch (the loop is unrolled at trace time; both heads' matmuls
+pipeline on the MXU).  Configs where 128 % D != 0 or NH % G != 0 fall back to
+the dense XLA path (ops/attention.py).
+
+Grid: (B, NH//G, n_q, n_kv) with the KV axis innermost/sequential so the VMEM
+scratch accumulators persist across KV tiles of one Q tile; the other axes are
+parallel (megacore-friendly).
+
+Backward is recompute-based (standard flash decomposition):
+  forward saves out and per-row lse = m + log(l);
+  dKV kernel:  for each KV tile, sweep Q tiles:  p = exp(s·scale - lse),
+               dv += pᵀ·do,  ds = p∘(do·vᵀ - di)·scale,  dk += dsᵀ·q
+  dQ kernel:   for each Q tile, sweep KV tiles:  dq += ds·k
+  with di = Σ_d(out ∘ dout) per head, precomputed once.
+
+Causal mode skips tiles strictly above the diagonal at the grid level; padded
+key columns (T padded to a block multiple) are masked with a finite -1e30 so
+exp never sees inf-inf.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+MASK_VALUE = -1e30
+LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def supports(num_heads: int, head_dim: int) -> bool:
+    """Whether the packed kernel can run this geometry (else dense fallback)."""
+    if head_dim >= LANES:
+        return head_dim % LANES == 0
+    return LANES % head_dim == 0 and num_heads % (LANES // head_dim) == 0
+
+
+def _heads_per_block(head_dim: int) -> int:
+    return max(1, LANES // head_dim)
+
+
+def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len):
+    col = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1) + i_kv * block_k
+    m = col < seq_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0) + i_q * block_q
+        m = jnp.logical_and(m, col <= row)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
+                *, sm_scale, causal, block_q, block_k, n_kv, seq_len, G, D):
+    i_q, i_kv = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(i_kv == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]       # (block, G*D)
+        msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k, causal,
+                    seq_len)
+        for g in range(G):
+            sl = slice(g * D, (g + 1) * D)
+            q, k, v = qf[:, sl], kf[:, sl], vf[:, sl]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(msk, s * sm_scale, MASK_VALUE)
+
+            m_prev, l_prev = m_scr[g], l_scr[g]          # (block_q, 128)
+            m_curr = jnp.max(s, axis=1, keepdims=True)   # (block_q, 1)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            m_scr[g] = m_next
+            l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+            pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_scr[g] = acc_scr[g] * alpha[:, :1] + pv
+
+    @pl.when(i_kv == n_kv - 1)
+    def _finalize():
+        outs = []
+        for g in range(G):
+            l = l_scr[g][:, :1]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)    # zero-row guard
+            outs.append(acc_scr[g] * l_inv)
+            m = m_scr[g][:, :1]
+            lse = jnp.where(l == 0.0, MASK_VALUE,
+                            m + jnp.log(jnp.maximum(l, 1e-38)))
+            lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _qkv_specs(n_hblk, block_q, block_k, W, q_grid_dim, kv_grid_dim):
+    """Views into packed (B, T_pad, 3C): head-block hb covers channels
+    [hb·W, (hb+1)·W) in each of the Q/K/V thirds; W = G·D = 128."""
+    def at(t_dim, off):
+        def idx(b, h, i, j):
+            t = (i, j)[t_dim]
+            return (b, t, off + h)
+        return idx
+
+    q_spec = pl.BlockSpec((1, block_q, W), at(q_grid_dim, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, W), at(kv_grid_dim, n_hblk),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, block_k, W), at(kv_grid_dim, 2 * n_hblk),
+                          memory_space=pltpu.VMEM)
+    return q_spec, k_spec, v_spec
+
+
+def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
+         interpret):
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    G = _heads_per_block(D)
+    W = G * D
+    n_hblk = num_heads // G
+    n_q, n_kv = T // block_q, T // block_k
+    grid = (B, n_hblk, n_q, n_kv)
+    kern = functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
+                             block_q=block_q, block_k=block_k, n_kv=n_kv,
+                             seq_len=seq_len, G=G, D=D)
+    q_spec, k_spec, v_spec = _qkv_specs(n_hblk, block_q, block_k, W, 0, 1)
+    out, lse = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=(
+            pl.BlockSpec((1, block_q, W), lambda b, h, i, j: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, block_q, LANES),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, num_heads, T, LANES), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((G, block_q, LANES), jnp.float32),
+                        pltpu.VMEM((G, block_q, LANES), jnp.float32),
+                        pltpu.VMEM((G, block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * B * num_heads * T * T * D * (0.5 if causal else 1.0)),
+            bytes_accessed=int(4 * B * T * C3 + 4 * B * T * C),
+            transcendentals=int(B * num_heads * T * T)),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, sm_scale, causal, block_q, block_k, n_q, seq_len, G, D):
+    i_kv, i_q = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(i_q == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k, causal,
+                    seq_len)
+        for g in range(G):
+            sl = slice(g * D, (g + 1) * D)
+            q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
+            lse = lse_ref[0, g][:, :1]                   # (block_q, 1)
+            di = di_ref[0, g][:, :1]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = jnp.where(msk, jnp.exp(s * sm_scale - lse), 0.0)
+            dv_scr[g] += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - di) * sm_scale
+            dk_scr[g] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(i_q == n_q - 1)
+    def _finalize():
+        dk_ref[0] = jnp.concatenate([dk_scr[g] for g in range(G)],
+                                    axis=-1).astype(dk_ref.dtype)
+        dv_ref[0] = jnp.concatenate([dv_scr[g] for g in range(G)],
+                                    axis=-1).astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                   dq_ref, dq_scr,
+                   *, sm_scale, causal, block_q, block_k, n_kv, seq_len, G, D):
+    i_q, i_kv = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(i_kv == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k, causal,
+                    seq_len)
+        for g in range(G):
+            sl = slice(g * D, (g + 1) * D)
+            q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
+            lse = lse_ref[0, g][:, :1]
+            di = di_ref[0, g][:, :1]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = jnp.where(msk, jnp.exp(s * sm_scale - lse), 0.0)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - di) * sm_scale
+            dq_scr[g] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(i_kv == n_kv - 1)
+    def _finalize():
+        dq_ref[0] = jnp.concatenate([dq_scr[g] for g in range(G)],
+                                    axis=-1).astype(dq_ref.dtype)
+
+
+def _bwd(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len, block_q,
+         block_k, interpret):
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    G = _heads_per_block(D)
+    W = G * D
+    n_hblk = num_heads // G
+    n_q, n_kv = T // block_q, T // block_k
+    # di[b,h,t] = Σ_d out[b,t,h,d]·do[b,t,h,d] — per head
+    prod = out.astype(jnp.float32) * do.astype(jnp.float32)
+    di = prod.reshape(B, T, num_heads, D).sum(-1).transpose(0, 2, 1)
+    di = jnp.broadcast_to(di[..., None], (B, num_heads, T, LANES))
+
+    semantics = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"))
+
+    # dKV pass: grid (B, hblk, kv, q) — q is the sequential axis
+    q_spec, k_spec, v_spec = _qkv_specs(n_hblk, block_q, block_k, W,
+                                        q_grid_dim=1, kv_grid_dim=0)
+    do_spec = pl.BlockSpec((1, block_q, W), lambda b, h, i, j: (b, j, h),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, G, block_q, LANES),
+                            lambda b, h, i, j: (b, h, j, 0),
+                            memory_space=pltpu.VMEM)
+    kv_out_spec = pl.BlockSpec((1, block_k, W), lambda b, h, i, j: (b, i, h),
+                               memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, block_k=block_k, n_q=n_q,
+                          seq_len=seq_len, G=G, D=D),
+        grid=(B, n_hblk, n_kv, n_q),
+        in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, row_spec],
+        out_specs=(kv_out_spec, kv_out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, T, C), qkv.dtype)),
+        scratch_shapes=[pltpu.VMEM((G, block_k, D), jnp.float32),
+                        pltpu.VMEM((G, block_k, D), jnp.float32)],
+        compiler_params=semantics,
+        interpret=interpret,
+    )(qkv, qkv, qkv, do, lse, di)
+
+    # dQ pass: grid (B, hblk, q, kv) — kv is the sequential axis
+    q_spec2, k_spec2, v_spec2 = _qkv_specs(n_hblk, block_q, block_k, W,
+                                           q_grid_dim=0, kv_grid_dim=1)
+    do_spec2 = pl.BlockSpec((1, block_q, W), lambda b, h, i, j: (b, i, h),
+                            memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, G, block_q, LANES),
+                             lambda b, h, i, j: (b, h, i, 0),
+                             memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, block_k=block_k, n_kv=n_kv,
+                          seq_len=seq_len, G=G, D=D),
+        grid=(B, n_hblk, n_q, n_kv),
+        in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, row_spec2],
+        out_specs=do_spec2,
+        out_shape=jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((G, block_q, D), jnp.float32)],
+        compiler_params=semantics,
+        interpret=interpret,
+    )(qkv, qkv, qkv, do, lse, di)
+    # repack into the (B, T, 3C) gradient the qkv projection backward consumes
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _flash_packed(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
+                  interpret):
+    out, _ = _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
+                  interpret)
+    return out
+
+
+def _flash_packed_fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q,
+                      block_k, interpret):
+    out, lse = _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q,
+                    block_k, interpret)
+    return out, (qkv, out, lse)
+
+
+def _flash_packed_bwd(num_heads, sm_scale, causal, seq_len, block_q, block_k,
+                      interpret, res, do):
+    qkv, out, lse = res
+    dqkv = _bwd(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
+                block_q, block_k, interpret)
+    return (dqkv,)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
+                        sm_scale: Optional[float] = None,
+                        block_q: int = DEFAULT_BLOCK_Q,
+                        block_k: int = DEFAULT_BLOCK_K,
+                        interpret: bool = False) -> jax.Array:
+    """Flash attention over packed qkv (B, T, 3C) -> (B, T, C).
+
+    Zero-copy head slicing straight from the packed buffer; T padded to a
+    block multiple internally (padded key columns masked, padded query rows
+    sliced off).  Falls back to the dense XLA path for geometries the packed
+    kernel can't tile (see `supports`)."""
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    if not supports(num_heads, D):
+        from . import basic
+        out, _ = basic.attention_dense(qkv, num_heads, causal=causal)
+        return out
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    T_pad = _ceil_to(T, LANES)
+    block_q, block_k = min(block_q, T_pad), min(block_k, T_pad)
+    T_pad = _ceil_to(T_pad, max(block_q, block_k))
+    x = jnp.pad(qkv, ((0, 0), (0, T_pad - T), (0, 0))) if T_pad != T else qkv
+    out = _flash_packed(x, num_heads, float(sm_scale), causal, T, block_q,
+                        block_k, interpret)
+    return out[:, :T, :] if T_pad != T else out
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    causal: bool = False,
+                    sm_scale: Optional[float] = None,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False) -> jax.Array:
+    """Generic (B, H, T, D) entry — packs to the qkv layout and dispatches.
+    Prefer flash_attention_qkv on the training hot path (no repacking)."""
+    B, H, T, D = q.shape
+
+    def pack(x):
+        return x.transpose(0, 2, 1, 3).reshape(B, T, H * D)
+
+    qkv = jnp.concatenate([pack(q), pack(k), pack(v)], axis=-1)
+    out = flash_attention_qkv(qkv, H, causal=causal, sm_scale=sm_scale,
+                              block_q=block_q, block_k=block_k,
+                              interpret=interpret)
+    return out.reshape(B, T, H, D).transpose(0, 2, 1, 3)
