@@ -1,0 +1,88 @@
+"""Benchmark harness — ViT-B/16 training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md: 'None exist'), so
+vs_baseline is reported against the BASELINE.json north-star target of 55%
+MFU (vs_baseline = achieved_MFU / 0.55); >1.0 beats the target.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vitrs_tpu import params as PRM
+    from vitrs_tpu.config import get_config
+    from vitrs_tpu.models import model as M
+    from vitrs_tpu.ops import optimizer as opt
+    from vitrs_tpu.utils import flops as F
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    cfg = get_config("vit-b-16").replace(
+        dtype="bfloat16" if on_tpu else "float32",
+        use_flash=on_tpu)
+    B = 64 if on_tpu else 4
+    if not on_tpu:
+        cfg = cfg.replace(num_layers=2, channels=128, num_heads=2)
+
+    key = jax.random.PRNGKey(0)
+    params = PRM.init_params(cfg, key)
+    n = PRM.num_parameters(cfg)
+    m = jnp.zeros(n, jnp.float32)
+    v = jnp.zeros(n, jnp.float32)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(
+        (B, cfg.img_size, cfg.img_size, cfg.in_chans), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, cfg.num_classes, (B,)))
+
+    def train_step(p, m, v, x, y, step, lr):
+        loss, grads = jax.value_and_grad(M.loss_fn)(p, x, y, cfg)
+        fp = PRM.flatten_params(p, cfg)
+        fg = PRM.flatten_params(grads, cfg)
+        fp, m, v = opt.adamw_step(fp, fg, m, v, step, lr, weight_decay=0.05)
+        return PRM.unflatten_params(fp, cfg), m, v, loss
+
+    step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    # warmup / compile; sync by *fetching the value* — on the axon relay,
+    # block_until_ready returns before the remote computation finishes
+    params, m, v, loss = step_fn(params, m, v, images, labels,
+                                 jnp.asarray(1, jnp.int32),
+                                 jnp.asarray(1e-3, jnp.float32))
+    float(loss)
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for i in range(2, iters + 2):
+        params, m, v, loss = step_fn(params, m, v, images, labels,
+                                     jnp.asarray(i, jnp.int32),
+                                     jnp.asarray(1e-3, jnp.float32))
+    loss_val = float(loss)
+    dt = (time.perf_counter() - t0) / iters
+
+    imgs_per_sec = B / dt
+    mfu = F.mfu(imgs_per_sec, cfg, dev.device_kind, n_chips=1, train=True)
+    print(json.dumps({
+        "metric": "ViT-B/16 train images/sec/chip (bf16, fused AdamW)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(mfu / 0.55, 4),
+        "extra": {
+            "step_time_ms": round(dt * 1e3, 2),
+            "batch": B,
+            "mfu": round(mfu, 4),
+            "device": dev.device_kind,
+            "loss_finite": bool(np.isfinite(loss_val)),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Data-parallel tests on the 8-virtual-device CPU mesh (SURVEY.md §4: the
+JAX-native fake backend for testing DP/reduce-scatter without a pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitrs_tpu import params as PRM
+from vitrs_tpu.config import get_config
+from vitrs_tpu.models import model as M
+from vitrs_tpu.ops import optimizer as opt
+from vitrs_tpu.parallel import data_parallel as dp
+
+CFG = get_config("vit-tiny-4-cifar10", use_flash=False).replace(
+    num_layers=2, channels=32, num_heads=2)
+
+
+def _data(B=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((B, 32, 32, 3), dtype=np.float32),
+            rng.integers(0, 10, (B,)))
+
+
+def test_mesh_has_8_devices():
+    mesh = dp.make_mesh()
+    assert mesh.size == 8
+
+
+def test_dp_step_matches_single_device():
+    """The sharded step must produce the same params as a single-device step
+    on the full batch (same total gradient, same AdamW math)."""
+    mesh = dp.make_mesh()
+    params = PRM.init_params(CFG, jax.random.PRNGKey(0))
+    images, labels = _data()
+
+    # single-device reference
+    loss_ref, grads = jax.value_and_grad(M.loss_fn)(params,
+                                                    jnp.asarray(images),
+                                                    jnp.asarray(labels), CFG)
+    flat_p = PRM.flatten_params(params, CFG)
+    flat_g = PRM.flatten_params(grads, CFG)
+    n = flat_p.shape[0]
+    want_p, want_m, want_v = opt.adamw_step_jnp(
+        flat_p, flat_g, jnp.zeros(n), jnp.zeros(n),
+        jnp.asarray(1, jnp.int32), jnp.asarray(1e-3), weight_decay=0.01)
+
+    # sharded step
+    step_fn = dp.make_dp_train_step(CFG, mesh)
+    m0, v0 = dp.init_sharded_opt_state(CFG, mesh)
+    params_r = dp.replicate(params, mesh)
+    new_params, m1, v1, loss = step_fn(
+        params_r, m0, v0, dp.shard_batch(jnp.asarray(images), mesh),
+        dp.shard_batch(jnp.asarray(labels), mesh),
+        jnp.asarray(1, jnp.int32), jnp.asarray(1e-3, jnp.float32),
+        jnp.asarray(0.01, jnp.float32))
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    got_p = PRM.flatten_params(new_params, CFG)
+    # tolerance: per-shard-then-psum reduction order vs full-batch reduction
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=2e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(m1)[:n], np.asarray(want_m),
+                               rtol=2e-4, atol=1e-7)
+
+
+def test_dp_opt_state_is_sharded():
+    """ZeRO-1: each device holds exactly 1/8 of m and v."""
+    mesh = dp.make_mesh()
+    m, v = dp.init_sharded_opt_state(CFG, mesh)
+    shard_shapes = {s.data.shape for s in m.addressable_shards}
+    assert shard_shapes == {(m.shape[0] // 8,)}
+
+
+def test_dp_training_decreases_loss():
+    mesh = dp.make_mesh()
+    params = dp.replicate(PRM.init_params(CFG, jax.random.PRNGKey(1)), mesh)
+    m, v = dp.init_sharded_opt_state(CFG, mesh)
+    step_fn = dp.make_dp_train_step(CFG, mesh)
+    images, labels = _data(seed=1)
+    images = dp.shard_batch(jnp.asarray(images), mesh)
+    labels = dp.shard_batch(jnp.asarray(labels), mesh)
+    losses = []
+    for i in range(1, 7):
+        params, m, v, loss = step_fn(params, m, v, images, labels,
+                                     jnp.asarray(i, jnp.int32),
+                                     jnp.asarray(3e-3, jnp.float32),
+                                     jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

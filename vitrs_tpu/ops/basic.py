@@ -27,12 +27,16 @@ QUIRK_MAX_INIT = -10000.0  # rusty_vit.rs:524,640 (gap G11)
 def layernorm(x: jax.Array, w: jax.Array, b: jax.Array,
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """LayerNorm over the trailing axis; returns (out, mean, rstd) — the same
-    stash contract as rusty_vit.rs:578-605."""
-    mean = jnp.mean(x, axis=-1)
-    var = jnp.mean(jnp.square(x - mean[..., None]), axis=-1)
+    stash contract as rusty_vit.rs:578-605.  Statistics always in fp32 (bf16
+    activations lose too much in the variance reduction); output back in the
+    input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1)
+    var = jnp.mean(jnp.square(xf - mean[..., None]), axis=-1)
     rstd = jax.lax.rsqrt(var + LN_EPS)
-    out = (x - mean[..., None]) * rstd[..., None] * w + b
-    return out, mean, rstd
+    out = (xf - mean[..., None]) * rstd[..., None] * w.astype(jnp.float32) \
+        + b.astype(jnp.float32)
+    return out.astype(x.dtype), mean, rstd
 
 
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
@@ -40,12 +44,12 @@ def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Arr
     convention (rusty_vit.rs:484-498).  dot_general keeps the contraction on
     the MXU with an fp32 accumulator regardless of input dtype."""
     y = jax.lax.dot_general(
-        x, w,
+        x, w.astype(x.dtype),
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if b is not None:
-        y = y + b
+        y = y + b.astype(x.dtype)
     return y
 
 

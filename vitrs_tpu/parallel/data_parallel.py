@@ -1,0 +1,114 @@
+"""Data parallelism over an ICI mesh — shard_map + reduce-scatter + ZeRO-1.
+
+The reference is entirely single-threaded (SURVEY.md §2 rows 26-27: no
+threads/MPI/NCCL anywhere); its only parallelism is the batch dimension of its
+scalar loops.  The TPU-native scale-out story (SURVEY.md §5.8, the north-star
+requirement) is:
+
+  * mesh: one "data" axis over all chips (`jax.make_mesh`), batch sharded;
+  * gradient combine: `lax.psum_scatter` (reduce-scatter) over ICI — each
+    device receives only its 1/N slice of the summed flat gradient;
+  * ZeRO-1: AdamW moments m/v live sharded (1/N per device); each device
+    updates its parameter shard with the fused kernel, then `all_gather`s the
+    updated parameters — reduce-scatter + all-gather back-to-back is the
+    bandwidth-optimal decomposition of the naive all-reduce, and the optimizer
+    state never materializes unsharded;
+  * multi-host: the same program under `jax.distributed.initialize` (the mesh
+    spans all processes; nothing else changes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import ViTConfig
+from .. import params as PRM
+from ..models import model as M
+from ..ops import optimizer as opt
+
+
+def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh. On a physical slice the device order follows
+    the ICI torus (jax.make_mesh picks a bandwidth-aware ordering)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def opt_state_shard_size(cfg: ViTConfig, mesh: Mesh) -> int:
+    n = PRM.num_parameters(cfg)
+    return _ceil_to(n, mesh.size) // mesh.size
+
+
+def init_sharded_opt_state(cfg: ViTConfig, mesh: Mesh):
+    """ZeRO-1 m/v: flat f32, sharded over the data axis."""
+    n_pad = opt_state_shard_size(cfg, mesh) * mesh.size
+    sharding = NamedSharding(mesh, P("data"))
+    zeros = functools.partial(jnp.zeros, (n_pad,), jnp.float32)
+    m = jax.jit(zeros, out_shardings=sharding)()
+    v = jax.jit(zeros, out_shardings=sharding)()
+    return m, v
+
+
+def make_dp_train_step(cfg: ViTConfig, mesh: Mesh):
+    """Build the jitted SPMD training step.
+
+    Signature: (params, m, v, inputs, targets, step, lr, wd)
+            -> (params, m, v, loss)
+    with params replicated, m/v flat-sharded, inputs/targets batch-sharded.
+    """
+    n = PRM.num_parameters(cfg)
+    n_pad = _ceil_to(n, mesh.size)
+    shard = n_pad // mesh.size
+
+    def spmd_step(params, m_shard, v_shard, inputs, targets, step, lr, wd):
+        loss, grads = jax.value_and_grad(M.loss_fn)(params, inputs, targets,
+                                                    cfg)
+        flat_g = PRM.flatten_params(grads, cfg)
+        if n_pad != n:
+            flat_g = jnp.pad(flat_g, (0, n_pad - n))
+        # reduce-scatter the summed gradient: each device gets its 1/N slice
+        g_shard = jax.lax.psum_scatter(flat_g, "data", scatter_dimension=0,
+                                       tiled=True) / mesh.size
+        flat_p = PRM.flatten_params(params, cfg)
+        if n_pad != n:
+            flat_p = jnp.pad(flat_p, (0, n_pad - n))
+        idx = jax.lax.axis_index("data")
+        p_shard = jax.lax.dynamic_slice(flat_p, (idx * shard,), (shard,))
+        p_shard, m_shard, v_shard = opt.adamw_step(
+            p_shard, g_shard, m_shard, v_shard, step, lr, weight_decay=wd)
+        flat_p_new = jax.lax.all_gather(p_shard, "data", tiled=True)
+        new_params = PRM.unflatten_params(flat_p_new[:n], cfg)
+        return new_params, m_shard, v_shard, jax.lax.pmean(loss, "data")
+
+    mapped = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                  P(), P(), P()),
+        out_specs=(P(), P("data"), P("data"), P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1, 2))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch with leading dim sharded over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.device_put(batch, sharding)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
