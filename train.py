@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Train CLI — the entry point the reference never shipped (gap G1).
+
+Examples:
+  python train.py --preset vit-tiny-4-cifar10 --steps 2000 --batch-size 128
+  python train.py --preset vit-b-16 --dataset synthetic-imagenet --steps 100
+  python train.py --preset vit-tiny-4-cifar10 --resume --workdir /tmp/run1
+"""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="vit-tiny-4-cifar10",
+                   help="model preset (see vitrs_tpu.config.PRESETS)")
+    p.add_argument("--dataset", default="cifar10",
+                   help="cifar10 | synthetic-imagenet")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--workdir", default="/tmp/vitrs_run")
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="activation checkpointing over blocks")
+    p.add_argument("--profile-at", type=int, default=0,
+                   help="capture a jax.profiler trace at this step")
+    p.add_argument("--n-devices", type=int, default=0, help="0 = all")
+    args = p.parse_args()
+
+    from vitrs_tpu.train.loop import TrainConfig, train
+    tc = TrainConfig(
+        preset=args.preset, dataset=args.dataset, data_dir=args.data_dir,
+        steps=args.steps, batch_size=args.batch_size, lr=args.lr,
+        warmup=args.warmup, weight_decay=args.weight_decay, seed=args.seed,
+        dtype=args.dtype, workdir=args.workdir, log_every=args.log_every,
+        ckpt_every=args.ckpt_every, resume=not args.no_resume,
+        remat=args.remat, profile_at=args.profile_at,
+        n_devices=args.n_devices)
+    summary = train(tc)
+    print("[done]", summary)
+
+
+if __name__ == "__main__":
+    main()

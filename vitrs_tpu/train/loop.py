@@ -1,0 +1,189 @@
+"""Training loop — the L4 layer the reference never wrote (gap G1; intended
+llm.c shape per SURVEY.md §3.4: build → loop{load; forward; zero; backward;
+step} → save).
+
+Production shape here: one jit-compiled SPMD train step (forward + backward +
+reduce-scatter + sharded fused AdamW + all-gather) fed by the double-buffered
+native data pipeline, with:
+  * structured metrics (step, loss, lr, images/sec/chip, MFU) — SURVEY.md §5.5
+  * periodic atomic checkpoints carrying params + m/v + step + PRNG seed +
+    dataloader cursor, and resume-from-latest — SURVEY.md §5.3-5.4
+  * optional jax.profiler trace capture — SURVEY.md §5.1
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ViTConfig, get_config
+from .. import checkpoint as ckpt_io
+from .. import params as PRM
+from ..data import datasets as D
+from ..data.prefetch import DevicePrefetcher
+from ..models import model as M
+from ..ops import optimizer as opt
+from ..parallel import data_parallel as dp
+from ..utils import flops as F
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    preset: str = "vit-tiny-4-cifar10"
+    dataset: str = "cifar10"
+    data_dir: Optional[str] = None
+    steps: int = 1000
+    batch_size: int = 128
+    lr: float = 1e-3
+    warmup: int = 100
+    weight_decay: float = 0.05
+    min_lr: float = 1e-5
+    seed: int = 0
+    dtype: str = "bfloat16"
+    log_every: int = 20
+    ckpt_every: int = 500
+    eval_every: int = 0            # 0 = only at end
+    workdir: str = "/tmp/vitrs_run"
+    resume: bool = True
+    profile_at: int = 0            # capture a profiler trace at this step
+    n_devices: int = 0             # 0 = all
+    remat: bool = False
+    model_overrides: Optional[dict] = None
+
+
+def _latest_ckpt(workdir: str) -> Optional[str]:
+    paths = sorted(glob.glob(os.path.join(workdir, "ckpt_*.bin")))
+    return paths[-1] if paths else None
+
+
+def evaluate(cfg: ViTConfig, params, ds: D.Dataset, batch: int = 256) -> dict:
+    """Top-1 accuracy + mean loss over an eval dataset (eval transform)."""
+    fwd = jax.jit(lambda p, x: M.vit_forward(p, x, cfg, train=False))
+    correct, total, loss_sum = 0, 0, 0.0
+    from ..ops import basic
+    for start in range(0, len(ds) - batch + 1, batch):
+        idx = np.arange(start, start + batch)
+        from ..data import augment as A
+        x = A.augment_batch(ds.images, idx, crop_pad=0, flip=False,
+                            mean=ds.mean, std=ds.std)
+        y = ds.labels[idx]
+        logits = np.asarray(fwd(params, jnp.asarray(x)))
+        correct += int((logits.argmax(-1) == y).sum())
+        losses = np.asarray(basic.cross_entropy_from_logits(
+            jnp.asarray(logits), jnp.asarray(y)))
+        loss_sum += float(losses.sum())
+        total += batch
+    return {"acc": correct / max(total, 1), "loss": loss_sum / max(total, 1),
+            "n": total}
+
+
+def train(tc: TrainConfig) -> dict:
+    os.makedirs(tc.workdir, exist_ok=True)
+    cfg = get_config(tc.preset, dtype=tc.dtype, remat=tc.remat,
+                     **(tc.model_overrides or {}))
+    assert cfg.mode == "vit", "train loop drives the vision path"
+
+    mesh = dp.make_mesh(tc.n_devices)
+    n_chips = mesh.size
+    device_kind = jax.devices()[0].device_kind
+    n = PRM.num_parameters(cfg)
+
+    # ---- init or resume ----------------------------------------------------
+    start_step, cursor = 0, 0
+    latest = _latest_ckpt(tc.workdir) if tc.resume else None
+    if latest:
+        np_params, cfg_loaded, extras = ckpt_io.load_checkpoint(latest, cfg)
+        params = {k: jnp.asarray(v) for k, v in np_params.items()}
+        start_step, cursor = extras["step"], extras["cursor"]
+        m_full = extras["m"] if extras["m"] is not None else np.zeros(n, np.float32)
+        v_full = extras["v"] if extras["v"] is not None else np.zeros(n, np.float32)
+        print(f"[resume] {latest} at step {start_step}, cursor {cursor}")
+    else:
+        params = PRM.init_params(cfg, jax.random.PRNGKey(tc.seed))
+        m_full = np.zeros(n, np.float32)
+        v_full = np.zeros(n, np.float32)
+
+    params = dp.replicate(params, mesh)
+    n_pad = dp.opt_state_shard_size(cfg, mesh) * n_chips
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    opt_shard = NamedSharding(mesh, P("data"))
+    m = jax.device_put(np.pad(m_full, (0, n_pad - n)), opt_shard)
+    v = jax.device_put(np.pad(v_full, (0, n_pad - n)), opt_shard)
+
+    step_fn = dp.make_dp_train_step(cfg, mesh)
+
+    # ---- data ---------------------------------------------------------------
+    ds = D.get_dataset(tc.dataset, tc.data_dir, train=True)
+    loader = D.DataLoader(ds, tc.batch_size, seed=tc.seed, train=True,
+                          cursor=cursor)
+    batch_sharding = NamedSharding(mesh, P("data"))
+    prefetcher = DevicePrefetcher(loader, sharding=batch_sharding)
+
+    flops_per_img = F.train_flops_per_example(cfg)
+    log_path = os.path.join(tc.workdir, "metrics.jsonl")
+    log_f = open(log_path, "a")
+    t_last = time.perf_counter()
+    imgs_since = 0
+    summary = {}
+
+    def save(step):
+        m_host = np.asarray(m)[:n]
+        v_host = np.asarray(v)[:n]
+        ckpt_io.save_checkpoint(
+            os.path.join(tc.workdir, f"ckpt_{step:08d}.bin"),
+            jax.device_get(params), cfg, m=m_host, v=v_host, step=step,
+            seed=tc.seed, cursor=loader.cursor)
+
+    try:
+        for step in range(start_step + 1, tc.steps + 1):
+            if tc.profile_at and step == tc.profile_at:
+                jax.profiler.start_trace(os.path.join(tc.workdir, "profile"))
+            images, labels = next(prefetcher)
+            lr = opt.cosine_lr(jnp.asarray(step, jnp.float32), tc.lr,
+                               tc.warmup, tc.steps, tc.min_lr)
+            params, m, v, loss = step_fn(
+                params, m, v, images, labels, jnp.asarray(step, jnp.int32),
+                lr, jnp.asarray(tc.weight_decay, jnp.float32))
+            imgs_since += tc.batch_size
+            if tc.profile_at and step == tc.profile_at:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+            if step % tc.log_every == 0 or step == tc.steps:
+                loss_val = float(loss)      # sync point
+                now = time.perf_counter()
+                ips = imgs_since / (now - t_last)
+                mfu = ips * flops_per_img / (
+                    F.peak_flops(device_kind, cfg.dtype) * n_chips)
+                rec = {"step": step, "loss": round(loss_val, 5),
+                       "lr": round(float(lr), 7),
+                       "imgs_per_sec": round(ips, 1),
+                       "imgs_per_sec_chip": round(ips / n_chips, 1),
+                       "mfu": round(mfu, 4)}
+                print("[train] " + json.dumps(rec))
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+                if not np.isfinite(loss_val):
+                    raise FloatingPointError(f"loss diverged at step {step}")
+                t_last, imgs_since = time.perf_counter(), 0
+            if tc.ckpt_every and step % tc.ckpt_every == 0:
+                save(step)
+        save(tc.steps)
+        summary["final_loss"] = float(loss)
+        if tc.dataset:
+            eval_ds = D.get_dataset(tc.dataset, tc.data_dir, train=False)
+            host_params = jax.device_get(params)
+            summary["eval"] = evaluate(cfg, host_params, eval_ds,
+                                       batch=min(256, len(eval_ds)))
+            print("[eval] " + json.dumps(summary["eval"]))
+    finally:
+        prefetcher.close()
+        log_f.close()
+    return summary
