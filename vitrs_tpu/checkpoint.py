@@ -34,6 +34,7 @@ i64 dataloader cursor.  A v1 reference-format file therefore loads directly.
 
 from __future__ import annotations
 
+import ctypes
 import os
 from typing import Dict, Optional, Tuple
 
@@ -45,6 +46,39 @@ from .params import param_shapes, tensor_order, num_parameters
 MAGIC = 20240326
 HEADER_I32 = 256
 HEADER_BYTES = 1024
+
+# native fast path threshold: below this, plain python I/O wins on latency
+_NATIVE_MIN_BYTES = 32 << 20
+
+
+def _native_lib():
+    from .native import build
+    lib = build.load("ckptio")
+    if lib is not None:
+        try:
+            if lib.vitrs_ckptio_abi() != 1:
+                return None
+            lib.vitrs_file_size.restype = ctypes.c_int64
+        except Exception:
+            return None
+    return lib
+
+
+def _read_range(path: str, offset: int, nbytes: int) -> np.ndarray:
+    """Read a byte range — multi-threaded native pread when worthwhile."""
+    lib = _native_lib() if nbytes >= _NATIVE_MIN_BYTES else None
+    if lib is not None:
+        out = np.empty(nbytes, np.uint8)
+        rc = lib.vitrs_read_range(
+            path.encode(), ctypes.c_int64(offset), ctypes.c_int64(nbytes),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int(min(os.cpu_count() or 1, 8)))
+        if rc == 0:
+            return out
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = f.read(nbytes)
+    return np.frombuffer(buf, np.uint8)
 
 
 def _header(cfg: ViTConfig, version: int, step: int, has_opt: bool, seed: int) -> np.ndarray:
@@ -126,20 +160,31 @@ def load_checkpoint(path: str, cfg: Optional[ViTConfig] = None
                 assert getattr(cfg, f_name) == getattr(file_cfg, f_name), (
                     f"config mismatch on {f_name}")
             file_cfg = cfg
-        shapes = param_shapes(file_cfg)
-        params = {}
+    shapes = param_shapes(file_cfg)
+    n = num_parameters(file_cfg)
+    file_size = os.path.getsize(path)
+    if file_size < HEADER_BYTES + n * 4:
+        # find the first tensor that doesn't fit, for a precise error
+        off = 0
+        avail = max(0, file_size - HEADER_BYTES) // 4
         for name in tensor_order(file_cfg):
-            size = int(np.prod(shapes[name]))
-            buf = f.read(size * 4)
-            if len(buf) != size * 4:
+            off += int(np.prod(shapes[name]))
+            if off > avail:
                 raise ValueError(f"truncated checkpoint at tensor {name}")
-            params[name] = np.frombuffer(buf, dtype=np.float32).reshape(shapes[name]).copy()
-        extras = {"step": int(h[13]), "seed": int(h[15]), "m": None, "v": None,
-                  "cursor": 0}
-        if int(h[1]) >= 2 and int(h[14]) == 1:
-            n = num_parameters(file_cfg)
-            extras["m"] = np.frombuffer(f.read(n * 4), dtype=np.float32).copy()
-            extras["v"] = np.frombuffer(f.read(n * 4), dtype=np.float32).copy()
-            cur = f.read(8)
-            extras["cursor"] = int(np.frombuffer(cur, dtype=np.int64)[0]) if len(cur) == 8 else 0
+    flat = _read_range(path, HEADER_BYTES, n * 4).view(np.float32)
+    params, off = {}, 0
+    for name in tensor_order(file_cfg):
+        size = int(np.prod(shapes[name]))
+        params[name] = flat[off:off + size].reshape(shapes[name]).copy()
+        off += size
+    extras = {"step": int(h[13]), "seed": int(h[15]), "m": None, "v": None,
+              "cursor": 0}
+    if int(h[1]) >= 2 and int(h[14]) == 1:
+        opt_off = HEADER_BYTES + n * 4
+        opt = _read_range(path, opt_off, n * 8).view(np.float32)
+        extras["m"] = opt[:n].copy()
+        extras["v"] = opt[n:].copy()
+        if file_size >= opt_off + n * 8 + 8:
+            cur = _read_range(path, opt_off + n * 8, 8).view(np.int64)
+            extras["cursor"] = int(cur[0])
     return params, file_cfg, extras
