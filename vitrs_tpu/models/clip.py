@@ -36,7 +36,7 @@ def image_embed(params: Dict, images: jax.Array, cfg: ViTConfig) -> jax.Array:
     head tensors (headw: (E, channels))."""
     x = M.vit_encode(images, params, cfg)
     x = M.transformer(x, params, cfg, causal=False)
-    lnf, _, _ = basic.layernorm(x, params["lnfw"], params["lnfb"])
+    lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
     pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
     emb = basic.linear(pooled, params["headw"], params["headb"])
     emb = emb.astype(jnp.float32)

@@ -92,7 +92,7 @@ def mae_forward(params: Dict, images: jax.Array, cfg: ViTConfig,
     # ---- encoder on visible patches only (+ CLS if configured) ----
     x = M.vit_encode(images, enc, cfg, keep_ids=keep_ids)
     x = M.transformer(x, enc, cfg, causal=False)
-    x, _, _ = basic.layernorm(x, enc["lnfw"], enc["lnfb"])
+    x = basic.layernorm_cv(x, enc["lnfw"], enc["lnfb"])
 
     # ---- decoder over the full token set ----
     y = basic.linear(x, dec["embw"], dec["embb"])            # (B, 1+K, Dw)
@@ -108,7 +108,7 @@ def mae_forward(params: Dict, images: jax.Array, cfg: ViTConfig,
     if cls_tok is not None:
         full = jnp.concatenate([cls_tok, full], axis=1)
     z = M.transformer(full, dec, dcfg, causal=False)
-    z, _, _ = basic.layernorm(z, dec["lnfw"], dec["lnfb"])
+    z = basic.layernorm_cv(z, dec["lnfw"], dec["lnfb"])
     if n_prefix:
         z = z[:, n_prefix:]
     pred = basic.linear(z, dec["predw"], dec["predb"])       # (B, N, P^2*C)

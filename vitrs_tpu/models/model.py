@@ -33,18 +33,21 @@ BLOCK_KEYS = ("ln1w", "ln1b", "qkvw", "qkvb", "attprojw", "attprojb",
 
 def _block(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
            causal: bool) -> jax.Array:
-    """The 10-op pre-LN block, exact op order of rusty_vit.rs:322-331."""
-    ln1, _, _ = basic.layernorm(x, p["ln1w"], p["ln1b"])
-    qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
-    atty = attention(qkv, cfg.num_heads, causal=causal, quirks=cfg.quirks,
-                     use_flash=cfg.use_flash)
-    attproj = basic.linear(atty, p["attprojw"], p["attprojb"])
-    x = x + attproj
-    ln2, _, _ = basic.layernorm(x, p["ln2w"], p["ln2b"])
-    fch = basic.linear(ln2, p["fcw"], p["fcb"])
-    fch_gelu = basic.gelu(fch)
-    fcproj = basic.linear(fch_gelu, p["fcprojw"], p["fcprojb"])
-    return x + fcproj
+    """The 10-op pre-LN block, exact op order of rusty_vit.rs:322-331.
+    named_scope keeps the compiled HLO readable in profiles (SURVEY.md §5.1)."""
+    with jax.named_scope("attn"):
+        ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
+        qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
+        atty = attention(qkv, cfg.num_heads, causal=causal, quirks=cfg.quirks,
+                         use_flash=cfg.use_flash)
+        attproj = basic.linear(atty, p["attprojw"], p["attprojb"])
+        x = x + attproj
+    with jax.named_scope("mlp"):
+        ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
+        fch = basic.linear(ln2, p["fcw"], p["fcb"])
+        fch_gelu = basic.gelu_cv(fch)
+        fcproj = basic.linear(fch_gelu, p["fcprojw"], p["fcprojb"])
+        return x + fcproj
 
 
 def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
@@ -81,7 +84,7 @@ def gpt_forward(params: Dict[str, jax.Array], tokens: jax.Array,
     dtype = jnp.dtype(cfg.dtype)
     x = gpt_encode(tokens, params, dtype)
     x = transformer(x, params, cfg, causal=True)
-    lnf, _, _ = basic.layernorm(x, params["lnfw"], params["lnfb"])
+    lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
     return basic.linear(lnf, params["wte"].astype(dtype), None)
 
 
@@ -134,7 +137,7 @@ def vit_forward(params: Dict[str, jax.Array], images: jax.Array,
     """Returns class logits (B, num_classes)."""
     x = vit_encode(images, params, cfg)
     x = transformer(x, params, cfg, causal=False)
-    lnf, _, _ = basic.layernorm(x, params["lnfw"], params["lnfb"])
+    lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
     if cfg.pool == "cls":
         pooled = lnf[:, 0, :]
     else:

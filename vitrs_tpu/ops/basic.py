@@ -39,6 +39,71 @@ def layernorm(x: jax.Array, w: jax.Array, b: jax.Array,
     return out.astype(x.dtype), mean, rstd
 
 
+@jax.custom_vjp
+def layernorm_cv(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """LayerNorm with a hand-written VJP — the production-path form.
+
+    Saves only (x in its own dtype, w, mean, rstd) and recomputes the
+    normalization in backward: without this, XLA keeps fp32 copies of every
+    LN output alive through the scan (450 MB per stacked tensor at ViT-B/16
+    B=64 — measured OOM driver).  The stash (mean, rstd) and the gradient
+    formula mirror the reference's layernorm_backward exactly
+    (rusty_vit.rs:737-783)."""
+    out, _, _ = layernorm(x, w, b)
+    return out
+
+
+def _layernorm_cv_fwd(x, w, b):
+    out, mean, rstd = layernorm(x, w, b)
+    return out, (x, w, mean, rstd)
+
+
+def _layernorm_cv_bwd(res, dout):
+    x, w, mean, rstd = res
+    xf = x.astype(jnp.float32)
+    df = dout.astype(jnp.float32)
+    norm = (xf - mean[..., None]) * rstd[..., None]
+    dnorm = df * w.astype(jnp.float32)
+    red = tuple(range(dout.ndim - 1))
+    db = jnp.sum(df, axis=red)
+    dw = jnp.sum(norm * df, axis=red)
+    dnorm_mean = jnp.mean(dnorm, axis=-1, keepdims=True)
+    dnorm_norm_mean = jnp.mean(dnorm * norm, axis=-1, keepdims=True)
+    dx = (dnorm - dnorm_mean - norm * dnorm_norm_mean) * rstd[..., None]
+    return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(w.dtype)
+
+
+layernorm_cv.defvjp(_layernorm_cv_fwd, _layernorm_cv_bwd)
+
+
+@jax.custom_vjp
+def gelu_cv(x: jax.Array) -> jax.Array:
+    """tanh-GELU with hand-written VJP: saves only x (its own dtype) and
+    recomputes the analytic gradient (rusty_vit.rs:793-807) in fp32 —
+    otherwise XLA stashes fp32 tanh intermediates of the 4C-wide MLP
+    activation through the scan."""
+    return gelu(x)
+
+
+def _gelu_cv_fwd(x):
+    return gelu(x), (x,)
+
+
+def _gelu_cv_bwd(res, dout):
+    (x,) = res
+    xf = x.astype(jnp.float32)
+    s = jnp.sqrt(2.0 / jnp.pi).astype(jnp.float32)
+    cube = GELU_COEF * xf * xf * xf
+    a = s * (xf + cube)
+    t = jnp.tanh(a)
+    sech2 = 1.0 - t * t
+    local = 0.5 * (1.0 + t) + xf * 0.5 * sech2 * s * (1.0 + 3.0 * GELU_COEF * xf * xf)
+    return ((local * dout.astype(jnp.float32)).astype(x.dtype),)
+
+
+gelu_cv.defvjp(_gelu_cv_fwd, _gelu_cv_bwd)
+
+
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
     """y = x @ W.T (+ b), W stored (OC, C) row-major — the reference matmul
     convention (rusty_vit.rs:484-498).  dot_general keeps the contraction on
