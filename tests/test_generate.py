@@ -1,0 +1,87 @@
+"""KV-cache decode tests: cache path must agree exactly with the full
+forward, and generation must be shape-correct and deterministic at temp 0."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitrs_tpu import params as P
+from vitrs_tpu.config import get_config
+from vitrs_tpu.models import generate as G
+from vitrs_tpu.models import model as M
+
+CFG = get_config("gpt-nano", use_flash=False)
+
+
+def _setup(seed=0):
+    params = P.init_params(CFG, jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 5)))
+    return params, prompt
+
+
+def test_prefill_logits_match_full_forward():
+    params, prompt = _setup()
+    caches = G.init_kv_cache(CFG, 2, 12)
+    logits_cache, _ = G.forward_with_cache(params, prompt, caches, 0, CFG)
+    logits_full = M.gpt_forward(params, prompt, CFG)
+    np.testing.assert_allclose(np.asarray(logits_cache),
+                               np.asarray(logits_full), rtol=2e-4, atol=1e-4)
+
+
+def test_incremental_decode_matches_full_forward():
+    """Feeding tokens one at a time through the cache must reproduce the
+    full-sequence forward logits at every position."""
+    params, prompt = _setup(1)
+    B, T = prompt.shape
+    caches = G.init_kv_cache(CFG, B, T)
+    step_logits = []
+    for t in range(T):
+        lg, caches = G.forward_with_cache(params, prompt[:, t:t + 1], caches,
+                                          t, CFG)
+        step_logits.append(np.asarray(lg[:, 0]))
+    full = np.asarray(M.gpt_forward(params, prompt, CFG))
+    got = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(got, full, rtol=3e-4, atol=2e-4)
+
+
+def test_greedy_generation_deterministic_and_in_range():
+    params, prompt = _setup(2)
+    out1 = G.generate(params, prompt, CFG, max_new=6, key=jax.random.PRNGKey(0),
+                      temperature=0.0)
+    out2 = G.generate(params, prompt, CFG, max_new=6, key=jax.random.PRNGKey(9),
+                      temperature=0.0)
+    assert out1.shape == (2, 11)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(out1[:, :5]), np.asarray(prompt))
+    assert np.asarray(out1).max() < CFG.vocab_size
+
+
+def test_greedy_matches_full_recompute():
+    """Greedy decode with cache == greedy decode recomputing the full prefix
+    each step through the ordinary forward."""
+    params, prompt = _setup(3)
+    max_new = 4
+    out = np.asarray(G.generate(params, prompt, CFG, max_new=max_new,
+                                key=jax.random.PRNGKey(0), temperature=0.0))
+    seq = np.asarray(prompt)
+    for _ in range(max_new):
+        logits = np.asarray(M.gpt_forward(params, jnp.asarray(seq), CFG))
+        nxt = logits[:, -1].argmax(-1)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(out, seq)
+
+
+def test_sampled_generation_respects_top_k():
+    params, prompt = _setup(4)
+    out = G.generate(params, prompt, CFG, max_new=8, key=jax.random.PRNGKey(1),
+                     temperature=1.0, top_k=3)
+    assert out.shape == (2, 13)
+    assert np.asarray(out).max() < CFG.vocab_size
+
+
+def test_max_new_1():
+    params, prompt = _setup(5)
+    out = G.generate(params, prompt, CFG, max_new=1, key=jax.random.PRNGKey(0),
+                     temperature=0.0)
+    assert out.shape == (2, 6)

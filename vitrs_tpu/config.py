@@ -43,6 +43,9 @@ class ViTConfig:
     quirks: bool = False              # reproduce reference-as-written math (G5/G6/G11)
     use_flash: bool = True            # Pallas flash attention on TPU (fallback: jnp)
     remat: bool = False               # activation checkpointing over blocks
+    scan_unroll: int = 0              # 0 = fully unroll the layer scan (fastest
+                                      # backward: no per-layer dynamic-update-slice
+                                      # of the stacked grads); N>0 = unroll factor
     drop_rate: float = 0.0            # head dropout (train-time)
     mask_ratio: float = 0.0           # MAE-style random patch masking (0 = off)
 

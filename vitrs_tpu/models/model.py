@@ -61,7 +61,8 @@ def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
     def step(carry, p):
         return body(carry, p), None
 
-    x, _ = jax.lax.scan(step, x, blocks)
+    unroll = True if cfg.scan_unroll == 0 else cfg.scan_unroll
+    x, _ = jax.lax.scan(step, x, blocks, unroll=unroll)
     return x
 
 
