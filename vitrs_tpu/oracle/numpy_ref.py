@@ -192,6 +192,28 @@ def crossentropy_forward(probs, targets, quirks=False):
     return -p if quirks else -np.log(p)
 
 
+def softmax_backward_dense(dout, probs):
+    """Dense softmax Jacobian (rusty_vit.rs:819-834) — defined in the
+    reference but never called on the model path (gap G12); kept for
+    inventory completeness and as a check against the fused CE-softmax
+    backward.  dinp[i] = sum_j (p[i] - delta_ij) * dout[j]... as written the
+    reference accumulates (p_i - delta_ij)*dout_j, i.e. p_i*sum(dout) - dout_i."""
+    s = dout.sum(axis=-1, keepdims=True)
+    return probs * s - dout
+
+
+def crossentropy_backward_dense(probs_or_logits, targets):
+    """rusty_vit.rs:845-854 as written: dlogits[j] = -value[j] if j==target
+    else 0 — also never called (gap G12)."""
+    out = np.zeros_like(probs_or_logits)
+    B, T, V = probs_or_logits.shape
+    flat = out.reshape(-1, V)
+    src = probs_or_logits.reshape(-1, V)
+    idx = np.arange(B * T)
+    flat[idx, targets.reshape(-1)] = -src[idx, targets.reshape(-1)]
+    return out
+
+
 def crossentropy_softmax_backward(dlosses, probs, targets):
     """llm.c-intended fused backward for the undefined symbol (G3):
     dlogits = (probs - onehot) * dloss."""

@@ -63,20 +63,45 @@ def init_sharded_opt_state(cfg: ViTConfig, mesh: Mesh):
     return m, v
 
 
-def make_dp_train_step(cfg: ViTConfig, mesh: Mesh):
+def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1):
     """Build the jitted SPMD training step.
 
     Signature: (params, m, v, inputs, targets, step, lr, wd)
             -> (params, m, v, loss)
     with params replicated, m/v flat-sharded, inputs/targets batch-sharded.
+
+    accum_steps > 1 enables gradient accumulation (SURVEY.md §7 stage 4): the
+    per-device batch is split into accum_steps micro-batches scanned
+    sequentially, their grads averaged before the reduce-scatter — same math,
+    1/accum_steps the activation memory.
     """
     n = PRM.num_parameters(cfg)
     n_pad = _ceil_to(n, mesh.size)
     shard = n_pad // mesh.size
 
+    def _loss_and_grads(params, inputs, targets):
+        if accum_steps == 1:
+            return jax.value_and_grad(M.loss_fn)(params, inputs, targets, cfg)
+        micro = inputs.shape[0] // accum_steps
+        xs = (inputs[:micro * accum_steps].reshape(
+                  (accum_steps, micro) + inputs.shape[1:]),
+              targets[:micro * accum_steps].reshape(accum_steps, micro))
+
+        def acc(carry, xy):
+            loss_sum, g_sum = carry
+            x, y = xy
+            loss, g = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+            return (loss_sum + loss,
+                    jax.tree_util.tree_map(jnp.add, g_sum, g)), None
+
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        (loss_sum, g_sum), _ = jax.lax.scan(acc, (jnp.zeros(()), zero), xs)
+        inv = 1.0 / accum_steps
+        return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+
     def spmd_step(params, m_shard, v_shard, inputs, targets, step, lr, wd):
-        loss, grads = jax.value_and_grad(M.loss_fn)(params, inputs, targets,
-                                                    cfg)
+        loss, grads = _loss_and_grads(params, inputs, targets)
         flat_g = PRM.flatten_params(grads, cfg)
         if n_pad != n:
             flat_g = jnp.pad(flat_g, (0, n_pad - n))

@@ -41,6 +41,9 @@ class TrainConfig:
     dataset: str = "cifar10"
     data_dir: Optional[str] = None
     steps: int = 1000
+    run_steps: int = 0             # stop after this many steps this run
+                                   # (0 = run to `steps`); schedule still
+                                   # spans `steps` — the kill-and-resume knob
     batch_size: int = 128
     lr: float = 1e-3
     warmup: int = 100
@@ -137,13 +140,18 @@ def train(tc: TrainConfig) -> dict:
     def save(step):
         m_host = np.asarray(m)[:n]
         v_host = np.asarray(v)[:n]
+        # cursor = examples actually *consumed* by completed steps — NOT
+        # loader.cursor, which runs ahead by the prefetch depth
+        consumed = cursor + (step - start_step) * tc.batch_size
         ckpt_io.save_checkpoint(
             os.path.join(tc.workdir, f"ckpt_{step:08d}.bin"),
             jax.device_get(params), cfg, m=m_host, v=v_host, step=step,
-            seed=tc.seed, cursor=loader.cursor)
+            seed=tc.seed, cursor=consumed)
 
+    stop_step = (min(tc.steps, start_step + tc.run_steps) if tc.run_steps
+                 else tc.steps)
     try:
-        for step in range(start_step + 1, tc.steps + 1):
+        for step in range(start_step + 1, stop_step + 1):
             if tc.profile_at and step == tc.profile_at:
                 jax.profiler.start_trace(os.path.join(tc.workdir, "profile"))
             images, labels = next(prefetcher)
@@ -175,9 +183,10 @@ def train(tc: TrainConfig) -> dict:
                 t_last, imgs_since = time.perf_counter(), 0
             if tc.ckpt_every and step % tc.ckpt_every == 0:
                 save(step)
-        save(tc.steps)
-        summary["final_loss"] = float(loss)
-        if tc.dataset:
+        if stop_step > start_step:
+            save(stop_step)
+            summary["final_loss"] = float(loss)
+        if tc.dataset and stop_step == tc.steps:
             eval_ds = D.get_dataset(tc.dataset, tc.data_dir, train=False)
             host_params = jax.device_get(params)
             summary["eval"] = evaluate(cfg, host_params, eval_ds,
