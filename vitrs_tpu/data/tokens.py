@@ -1,0 +1,83 @@
+"""Token dataset + loader for GPT-parity training (the reference's actual
+input modality: token indices, rusty_vit.rs:73).
+
+File format: llm.c-style flat binary of uint16 token ids (a `.bin` produced
+by any tokenizer dump), or a deterministic synthetic Markov stream when no
+file is available (zero-egress builds) — the chain has real structure, so
+cross-entropy meaningfully decreases during smoke training.
+
+Batching follows the llm.c convention: inputs = stream[i : i+T],
+targets = stream[i+1 : i+T+1], windows strided by B·T each step, cursor
+resumable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def load_token_file(path: str) -> np.ndarray:
+    return np.fromfile(path, dtype=np.uint16)
+
+
+def synthetic_tokens(n: int = 1 << 18, vocab_size: int = 97,
+                     seed: int = 0, order: int = 1) -> np.ndarray:
+    """Markov chain over the vocab: sparse per-state transition table with a
+    few high-probability successors per state — learnable structure."""
+    rng = np.random.default_rng(seed)
+    n_states = vocab_size ** order if vocab_size ** order < 65536 else 65536
+    succ = rng.integers(0, vocab_size, (n_states, 4))
+    probs = np.array([0.55, 0.25, 0.15, 0.05])
+    out = np.empty(n, np.uint16)
+    state = 0
+    choices = rng.choice(4, size=n, p=probs)
+    noise = rng.integers(0, vocab_size, n)
+    flip = rng.random(n) < 0.05
+    for i in range(n):
+        tok = noise[i] if flip[i] else succ[state, choices[i]]
+        out[i] = tok
+        state = (state * vocab_size + int(tok)) % n_states
+    return out
+
+
+class TokenLoader:
+    """Deterministic, cursor-resumable (B, T) window loader."""
+
+    def __init__(self, tokens: np.ndarray, batch_size: int, seq_len: int,
+                 host_id: int = 0, num_hosts: int = 1, cursor: int = 0):
+        assert batch_size % num_hosts == 0
+        assert len(tokens) > batch_size * seq_len + 1, "token stream too short"
+        self.tokens = tokens
+        self.global_batch = batch_size
+        self.local_batch = batch_size // num_hosts
+        self.T = seq_len
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.cursor = cursor          # global windows consumed
+        self.windows_total = (len(tokens) - 1) // seq_len
+
+    def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        T = self.T
+        idx = (np.arange(self.global_batch) + self.cursor) % self.windows_total
+        idx = idx[self.host_id::self.num_hosts]
+        starts = idx * T
+        inputs = np.stack([self.tokens[s:s + T] for s in starts]).astype(np.int32)
+        targets = np.stack([self.tokens[s + 1:s + T + 1] for s in starts]).astype(np.int32)
+        self.cursor += self.global_batch
+        return inputs, targets
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
+def get_tokens(path: Optional[str], vocab_size: int, seed: int = 0
+               ) -> np.ndarray:
+    if path and os.path.exists(path):
+        toks = load_token_file(path)
+        assert toks.max() < vocab_size, "token file exceeds configured vocab"
+        return toks
+    return synthetic_tokens(vocab_size=min(vocab_size, 97), seed=seed)

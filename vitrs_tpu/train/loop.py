@@ -92,7 +92,6 @@ def train(tc: TrainConfig) -> dict:
     os.makedirs(tc.workdir, exist_ok=True)
     cfg = get_config(tc.preset, dtype=tc.dtype, remat=tc.remat,
                      **(tc.model_overrides or {}))
-    assert cfg.mode == "vit", "train loop drives the vision path"
 
     mesh = dp.make_mesh(tc.n_devices)
     n_chips = mesh.size
@@ -124,10 +123,16 @@ def train(tc: TrainConfig) -> dict:
     step_fn = dp.make_dp_train_step(cfg, mesh)
 
     # ---- data ---------------------------------------------------------------
-    ds = D.get_dataset(tc.dataset, tc.data_dir, train=True)
-    loader = D.DataLoader(ds, tc.batch_size, seed=tc.seed, train=True,
-                          cursor=cursor)
     batch_sharding = NamedSharding(mesh, P("data"))
+    if cfg.mode == "gpt":
+        from ..data import tokens as TOK
+        stream = TOK.get_tokens(tc.data_dir, cfg.vocab_size, seed=tc.seed)
+        loader = TOK.TokenLoader(stream, tc.batch_size, cfg.max_seq_len,
+                                 cursor=cursor)
+    else:
+        ds = D.get_dataset(tc.dataset, tc.data_dir, train=True)
+        loader = D.DataLoader(ds, tc.batch_size, seed=tc.seed, train=True,
+                              cursor=cursor)
     prefetcher = DevicePrefetcher(loader, sharding=batch_sharding)
 
     flops_per_img = F.train_flops_per_example(cfg)
@@ -187,10 +192,21 @@ def train(tc: TrainConfig) -> dict:
             save(stop_step)
             summary["final_loss"] = float(loss)
         if tc.dataset and stop_step == tc.steps:
-            eval_ds = D.get_dataset(tc.dataset, tc.data_dir, train=False)
             host_params = jax.device_get(params)
-            summary["eval"] = evaluate(cfg, host_params, eval_ds,
-                                       batch=min(256, len(eval_ds)))
+            if cfg.mode == "gpt":
+                # val loss over fresh windows from the tail of the stream
+                from ..data import tokens as TOK
+                val = TOK.TokenLoader(loader.tokens, min(tc.batch_size, 16),
+                                      cfg.max_seq_len,
+                                      cursor=loader.windows_total // 2)
+                xb, yb = val.next_batch()
+                vloss = float(jax.jit(M.loss_fn, static_argnums=3)(
+                    host_params, jnp.asarray(xb), jnp.asarray(yb), cfg))
+                summary["eval"] = {"val_loss": vloss}
+            else:
+                eval_ds = D.get_dataset(tc.dataset, tc.data_dir, train=False)
+                summary["eval"] = evaluate(cfg, host_params, eval_ds,
+                                           batch=min(256, len(eval_ds)))
             print("[eval] " + json.dumps(summary["eval"]))
     finally:
         prefetcher.close()
