@@ -34,7 +34,24 @@ def main():
     p.add_argument("--profile-at", type=int, default=0,
                    help="capture a jax.profiler trace at this step")
     p.add_argument("--n-devices", type=int, default=0, help="0 = all")
+    p.add_argument("--eval-only", action="store_true",
+                   help="evaluate the latest checkpoint in --workdir and exit")
     args = p.parse_args()
+
+    if args.eval_only:
+        import glob
+        import json
+        import jax
+        from vitrs_tpu import checkpoint as C
+        from vitrs_tpu.data import datasets as D
+        from vitrs_tpu.train.loop import evaluate
+        paths = sorted(glob.glob(f"{args.workdir}/ckpt_*.bin"))
+        assert paths, f"no checkpoints in {args.workdir}"
+        params, cfg, extras = C.load_checkpoint(paths[-1])
+        eval_ds = D.get_dataset(args.dataset, args.data_dir, train=False)
+        res = evaluate(cfg, params, eval_ds, batch=min(256, len(eval_ds)))
+        print(json.dumps({"ckpt": paths[-1], "step": extras["step"], **res}))
+        return
 
     from vitrs_tpu.train.loop import TrainConfig, train
     tc = TrainConfig(

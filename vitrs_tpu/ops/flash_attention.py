@@ -79,6 +79,152 @@ def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len):
 
 
 # ---------------------------------------------------------------------------
+# single-tile fast path (T_pad fits one block — every ViT config: T <= 256)
+#
+# With one KV tile the online-softmax machinery (running m/l scratch, acc
+# rescale) is pure overhead: softmax reduces in one pass, and the backward
+# needs no cross-tile accumulation so dq/dk/dv come out of ONE kernel that
+# recomputes p once (the two-kernel general path recomputes it twice) and
+# computes di = rowsum(out*dout) in-kernel instead of streaming broadcast
+# (B, NH, T, 128) di arrays from HBM.
+# ---------------------------------------------------------------------------
+
+def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       *, sm_scale, causal, seq_len, T, G, D):
+    qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
+    need_mask = causal or seq_len != T
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        msk = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+            msk = jnp.logical_and(msk, col <= row)
+    outs = []
+    for g in range(G):
+        sl = slice(g * D, (g + 1) * D)
+        q = (qf[:, sl].astype(jnp.float32) * sm_scale).astype(qf.dtype)
+        s = jax.lax.dot_general(q, kf[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if need_mask:
+            s = jnp.where(msk, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        pv = jax.lax.dot_general(p.astype(vf.dtype), vf[:, sl],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        outs.append(pv * inv)
+        lse = jnp.where(l == 0.0, MASK_VALUE, m + jnp.log(jnp.maximum(l, 1e-38)))
+        lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                       dq_ref, dk_ref, dv_ref,
+                       *, sm_scale, causal, seq_len, T, G, D):
+    qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
+    of, dof = o_ref[0], do_ref[0]
+    need_mask = causal or seq_len != T
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        msk = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+            msk = jnp.logical_and(msk, col <= row)
+    dqs, dks, dvs = [], [], []
+    for g in range(G):
+        sl = slice(g * D, (g + 1) * D)
+        q, k, v = qf[:, sl], kf[:, sl], vf[:, sl]
+        do = dof[:, sl]
+        lse = lse_ref[0, g][:, :1]
+        di = jnp.sum(of[:, sl].astype(jnp.float32)
+                     * do.astype(jnp.float32), axis=1, keepdims=True)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        p = jnp.exp(s - lse)
+        if need_mask:
+            p = jnp.where(msk, p, 0.0)
+        dvs.append(jax.lax.dot_general(p.astype(do.dtype), do,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * sm_scale
+        dqs.append(jax.lax.dot_general(ds.astype(k.dtype), k,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(ds.astype(q.dtype), q,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+
+
+def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret):
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    G = _heads_per_block(D)
+    W = G * D
+    n_hblk = num_heads // G
+    spec = lambda off: pl.BlockSpec((1, T, W), lambda b, h, off=off: (b, 0, off + h),
+                                    memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_single_kernel, sm_scale=sm_scale, causal=causal,
+                          seq_len=seq_len, T=T, G=G, D=D),
+        grid=(B, n_hblk),
+        in_specs=[spec(0), spec(n_hblk), spec(2 * n_hblk)],
+        out_specs=(
+            pl.BlockSpec((1, T, W), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, LANES), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, num_heads, T, LANES), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * B * num_heads * T * T * D),
+            bytes_accessed=int(4 * B * T * C3 + 4 * B * T * C),
+            transcendentals=int(B * num_heads * T * T)),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out, lse
+
+
+def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
+                interpret):
+    B, T, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    G = _heads_per_block(D)
+    W = G * D
+    n_hblk = num_heads // G
+    spec = lambda off: pl.BlockSpec((1, T, W), lambda b, h, off=off: (b, 0, off + h),
+                                    memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((1, T, W), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, G, T, LANES), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_single_kernel, sm_scale=sm_scale, causal=causal,
+                          seq_len=seq_len, T=T, G=G, D=D),
+        grid=(B, n_hblk),
+        in_specs=[spec(0), spec(n_hblk), spec(2 * n_hblk), c_spec, c_spec,
+                  lse_spec],
+        out_specs=(c_spec, c_spec, c_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, T, C), qkv.dtype)
+                        for _ in range(3)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qkv, qkv, qkv, out, do, lse)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
@@ -155,6 +301,9 @@ def _qkv_specs(n_hblk, block_q, block_k, W, q_grid_dim, kv_grid_dim):
 def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
          interpret):
     B, T, C3 = qkv.shape
+    if T <= block_q and T <= block_k:
+        return _fwd_single(qkv, num_heads, sm_scale, causal, seq_len,
+                           interpret)
     C = C3 // 3
     D = C // num_heads
     G = _heads_per_block(D)
@@ -280,6 +429,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _bwd(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len, block_q,
          block_k, interpret):
     B, T, C3 = qkv.shape
+    if T <= block_q and T <= block_k:
+        return _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal,
+                           seq_len, interpret)
     C = C3 // 3
     D = C // num_heads
     G = _heads_per_block(D)
