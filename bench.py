@@ -34,9 +34,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = PRM.init_params(cfg, key)
-    n = PRM.num_parameters(cfg)
-    m = jnp.zeros(n, jnp.float32)
-    v = jnp.zeros(n, jnp.float32)
+    zeros = lambda: jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    m, v = zeros(), zeros()
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal(
         (B, cfg.img_size, cfg.img_size, cfg.in_chans), dtype=np.float32))
@@ -44,10 +44,8 @@ def main():
 
     def train_step(p, m, v, x, y, step, lr):
         loss, grads = jax.value_and_grad(M.loss_fn)(p, x, y, cfg)
-        fp = PRM.flatten_params(p, cfg)
-        fg = PRM.flatten_params(grads, cfg)
-        fp, m, v = opt.adamw_step(fp, fg, m, v, step, lr, weight_decay=0.05)
-        return PRM.unflatten_params(fp, cfg), m, v, loss
+        p, m, v = opt.adamw_tree(p, grads, m, v, step, lr, weight_decay=0.05)
+        return p, m, v, loss
 
     step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2))
 

@@ -114,7 +114,9 @@ def test_checkpoint_round_trip_full_state(tmp_path):
     for k in model.params:
         np.testing.assert_array_equal(np.asarray(model.params[k]),
                                       np.asarray(model2.params[k]))
-    np.testing.assert_array_equal(np.asarray(model.m), np.asarray(model2.m))
+    np.testing.assert_array_equal(
+        np.asarray(P.flatten_params(model.m, CFG)),
+        np.asarray(P.flatten_params(model2.m, CFG)))
     # training continues identically from the restored state
     l1 = model.train_step(tokens, targets, lr=1e-2)
     l2 = model2.train_step(tokens, targets, lr=1e-2)

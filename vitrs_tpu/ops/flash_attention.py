@@ -545,6 +545,12 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
         return out
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
+    if T <= max(block_q, block_k):
+        # single-tile path takes the raw (possibly ragged) T directly — a
+        # block dim equal to the array dim satisfies Mosaic tiling, so no
+        # HBM pad/slice round trip and (bidirectional) no mask pass at all
+        return _flash_packed(qkv, num_heads, float(sm_scale), causal, T,
+                             max(T, block_q), max(T, block_k), interpret)
     T_pad = _ceil_to(T, LANES)
     block_q, block_k = min(block_q, T_pad), min(block_k, T_pad)
     T_pad = _ceil_to(T_pad, max(block_q, block_k))

@@ -60,6 +60,38 @@ def adamw_step(p, g, m, v, step, lr, beta1=0.9, beta2=0.999, eps=1e-8,
                           eps=eps, weight_decay=weight_decay)
 
 
+def adamw_tree(params, grads, m, v, step, lr, beta1=0.9, beta2=0.999,
+               eps=1e-8, weight_decay=0.0):
+    """AdamW over pytrees (m/v mirror the param tree).  On a single chip this
+    avoids the flatten/concat round trips of the flat-vector form (~2 GB of
+    pure data movement at ViT-B scale); XLA fuses each leaf's update into one
+    HBM pass.  The flat Pallas kernel remains the ZeRO-1/reduce-scatter and
+    checkpoint layout (params.flatten_params maps between the two)."""
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - beta1 ** t
+    bc2 = 1.0 - beta2 ** t
+
+    def upd(p, g, m_, v_):
+        g = g.astype(jnp.float32)
+        m_ = beta1 * m_ + (1.0 - beta1) * g
+        v_ = beta2 * v_ + (1.0 - beta2) * g * g
+        pf = p.astype(jnp.float32)
+        pf = pf - lr * ((m_ / bc1) / (jnp.sqrt(v_ / bc2) + eps)
+                        + weight_decay * pf)
+        return pf.astype(p.dtype), m_, v_
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(m)
+    flat_v = treedef.flatten_up_to(v)
+    out = [upd(p, g, m_, v_) for p, g, m_, v_ in
+           zip(flat_p, flat_g, flat_m, flat_v)]
+    new_p = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
+    new_m = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
+    new_v = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+    return new_p, new_m, new_v
+
+
 def cosine_lr(step: jax.Array, base_lr: float, warmup: int, total: int,
               min_lr: float = 0.0) -> jax.Array:
     """Linear warmup + cosine decay schedule for the train loop."""

@@ -43,8 +43,14 @@ class ViT:
         self.params = params
         n = P.num_parameters(cfg)
         self.num_parameters = n
-        self.m = jnp.zeros(n, jnp.float32) if m is None else jnp.asarray(m, jnp.float32)
-        self.v = jnp.zeros(n, jnp.float32) if v is None else jnp.asarray(v, jnp.float32)
+        # optimizer state lives as a tree mirroring params (no flatten cost
+        # on the hot path); the canonical flat layout is the *serialization*
+        zeros = lambda: jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        self.m = zeros() if m is None else P.unflatten_params(
+            jnp.asarray(m, jnp.float32), cfg)
+        self.v = zeros() if v is None else P.unflatten_params(
+            jnp.asarray(v, jnp.float32), cfg)
         self.step = step
         self.seed = seed
         self.grads: Optional[Dict[str, jax.Array]] = None
@@ -94,11 +100,9 @@ class ViT:
 
         def _train_step(params, m, v, inputs, targets, step, lr, wd):
             loss, grads = jax.value_and_grad(_loss)(params, inputs, targets)
-            flat_p = P.flatten_params(params, cfg)
-            flat_g = P.flatten_params(grads, cfg)
-            flat_p, m, v = opt.adamw_step(flat_p, flat_g, m, v, step, lr,
+            params, m, v = opt.adamw_tree(params, grads, m, v, step, lr,
                                           weight_decay=wd)
-            return P.unflatten_params(flat_p, cfg), m, v, loss
+            return params, m, v, loss
 
         self._jit_train_step = jax.jit(_train_step, donate_argnums=(0, 1, 2))
 
@@ -137,17 +141,18 @@ class ViT:
                        weight_decay: float = 0.0):
         assert self.grads is not None, "call backward() first"
         cfg = self.config
-        flat_p = P.flatten_params(self.params, cfg)
-        flat_g = P.flatten_params(self.grads, cfg)
         if optimizer == "sgd":
-            flat_p = opt.sgd_step(flat_p, flat_g, lr)
+            # reference-as-written update over the flat arena
+            # (train_vit.rs:737-743)
+            flat_p = opt.sgd_step(P.flatten_params(self.params, cfg),
+                                  P.flatten_params(self.grads, cfg), lr)
+            self.params = P.unflatten_params(flat_p, cfg)
         else:
             self.step += 1
-            flat_p, self.m, self.v = opt.adamw_step(
-                flat_p, flat_g, self.m, self.v,
+            self.params, self.m, self.v = opt.adamw_tree(
+                self.params, self.grads, self.m, self.v,
                 jnp.asarray(self.step, jnp.int32), jnp.asarray(lr, jnp.float32),
                 weight_decay=weight_decay)
-        self.params = P.unflatten_params(flat_p, cfg)
 
     # -- fused production path ------------------------------------------------
 
@@ -165,10 +170,11 @@ class ViT:
     # -- checkpoint ------------------------------------------------------------
 
     def save_checkpoint(self, path: str, with_opt: bool = True, cursor: int = 0):
+        cfg = self.config
         ckpt_io.save_checkpoint(
-            path, jax.device_get(self.params), self.config,
-            m=np.asarray(self.m) if with_opt else None,
-            v=np.asarray(self.v) if with_opt else None,
+            path, jax.device_get(self.params), cfg,
+            m=np.asarray(P.flatten_params(self.m, cfg)) if with_opt else None,
+            v=np.asarray(P.flatten_params(self.v, cfg)) if with_opt else None,
             step=self.step, seed=self.seed, cursor=cursor)
 
     def load_checkpoint(self, path: str):
@@ -176,5 +182,5 @@ class ViT:
         self.params = {k: jnp.asarray(v) for k, v in np_params.items()}
         self.step = extras["step"]
         if extras["m"] is not None:
-            self.m = jnp.asarray(extras["m"])
-            self.v = jnp.asarray(extras["v"])
+            self.m = P.unflatten_params(jnp.asarray(extras["m"]), cfg)
+            self.v = P.unflatten_params(jnp.asarray(extras["v"]), cfg)
