@@ -31,15 +31,30 @@ BLOCK_KEYS = ("ln1w", "ln1b", "qkvw", "qkvb", "attprojw", "attprojb",
               "ln2w", "ln2b", "fcw", "fcb", "fcprojw", "fcprojb")
 
 
+def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
+                        cfg: ViTConfig, causal: bool) -> jax.Array:
+    """qkv projection + attention.  On the flash path the two are one fused
+    custom-VJP op (ops/fused_qkv_attention.py) so the backward never
+    materializes the packed dqkv; otherwise the plain composition."""
+    from ..ops.attention import _flash_available
+    from ..ops.flash_attention import supports
+    D = cfg.channels // cfg.num_heads
+    if (cfg.use_flash and not cfg.quirks and _flash_available()
+            and supports(cfg.num_heads, D)):
+        from ..ops.fused_qkv_attention import qkv_attention
+        return qkv_attention(ln1, p["qkvw"], p["qkvb"], cfg.num_heads, causal)
+    qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
+    return attention(qkv, cfg.num_heads, causal=causal, quirks=cfg.quirks,
+                     use_flash=cfg.use_flash)
+
+
 def _block(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
            causal: bool) -> jax.Array:
     """The 10-op pre-LN block, exact op order of rusty_vit.rs:322-331.
     named_scope keeps the compiled HLO readable in profiles (SURVEY.md §5.1)."""
     with jax.named_scope("attn"):
         ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
-        qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
-        atty = attention(qkv, cfg.num_heads, causal=causal, quirks=cfg.quirks,
-                         use_flash=cfg.use_flash)
+        atty = _project_and_attend(ln1, p, cfg, causal)
         attproj = basic.linear(atty, p["attprojw"], p["attprojb"])
         x = x + attproj
     with jax.named_scope("mlp"):

@@ -221,7 +221,7 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(qkv, qkv, qkv, out, do, lse)
-    return jnp.concatenate([dq, dk, dv], axis=-1)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -426,8 +426,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                                     axis=-1).astype(dq_ref.dtype)
 
 
-def _bwd(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len, block_q,
-         block_k, interpret):
+def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
+               block_q, block_k, interpret):
+    """Backward returning (dq, dk, dv) as separate (B, T, C) arrays — callers
+    that consume the packed layout concatenate; the fused qkv+attention op
+    (ops/fused_qkv_attention.py) feeds them straight into the projection
+    backward and never materializes the packed gradient."""
     B, T, C3 = qkv.shape
     if T <= block_q and T <= block_k:
         return _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal,
@@ -491,8 +495,7 @@ def _bwd(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len, block_q,
         compiler_params=semantics,
         interpret=interpret,
     )(qkv, qkv, qkv, do, lse, di)
-    # repack into the (B, T, 3C) gradient the qkv projection backward consumes
-    return jnp.concatenate([dq, dk, dv], axis=-1)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -517,9 +520,9 @@ def _flash_packed_fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q,
 def _flash_packed_bwd(num_heads, sm_scale, causal, seq_len, block_q, block_k,
                       interpret, res, do):
     qkv, out, lse = res
-    dqkv = _bwd(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
-                block_q, block_k, interpret)
-    return (dqkv,)
+    dq, dk, dv = _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal,
+                            seq_len, block_q, block_k, interpret)
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
 
 
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
@@ -545,19 +548,25 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
         return out
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
+    x, block_q, block_k = prep_blocks(qkv, block_q, block_k)
+    out = _flash_packed(x, num_heads, float(sm_scale), causal, T, block_q,
+                        block_k, interpret)
+    return out[:, :T, :] if x.shape[1] != T else out
+
+
+def prep_blocks(qkv: jax.Array, block_q: int, block_k: int):
+    """Pad T to a block multiple and clamp blocks.  A T that fits one tile is
+    passed through raw (block dim == array dim satisfies Mosaic tiling): no
+    HBM pad/slice round trip, and — bidirectional — no mask pass at all."""
+    T = qkv.shape[1]
     if T <= max(block_q, block_k):
-        # single-tile path takes the raw (possibly ragged) T directly — a
-        # block dim equal to the array dim satisfies Mosaic tiling, so no
-        # HBM pad/slice round trip and (bidirectional) no mask pass at all
-        return _flash_packed(qkv, num_heads, float(sm_scale), causal, T,
-                             max(T, block_q), max(T, block_k), interpret)
+        return qkv, max(T, block_q), max(T, block_k)
     T_pad = _ceil_to(T, LANES)
     block_q, block_k = min(block_q, T_pad), min(block_k, T_pad)
     T_pad = _ceil_to(T_pad, max(block_q, block_k))
-    x = jnp.pad(qkv, ((0, 0), (0, T_pad - T), (0, 0))) if T_pad != T else qkv
-    out = _flash_packed(x, num_heads, float(sm_scale), causal, T, block_q,
-                        block_k, interpret)
-    return out[:, :T, :] if T_pad != T else out
+    if T_pad != T:
+        qkv = jnp.pad(qkv, ((0, 0), (0, T_pad - T), (0, 0)))
+    return qkv, block_q, block_k
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
