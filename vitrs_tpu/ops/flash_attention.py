@@ -230,7 +230,7 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
-                *, sm_scale, causal, block_q, block_k, n_kv, seq_len, G, D):
+                *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T, G, D):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -243,28 +243,55 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]       # (block, G*D)
-        msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k, causal,
-                    seq_len)
-        for g in range(G):
-            sl = slice(g * D, (g + 1) * D)
-            q, k, v = qf[:, sl], kf[:, sl], vf[:, sl]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = jnp.where(msk, s * sm_scale, MASK_VALUE)
+        # scale folded into q: one pass over (block_q, G*D) instead of a
+        # per-score multiply on every (block_q, block_k) tile
+        qf = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+        kf, vf = k_ref[0], v_ref[0]
 
-            m_prev, l_prev = m_scr[g], l_scr[g]          # (block_q, 128)
-            m_curr = jnp.max(s, axis=1, keepdims=True)   # (block_q, 1)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
-            m_scr[g] = m_next
-            l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        def body(masked: bool):
+            if masked:
+                msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
+                            causal, seq_len)
+            for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
+                q, k, v = qf[:, sl], kf[:, sl], vf[:, sl]
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                if masked:
+                    s = jnp.where(msk, s, MASK_VALUE)
 
-            pv = jax.lax.dot_general(p.astype(v.dtype), v,
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            acc_scr[g] = acc_scr[g] * alpha[:, :1] + pv
+                m_prev, l_prev = m_scr[g], l_scr[g]        # (block_q, 128)
+                m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next[:, :1])
+                m_scr[g] = m_next
+                l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+                pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                acc_scr[g] = acc_scr[g] * alpha[:, :1] + pv
+
+        # masking is only needed on tiles the diagonal crosses and on the
+        # padded tail tile; interior tiles take the mask-free body
+        has_pad = seq_len != T
+        if not causal and not has_pad:
+            body(masked=False)
+        else:
+            edge = False
+            if causal:
+                edge = i_q * block_q < (i_kv + 1) * block_k  # diagonal crosses
+            if has_pad:
+                edge = jnp.logical_or(edge, i_kv == n_kv - 1)
+
+            @pl.when(edge)
+            def _():
+                body(masked=True)
+
+            @pl.when(jnp.logical_not(edge))
+            def _():
+                body(masked=False)
 
     @pl.when(i_kv == n_kv - 1)
     def _finalize():
@@ -313,7 +340,7 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
     grid = (B, n_hblk, n_q, n_kv)
     kern = functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
                              block_q=block_q, block_k=block_k, n_kv=n_kv,
-                             seq_len=seq_len, G=G, D=D)
+                             seq_len=seq_len, T=T, G=G, D=D)
     q_spec, k_spec, v_spec = _qkv_specs(n_hblk, block_q, block_k, W, 0, 1)
     out, lse = pl.pallas_call(
         kern,
@@ -348,7 +375,8 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, sm_scale, causal, block_q, block_k, n_q, seq_len, G, D):
+                    *, sm_scale, causal, block_q, block_k, n_q, seq_len, T,
+                    G, D):
     i_kv, i_q = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_q == 0)
@@ -361,25 +389,49 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     @pl.when(run)
     def _compute():
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k, causal,
-                    seq_len)
-        for g in range(G):
-            sl = slice(g * D, (g + 1) * D)
-            q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
-            lse = lse_ref[0, g][:, :1]                   # (block_q, 1)
-            di = di_ref[0, g][:, :1]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = jnp.where(msk, jnp.exp(s * sm_scale - lse), 0.0)
-            dv_scr[g] += jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = p * (dp - di) * sm_scale
-            dk_scr[g] += jax.lax.dot_general(
-                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
+
+        def body(masked: bool):
+            if masked:
+                msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
+                            causal, seq_len)
+            for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
+                q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
+                lse = lse_ref[0, g][:, :1]               # (block_q, 1)
+                di = di_ref[0, g][:, :1]
+                s = jax.lax.dot_general(sqf[:, sl], k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                p = jnp.exp(s - lse)
+                if masked:
+                    p = jnp.where(msk, p, 0.0)
+                dv_scr[g] += jax.lax.dot_general(
+                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                ds = p * (dp - di) * sm_scale
+                dk_scr[g] += jax.lax.dot_general(
+                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        has_pad = seq_len != T
+        if not causal and not has_pad:
+            body(masked=False)
+        else:
+            edge = False
+            if causal:
+                edge = i_q * block_q < (i_kv + 1) * block_k
+            if has_pad:
+                edge = jnp.logical_or(edge, i_kv == pl.num_programs(2) - 1)
+
+            @pl.when(edge)
+            def _():
+                body(masked=True)
+
+            @pl.when(jnp.logical_not(edge))
+            def _():
+                body(masked=False)
 
     @pl.when(i_q == n_q - 1)
     def _finalize():
@@ -391,7 +443,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr,
-                   *, sm_scale, causal, block_q, block_k, n_kv, seq_len, G, D):
+                   *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
+                   G, D):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -403,22 +456,46 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     @pl.when(run)
     def _compute():
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k, causal,
-                    seq_len)
-        for g in range(G):
-            sl = slice(g * D, (g + 1) * D)
-            q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
-            lse = lse_ref[0, g][:, :1]
-            di = di_ref[0, g][:, :1]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = jnp.where(msk, jnp.exp(s * sm_scale - lse), 0.0)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = p * (dp - di) * sm_scale
-            dq_scr[g] += jax.lax.dot_general(
-                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
+
+        def body(masked: bool):
+            if masked:
+                msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
+                            causal, seq_len)
+            for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
+                k, v, do = kf[:, sl], vf[:, sl], dof[:, sl]
+                lse = lse_ref[0, g][:, :1]
+                di = di_ref[0, g][:, :1]
+                s = jax.lax.dot_general(sqf[:, sl], k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                p = jnp.exp(s - lse)
+                if masked:
+                    p = jnp.where(msk, p, 0.0)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                ds = p * (dp - di) * sm_scale
+                dq_scr[g] += jax.lax.dot_general(
+                    ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        has_pad = seq_len != T
+        if not causal and not has_pad:
+            body(masked=False)
+        else:
+            edge = False
+            if causal:
+                edge = i_q * block_q < (i_kv + 1) * block_k
+            if has_pad:
+                edge = jnp.logical_or(edge, i_kv == n_kv - 1)
+
+            @pl.when(edge)
+            def _():
+                body(masked=True)
+
+            @pl.when(jnp.logical_not(edge))
+            def _():
+                body(masked=False)
 
     @pl.when(i_kv == n_kv - 1)
     def _finalize():
@@ -463,7 +540,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k, n_q=n_q,
-                          seq_len=seq_len, G=G, D=D),
+                          seq_len=seq_len, T=T, G=G, D=D),
         grid=(B, n_hblk, n_kv, n_q),
         in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, row_spec],
         out_specs=(kv_out_spec, kv_out_spec),
@@ -486,7 +563,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k, n_kv=n_kv,
-                          seq_len=seq_len, G=G, D=D),
+                          seq_len=seq_len, T=T, G=G, D=D),
         grid=(B, n_hblk, n_q, n_kv),
         in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, row_spec2],
         out_specs=do_spec2,
