@@ -140,3 +140,18 @@ def test_patchify_block_content():
     np.testing.assert_array_equal(p[0, 0], img[0, :2, :2, 0].reshape(-1))
     np.testing.assert_array_equal(p[0, 1], img[0, :2, 2:, 0].reshape(-1))
     np.testing.assert_array_equal(p[0, 2], img[0, 2:, :2, 0].reshape(-1))
+
+
+def test_gelu_backward_correct_and_g15_quirk():
+    """The correct GELU grad matches finite differences; the reference's
+    as-written version (sech^2(2a) — gap G15, rusty_vit.rs:800-802) does not."""
+    x = np.linspace(-3, 3, 41, dtype=np.float64).astype(np.float32)
+    eps = 1e-3
+    fd = (oracle.gelu_forward(x + eps) - oracle.gelu_forward(x - eps)) / (2 * eps)
+    good = oracle.gelu_backward(np.ones_like(x), x)
+    np.testing.assert_allclose(good, fd, rtol=2e-3, atol=2e-4)
+    quirk = oracle.gelu_backward(np.ones_like(x), x, quirks=True)
+    assert np.abs(quirk - fd).max() > 0.05     # visibly wrong derivative
+    # our production JAX gradient agrees with the correct math
+    g = np.asarray(jax.vmap(jax.grad(lambda t: basic.gelu(t)))(jnp.asarray(x)))
+    np.testing.assert_allclose(g, good, rtol=1e-4, atol=1e-5)

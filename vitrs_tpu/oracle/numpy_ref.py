@@ -165,12 +165,23 @@ def gelu_forward(x):
     return 0.5 * x * (1.0 + np.tanh(GELU_S * (x + cube)))
 
 
-def gelu_backward(dout, x):
-    """analytic grad, rusty_vit.rs:793-807 (sech^2 via cosh(2a))."""
+def gelu_backward(dout, x, quirks=False):
+    """Analytic tanh-GELU gradient.
+
+    Gap G15 (discovered during the build, not in SURVEY.md's ledger): the
+    reference computes `coshf_out = cosh(2*tanh_arg)` and uses
+    1/coshf_out^2 (rusty_vit.rs:800-802) — i.e. sech^2(2a) where the true
+    derivative needs sech^2(a) (llm.c uses cosh(tanh_arg)).  A transcription
+    bug, latent because the repo never compiled.  quirks=True reproduces it;
+    default is the correct math (which is what the finite-difference tests
+    pin)."""
     cube = 0.044715 * x * x * x
     a = GELU_S * (x + cube)
     t = np.tanh(a)
-    sech2 = 1.0 / np.cosh(a) ** 2
+    if quirks:
+        sech2 = 1.0 / np.cosh(2.0 * a) ** 2       # reference-as-written (G15)
+    else:
+        sech2 = 1.0 / np.cosh(a) ** 2
     local = 0.5 * (1.0 + t) + x * 0.5 * sech2 * GELU_S * (1.0 + 3.0 * 0.044715 * x * x)
     return local * dout
 
