@@ -155,3 +155,28 @@ def test_gelu_backward_correct_and_g15_quirk():
     # our production JAX gradient agrees with the correct math
     g = np.asarray(jax.vmap(jax.grad(lambda t: basic.gelu(t)))(jnp.asarray(x)))
     np.testing.assert_allclose(g, good, rtol=1e-4, atol=1e-5)
+
+
+def test_label_smoothing_loss():
+    """Smoothed CE == (1-s)*CE + s*uniform-CE; s=0 reduces to plain CE."""
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.standard_normal((4, 7), dtype=np.float32) * 2)
+    targets = jnp.asarray(rng.integers(0, 7, (4,)))
+    plain = basic.cross_entropy_from_logits(logits, targets)
+    s0 = basic.cross_entropy_smoothed(logits, targets, 0.0)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(plain), rtol=1e-6)
+    s1 = np.asarray(basic.cross_entropy_smoothed(logits, targets, 0.1))
+    logp = np.asarray(jax.nn.log_softmax(logits))
+    want = 0.9 * np.asarray(plain) + 0.1 * (-logp.mean(-1))
+    np.testing.assert_allclose(s1, want, rtol=1e-6)
+
+
+def test_ema_update():
+    from vitrs_tpu.ops import ema as EMA
+    p = {"w": jnp.ones(4, jnp.bfloat16)}
+    e = EMA.init_ema(p)
+    p2 = {"w": jnp.full(4, 2.0, jnp.bfloat16)}
+    e = EMA.update_ema(e, p2, decay=0.9)
+    np.testing.assert_allclose(np.asarray(e["w"]), 1.1, rtol=1e-6)
+    back = EMA.ema_params(e, p2)
+    assert back["w"].dtype == jnp.bfloat16

@@ -34,6 +34,9 @@ def main():
     p.add_argument("--profile-at", type=int, default=0,
                    help="capture a jax.profiler trace at this step")
     p.add_argument("--n-devices", type=int, default=0, help="0 = all")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="e.g. 0.9999; 0 disables EMA")
     p.add_argument("--eval-only", action="store_true",
                    help="evaluate the latest checkpoint in --workdir and exit")
     args = p.parse_args()
@@ -61,7 +64,8 @@ def main():
         dtype=args.dtype, workdir=args.workdir, log_every=args.log_every,
         ckpt_every=args.ckpt_every, resume=not args.no_resume,
         remat=args.remat, profile_at=args.profile_at,
-        n_devices=args.n_devices)
+        n_devices=args.n_devices, label_smoothing=args.label_smoothing,
+        ema_decay=args.ema_decay)
     summary = train(tc)
     print("[done]", summary)
 

@@ -48,6 +48,7 @@ class ViTConfig:
                                       # of the stacked grads); N>0 = unroll factor
     drop_rate: float = 0.0            # head dropout (train-time)
     mask_ratio: float = 0.0           # MAE-style random patch masking (0 = off)
+    label_smoothing: float = 0.0      # ViT supervised-training CE smoothing
 
     @property
     def head_size(self) -> int:

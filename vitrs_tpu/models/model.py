@@ -169,6 +169,9 @@ def vit_loss(params: Dict[str, jax.Array], images: jax.Array,
              train: bool = True,
              rng: Optional[jax.Array] = None) -> jax.Array:
     logits = vit_forward(params, images, cfg, train=train, rng=rng)
+    if train and cfg.label_smoothing > 0.0:
+        return jnp.mean(basic.cross_entropy_smoothed(logits, labels,
+                                                     cfg.label_smoothing))
     return jnp.mean(basic.cross_entropy_from_logits(logits, labels))
 
 

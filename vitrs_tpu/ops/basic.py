@@ -191,6 +191,17 @@ def cross_entropy_from_logits(logits: jax.Array, targets: jax.Array) -> jax.Arra
     return logz - picked
 
 
+def cross_entropy_smoothed(logits: jax.Array, targets: jax.Array,
+                           smoothing: float = 0.1) -> jax.Array:
+    """Label-smoothed CE: (1-s)·CE(target) + s·mean-over-classes CE — the
+    standard ViT supervised-training loss."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    uniform = -jnp.mean(logp, axis=-1)
+    return (1.0 - smoothing) * nll + smoothing * uniform
+
+
 def cross_entropy_quirk(probs: jax.Array, targets: jax.Array) -> jax.Array:
     """G6: the reference negates the raw probability (no log)."""
     picked = jnp.take_along_axis(probs, targets[..., None], axis=-1)[..., 0]

@@ -14,6 +14,7 @@ native data pipeline, with:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import glob
 import json
 import os
@@ -59,6 +60,8 @@ class TrainConfig:
     profile_at: int = 0            # capture a profiler trace at this step
     n_devices: int = 0             # 0 = all
     remat: bool = False
+    label_smoothing: float = 0.0
+    ema_decay: float = 0.0         # 0 = off; e.g. 0.9999 for ViT recipes
     model_overrides: Optional[dict] = None
 
 
@@ -91,6 +94,7 @@ def evaluate(cfg: ViTConfig, params, ds: D.Dataset, batch: int = 256) -> dict:
 def train(tc: TrainConfig) -> dict:
     os.makedirs(tc.workdir, exist_ok=True)
     cfg = get_config(tc.preset, dtype=tc.dtype, remat=tc.remat,
+                     label_smoothing=tc.label_smoothing,
                      **(tc.model_overrides or {}))
 
     mesh = dp.make_mesh(tc.n_devices)
@@ -121,6 +125,13 @@ def train(tc: TrainConfig) -> dict:
     v = jax.device_put(np.pad(v_full, (0, n_pad - n)), opt_shard)
 
     step_fn = dp.make_dp_train_step(cfg, mesh)
+    ema = None
+    ema_update = None
+    if tc.ema_decay > 0.0:
+        from ..ops import ema as EMA
+        ema = jax.jit(EMA.init_ema)(params)
+        ema_update = jax.jit(functools.partial(EMA.update_ema,
+                                               decay=tc.ema_decay))
 
     # ---- data ---------------------------------------------------------------
     batch_sharding = NamedSharding(mesh, P("data"))
@@ -165,6 +176,8 @@ def train(tc: TrainConfig) -> dict:
             params, m, v, loss = step_fn(
                 params, m, v, images, labels, jnp.asarray(step, jnp.int32),
                 lr, jnp.asarray(tc.weight_decay, jnp.float32))
+            if ema_update is not None:
+                ema = ema_update(ema, params)
             imgs_since += tc.batch_size
             if tc.profile_at and step == tc.profile_at:
                 jax.block_until_ready(loss)
@@ -191,7 +204,16 @@ def train(tc: TrainConfig) -> dict:
         if stop_step > start_step:
             save(stop_step)
             summary["final_loss"] = float(loss)
+        if ema is not None and stop_step > start_step:
+            from .. import checkpoint_tree as CT
+            from ..ops import ema as EMA
+            CT.save_tree(os.path.join(tc.workdir, f"ema_{stop_step:08d}.tree"),
+                         jax.device_get(ema), meta={"decay": tc.ema_decay,
+                                                    "step": stop_step})
         if tc.dataset and stop_step == tc.steps:
+            if ema is not None:
+                from ..ops import ema as EMA
+                params = EMA.ema_params(ema, params)   # eval with EMA weights
             host_params = jax.device_get(params)
             if cfg.mode == "gpt":
                 # val loss over fresh windows from the tail of the stream
