@@ -17,7 +17,6 @@ Two operating modes share one config:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

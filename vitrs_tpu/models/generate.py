@@ -15,7 +15,7 @@ reads it with the same head slicing as the reference layout.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ format; full MAE state uses checkpoint_tree.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Every function documents the reference lines it corresponds to.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

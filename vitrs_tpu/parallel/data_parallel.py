@@ -20,7 +20,6 @@ requirement) is:
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,14 +8,12 @@ that a serving process deserializes and calls without Python model code.
 
 from __future__ import annotations
 
-import io
 import os
 import pickle
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import export as jax_export
 
 from .config import ViTConfig

@@ -15,7 +15,7 @@ import glob
 import gzip
 import json
 import re
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 

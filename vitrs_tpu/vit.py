@@ -21,7 +21,6 @@ Semantics kept from the reference:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax
