@@ -125,3 +125,34 @@ def test_clip_training_aligns_image_text():
     # zero-shot path runs
     logits = CLIP.zero_shot_classify(params, imgs, txt, CFG)
     assert logits.shape == (8, 8)
+
+
+def test_mae_encoder_transfers_to_supervised(tmp_path):
+    """The pretrain->finetune seam: MAE encoder saved in the reference
+    checkpoint format warm-starts the supervised train loop."""
+    import os
+    from vitrs_tpu import checkpoint as C
+    from vitrs_tpu.train.loop import TrainConfig, train
+
+    params = MAE.init_mae_params(CFG, jax.random.PRNGKey(0))
+    enc_path = str(tmp_path / "encoder.bin")
+    C.save_checkpoint(enc_path, jax.device_get(params["encoder"]), CFG,
+                      step=7, seed=0)
+    wd = str(tmp_path / "ft")
+    summary = train(TrainConfig(
+        preset="vit-tiny-4-cifar10", dataset="cifar10", steps=4,
+        batch_size=16, lr=1e-3, warmup=1, dtype="float32", log_every=2,
+        ckpt_every=4, workdir=wd, seed=1, init_ckpt=enc_path,
+        model_overrides=dict(num_layers=CFG.num_layers,
+                             channels=CFG.channels, num_heads=CFG.num_heads,
+                             use_flash=False)))
+    assert np.isfinite(summary["final_loss"])
+    # fine-tune started from the pretrained weights: first checkpoint's wte
+    # (untouched by the vision path) must equal the encoder export's
+    p2, _, _ = C.load_checkpoint(os.path.join(wd, "ckpt_00000004.bin"))
+    # compare a tensor with zero gradient in vit mode: wte (unused by the
+    # vision forward, only weight-decayed during the 4 finetune steps)
+    got = p2["wte"]
+    want = np.asarray(params["encoder"]["wte"])
+    decay_bound = np.abs(want).max() * 0.01 + 1e-6
+    assert np.abs(got - want).max() < decay_bound

@@ -37,6 +37,8 @@ def main():
     p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="e.g. 0.9999; 0 disables EMA")
+    p.add_argument("--init-ckpt", default=None,
+                   help="warm-start weights (e.g. MAE-pretrained encoder)")
     p.add_argument("--eval-only", action="store_true",
                    help="evaluate the latest checkpoint in --workdir and exit")
     args = p.parse_args()
@@ -65,7 +67,7 @@ def main():
         ckpt_every=args.ckpt_every, resume=not args.no_resume,
         remat=args.remat, profile_at=args.profile_at,
         n_devices=args.n_devices, label_smoothing=args.label_smoothing,
-        ema_decay=args.ema_decay)
+        ema_decay=args.ema_decay, init_ckpt=args.init_ckpt)
     summary = train(tc)
     print("[done]", summary)
 

@@ -57,6 +57,8 @@ class TrainConfig:
     eval_every: int = 0            # 0 = only at end
     workdir: str = "/tmp/vitrs_run"
     resume: bool = True
+    init_ckpt: Optional[str] = None  # warm-start weights (e.g. MAE encoder);
+                                     # step/cursor NOT loaded — fresh schedule
     profile_at: int = 0            # capture a profiler trace at this step
     n_devices: int = 0             # 0 = all
     remat: bool = False
@@ -112,6 +114,12 @@ def train(tc: TrainConfig) -> dict:
         m_full = extras["m"] if extras["m"] is not None else np.zeros(n, np.float32)
         v_full = extras["v"] if extras["v"] is not None else np.zeros(n, np.float32)
         print(f"[resume] {latest} at step {start_step}, cursor {cursor}")
+    elif tc.init_ckpt:
+        np_params, _, _ = ckpt_io.load_checkpoint(tc.init_ckpt, cfg)
+        params = {k: jnp.asarray(v) for k, v in np_params.items()}
+        m_full = np.zeros(n, np.float32)
+        v_full = np.zeros(n, np.float32)
+        print(f"[init] warm start from {tc.init_ckpt}")
     else:
         params = PRM.init_params(cfg, jax.random.PRNGKey(tc.seed))
         m_full = np.zeros(n, np.float32)
