@@ -1,0 +1,118 @@
+"""Tensor parallelism: 2-D (data, model) mesh vs single-device reference, on
+the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vitrs_tpu import params as PRM
+from vitrs_tpu.config import get_config
+from vitrs_tpu.models import model as M
+from vitrs_tpu.ops import optimizer as opt
+from vitrs_tpu.parallel import tensor_parallel as tp
+
+CFG = get_config("vit-tiny-4-cifar10", use_flash=False).replace(
+    num_layers=2, channels=32, num_heads=2)   # 2 heads -> tp=2 head-aligned
+
+
+def _data(B=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.standard_normal((B, 32, 32, 3), dtype=np.float32)),
+            jnp.asarray(rng.integers(0, 10, (B,))))
+
+
+def test_tp_param_round_trip():
+    params = PRM.init_params(CFG, jax.random.PRNGKey(0))
+    back = tp.from_tp_params(tp.to_tp_params(params, CFG), CFG)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]),
+                                      np.asarray(back[k]))
+
+
+def test_tp_loss_matches_single_device():
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(CFG, jax.random.PRNGKey(0))
+    images, labels = _data()
+    want = float(M.loss_fn(params, images, labels, CFG))
+
+    tpp = tp.place_tp_params(params, CFG, mesh)
+    loss_fn = jax.jit(tp.make_tp_train_step(CFG, mesh))
+    m, v = tp.init_tp_opt_state(tpp, mesh, CFG)
+    data_sh = NamedSharding(mesh, P("data"))
+    _, _, _, loss = loss_fn(tpp, m, v,
+                            jax.device_put(images, data_sh),
+                            jax.device_put(labels, data_sh),
+                            jnp.asarray(1, jnp.int32),
+                            jnp.asarray(0.0, jnp.float32),
+                            jnp.asarray(0.0, jnp.float32))
+    np.testing.assert_allclose(float(loss), want, rtol=2e-5)
+
+
+def test_tp_gradients_match_single_device():
+    """The TP gradients (recovered to canonical layout) must equal the
+    single-device gradients.  (Comparing post-Adam params is too noisy: at
+    step 1 the update is ±lr·sign(g), which flips on near-zero grads.)"""
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(CFG, jax.random.PRNGKey(1))
+    images, labels = _data(seed=2)
+    loss_ref, grads_ref = jax.value_and_grad(M.loss_fn)(params, images,
+                                                        labels, CFG)
+
+    specs = tp.tp_param_specs(CFG)
+
+    def spmd_grads(p, inputs, targets):
+        loss, g = jax.value_and_grad(tp.tp_loss)(p, inputs, targets, CFG)
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    from jax.experimental.shard_map import shard_map
+    fn = jax.jit(shard_map(
+        spmd_grads, mesh=mesh,
+        in_specs=(dict(specs), P("data"), P("data")),
+        out_specs=(P(), dict(specs)), check_rep=False))
+    tpp = tp.place_tp_params(params, CFG, mesh)
+    data_sh = NamedSharding(mesh, P("data"))
+    loss, tp_grads = fn(tpp, jax.device_put(images, data_sh),
+                        jax.device_put(labels, data_sh))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    got = tp.from_tp_params(jax.device_get(tp_grads), CFG)
+    for k in grads_ref:
+        g_ref = np.asarray(grads_ref[k])
+        scale = max(np.abs(g_ref).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(got[k]), g_ref,
+                                   rtol=5e-4, atol=2e-5 * scale, err_msg=k)
+
+
+def test_tp_weights_are_sharded():
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(CFG, jax.random.PRNGKey(0))
+    tpp = tp.place_tp_params(params, CFG, mesh)
+    C = CFG.channels
+    # each model shard holds half the fc output dim
+    shard_shapes = {s.data.shape for s in tpp["fcw"].addressable_shards}
+    assert shard_shapes == {(CFG.num_layers, 4 * C // 2, C)}
+    # replicated leaves hold the full tensor
+    shard_shapes = {s.data.shape for s in tpp["ln1w"].addressable_shards}
+    assert shard_shapes == {(CFG.num_layers, C)}
+
+
+def test_tp_training_decreases_loss():
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(CFG, jax.random.PRNGKey(3))
+    images, labels = _data(seed=3)
+    tpp = tp.place_tp_params(params, CFG, mesh)
+    m, v = tp.init_tp_opt_state(tpp, mesh, CFG)
+    step = tp.make_tp_train_step(CFG, mesh)
+    data_sh = NamedSharding(mesh, P("data"))
+    images = jax.device_put(images, data_sh)
+    labels = jax.device_put(labels, data_sh)
+    losses = []
+    for i in range(1, 7):
+        tpp, m, v, loss = step(tpp, m, v, images, labels,
+                               jnp.asarray(i, jnp.int32),
+                               jnp.asarray(3e-3, jnp.float32),
+                               jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

@@ -1,0 +1,231 @@
+"""Tensor parallelism (Megatron-style) over a 2-D (data, model) mesh.
+
+Beyond the reference's capability set (SURVEY.md §2 row 26 marks TP as out of
+scope for parity) — provided as the scale-out path for models past one chip's
+HBM.  The classic column/row-parallel decomposition, written with shard_map
+so every collective is explicit and rides ICI:
+
+  attn:  qkv  = x · Wqkv_colᵀ      heads sharded over "model" (column)
+         out  = psum(atty · Wproj_rowᵀ)                        (row)
+  mlp:   fch  = gelu(x · Wfc_colᵀ)  4C sharded                 (column)
+         out  = psum(fch · Wproj_rowᵀ)                         (row)
+
+with the conjugate collectives for autodiff: `copy_in` (identity forward,
+psum-over-model backward) guards each parallel branch's input so replicated
+tensors receive full gradients; the forward psum's transpose is the identity
+broadcast.  LN/embeddings/head stay replicated; weight grads of sharded
+tensors are naturally the local shard of the full gradient.
+
+Weight layout: the canonical stacked tensors are passed through shard_map
+in_specs that slice their output/input channel dims — qkvw reshaped
+(L, 3, C, C) so each model shard owns a *head-aligned* slice of Q, K and V
+(a raw 3C-row slice would mix the packed thirds).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import ViTConfig
+from .. import params as PRM
+from ..models import model as M
+from ..ops import basic, optimizer as opt
+
+
+def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:dp * tp]
+    assert len(devices) == dp * tp, (len(devices), dp, tp)
+    return Mesh(np.asarray(devices).reshape(dp, tp), axis_names=("data",
+                                                                 "model"))
+
+
+# --- conjugate collectives for Megatron autodiff ---------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def copy_in(x, axis):
+    """identity forward; psum over `axis` backward — marks the entry of a
+    model-parallel branch so replicated inputs get full gradients."""
+    return x
+
+
+def _copy_in_fwd(x, axis):
+    return x, None
+
+
+def _copy_in_bwd(axis, _, g):
+    return (jax.lax.psum(g, axis),)
+
+
+copy_in.defvjp(_copy_in_fwd, _copy_in_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def reduce_out(x, axis):
+    """psum forward (combine row-parallel partials); IDENTITY backward —
+    the summed output's cotangent is already the correct per-partial
+    cotangent.  (Under shard_map check_rep=False JAX transposes psum to
+    psum, which would scale every upstream gradient by the model-axis size —
+    measured 2x at tp=2 — so the conjugate must be explicit.)"""
+    return jax.lax.psum(x, axis)
+
+
+def _reduce_out_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _reduce_out_bwd(axis, _, g):
+    return (g,)
+
+
+reduce_out.defvjp(_reduce_out_fwd, _reduce_out_bwd)
+
+
+# --- the tensor-parallel block ----------------------------------------------
+
+def _tp_block(x, p, cfg: ViTConfig, causal: bool, axis: str):
+    """The 10-op block with column/row-parallel matmuls.  p's sharded leaves
+    arrive pre-sliced by shard_map:
+      qkv3w (3, C/tp, C), qkv3b (3, C/tp), attprojw (C, C/tp),
+      fcw (4C/tp, C), fcb (4C/tp), fcprojw (C, 4C/tp);
+    LN params and biases-after-psum replicated."""
+    with jax.named_scope("attn_tp"):
+        ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
+        ln1 = copy_in(ln1, axis)
+        q = basic.linear(ln1, p["qkv3w"][0], p["qkv3b"][0])
+        k = basic.linear(ln1, p["qkv3w"][1], p["qkv3b"][1])
+        v = basic.linear(ln1, p["qkv3w"][2], p["qkv3b"][2])
+        qkv_local = jnp.concatenate([q, k, v], axis=-1)   # (B,T,3*C/tp)
+        heads_local = q.shape[-1] // cfg.head_size
+        atty = M.attention(qkv_local, heads_local, causal=causal,
+                           quirks=False, use_flash=cfg.use_flash)
+        attproj = reduce_out(
+            basic.linear(atty, p["attprojw"], None), axis) + p["attprojb"]
+        x = x + attproj.astype(x.dtype)
+    with jax.named_scope("mlp_tp"):
+        ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
+        ln2 = copy_in(ln2, axis)
+        fch_gelu = basic.gelu_cv(basic.linear(ln2, p["fcw"], p["fcb"]))
+        fcproj = reduce_out(
+            basic.linear(fch_gelu, p["fcprojw"], None), axis) + p["fcprojb"]
+        return x + fcproj.astype(x.dtype)
+
+
+TP_BLOCK_SPECS = {
+    "ln1w": P(), "ln1b": P(),
+    "qkv3w": P(None, None, "model", None),   # (L, 3, C, C) col-parallel
+    "qkv3b": P(None, None, "model"),
+    "attprojw": P(None, None, "model"),      # (L, C, C) row-parallel (C_in)
+    "attprojb": P(),
+    "ln2w": P(), "ln2b": P(),
+    "fcw": P(None, "model", None),           # (L, 4C, C) col-parallel
+    "fcb": P(None, "model"),
+    "fcprojw": P(None, None, "model"),       # (L, C, 4C) row-parallel (4C in)
+    "fcprojb": P(),
+}
+
+
+def to_tp_params(params, cfg: ViTConfig):
+    """Canonical pytree -> TP pytree: qkvw/qkvb reshaped so the model axis
+    slices head-aligned (3, C, C) parts instead of raw packed rows."""
+    out = dict(params)
+    L, C = cfg.num_layers, cfg.channels
+    out["qkv3w"] = params["qkvw"].reshape(L, 3, C, C)
+    out["qkv3b"] = params["qkvb"].reshape(L, 3, C)
+    del out["qkvw"], out["qkvb"]
+    return out
+
+
+def from_tp_params(tp_params, cfg: ViTConfig):
+    out = dict(tp_params)
+    L, C = cfg.num_layers, cfg.channels
+    out["qkvw"] = tp_params["qkv3w"].reshape(L, 3 * C, C)
+    out["qkvb"] = tp_params["qkv3b"].reshape(L, 3 * C)
+    del out["qkv3w"], out["qkv3b"]
+    return out
+
+
+def tp_param_specs(cfg: ViTConfig):
+    """PartitionSpec per TP-pytree leaf (replicated for non-block tensors)."""
+    specs = {k: P() for k in PRM.tensor_order(cfg)
+             if k not in M.BLOCK_KEYS}
+    specs.update(TP_BLOCK_SPECS)
+    specs.pop("qkvw", None)
+    specs.pop("qkvb", None)
+    return specs
+
+
+def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str):
+    dtype = jnp.dtype(cfg.dtype)
+    if cfg.mode == "vit":
+        h = M.vit_encode(x_or_tokens, p, cfg)
+        causal = False
+    else:
+        h = M.gpt_encode(x_or_tokens, p, dtype)
+        causal = True
+    for l in range(cfg.num_layers):
+        bp = {k: p[k][l] for k in TP_BLOCK_SPECS}
+        h = _tp_block(h, bp, cfg, causal, axis)
+    lnf = basic.layernorm_cv(h, p["lnfw"], p["lnfb"])
+    if cfg.mode == "vit":
+        pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
+        return basic.linear(pooled, p["headw"], p["headb"]).astype(jnp.float32)
+    return basic.linear(lnf, p["wte"].astype(dtype), None)
+
+
+def tp_loss(p, inputs, targets, cfg: ViTConfig, axis: str = "model"):
+    logits = _tp_forward(inputs, p, cfg, axis)
+    return jnp.mean(basic.cross_entropy_from_logits(logits, targets))
+
+
+def make_tp_train_step(cfg: ViTConfig, mesh: Mesh):
+    """2-D SPMD train step: batch sharded over "data", block weights sharded
+    over "model", AdamW state sharded like the weights.
+
+    Signature: (tp_params, m, v, inputs, targets, step, lr, wd)
+            -> (tp_params, m, v, loss)
+    """
+    specs = tp_param_specs(cfg)
+    param_spec_tree = dict(specs)
+
+    def spmd(p, m, v, inputs, targets, step, lr, wd):
+        loss, grads = jax.value_and_grad(tp_loss)(p, inputs, targets, cfg)
+        # combine over data; model-axis grads are already correct per shard
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "data"), grads)
+        p, m, v = opt.adamw_tree(p, grads, m, v, step, lr, weight_decay=wd)
+        return p, m, v, jax.lax.pmean(jax.lax.pmean(loss, "data"), "model")
+
+    mapped = shard_map(
+        spmd, mesh=mesh,
+        in_specs=(param_spec_tree, param_spec_tree, param_spec_tree,
+                  P("data"), P("data"), P(), P(), P()),
+        out_specs=(param_spec_tree, param_spec_tree, param_spec_tree, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1, 2))
+
+
+def place_tp_params(params, cfg: ViTConfig, mesh: Mesh):
+    """Canonical params -> TP layout, device_put with the TP shardings."""
+    tp = to_tp_params(params, cfg)
+    specs = tp_param_specs(cfg)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in tp.items()}
+
+
+def init_tp_opt_state(tp_params, mesh: Mesh, cfg: ViTConfig):
+    specs = tp_param_specs(cfg)
+
+    def zeros():
+        # distinct buffers per tree — m and v must not alias (donation)
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=NamedSharding(mesh, specs[k]))()
+                for k, v in tp_params.items()}
+
+    return zeros(), zeros()
