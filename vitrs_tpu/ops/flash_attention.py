@@ -444,6 +444,96 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                                     axis=-1).astype(dv_ref.dtype)
 
 
+def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                         dq_ref, dk_ref, dv_ref,
+                         dq_scr, dk_scr, dv_scr,
+                         *, sm_scale, causal, block_q, block_k, n_kv, n_q,
+                         seq_len, T, G, D):
+    """Single-kernel multi-tile backward: grid (B, hblk, kv, q).
+
+    p is computed ONCE per (kv, q) tile and feeds dv/dk (accumulated per-kv
+    in block scratch) and dq (accumulated for the WHOLE sequence in a
+    (G, T, D) scratch that persists across the kv sweep) — the two-kernel
+    decomposition recomputes p twice and walks the qkv inputs twice.  VMEM
+    bounds this to T <= ~2048 at D=64."""
+    i_kv, i_q = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(jnp.logical_and(i_kv == 0, i_q == 0))
+    def _init_dq():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(i_q == 0)
+    def _init_dkv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
+
+        def body(masked: bool):
+            if masked:
+                msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
+                            causal, seq_len)
+            for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
+                q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
+                lse = lse_ref[0, g][:, :1]
+                di = di_ref[0, g][:, :1]
+                s = jax.lax.dot_general(sqf[:, sl], k,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                p = jnp.exp(s - lse)
+                if masked:
+                    p = jnp.where(msk, p, 0.0)
+                dv_scr[g] += jax.lax.dot_general(
+                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                ds = p * (dp - di) * sm_scale
+                dk_scr[g] += jax.lax.dot_general(
+                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dq_scr[g, pl.ds(i_q * block_q, block_q)] += \
+                    jax.lax.dot_general(ds.astype(k.dtype), k,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+        has_pad = seq_len != T
+        if not causal and not has_pad:
+            body(masked=False)
+        else:
+            edge = False
+            if causal:
+                edge = i_q * block_q < (i_kv + 1) * block_k
+            if has_pad:
+                edge = jnp.logical_or(edge, i_kv == n_kv - 1)
+
+            @pl.when(edge)
+            def _():
+                body(masked=True)
+
+            @pl.when(jnp.logical_not(edge))
+            def _():
+                body(masked=False)
+
+    @pl.when(i_q == n_q - 1)
+    def _write_dkv():
+        dk_ref[0] = jnp.concatenate([dk_scr[g] for g in range(G)],
+                                    axis=-1).astype(dk_ref.dtype)
+        dv_ref[0] = jnp.concatenate([dv_scr[g] for g in range(G)],
+                                    axis=-1).astype(dv_ref.dtype)
+
+    @pl.when(jnp.logical_and(i_kv == n_kv - 1, i_q == n_q - 1))
+    def _write_dq():
+        dq_ref[0] = jnp.concatenate([dq_scr[g] for g in range(G)],
+                                    axis=-1).astype(dq_ref.dtype)
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    dq_ref, dq_scr,
                    *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
@@ -540,6 +630,30 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                             memory_space=pltpu.VMEM)
     kv_out_spec = pl.BlockSpec((1, block_k, W), lambda b, h, i, j: (b, i, h),
                                memory_space=pltpu.VMEM)
+
+    if G * T * D * 4 <= 2 << 20:
+        # combined single-pass backward: dq accumulates in a whole-sequence
+        # VMEM scratch; p computed once per tile instead of twice
+        dq_out_spec = pl.BlockSpec((1, T, W), lambda b, h, i, j: (b, 0, h),
+                                   memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_combined_kernel, sm_scale=sm_scale,
+                              causal=causal, block_q=block_q,
+                              block_k=block_k, n_kv=n_kv, n_q=n_q,
+                              seq_len=seq_len, T=T, G=G, D=D),
+            grid=(B, n_hblk, n_kv, n_q),
+            in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, row_spec],
+            out_specs=(dq_out_spec, kv_out_spec, kv_out_spec),
+            out_shape=tuple(jax.ShapeDtypeStruct((B, T, C), qkv.dtype)
+                            for _ in range(3)),
+            scratch_shapes=[pltpu.VMEM((G, T, D), jnp.float32),
+                            pltpu.VMEM((G, block_k, D), jnp.float32),
+                            pltpu.VMEM((G, block_k, D), jnp.float32)],
+            compiler_params=semantics,
+            interpret=interpret,
+        )(qkv, qkv, qkv, do, lse, di)
+        return dq, dk, dv
+
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k, n_q=n_q,
