@@ -1,0 +1,97 @@
+"""Property/fuzz tests: the model must be well-defined (finite loss, finite
+grads, correct shapes) across arbitrary small geometries — odd head counts,
+non-square-friendly patches, mean vs cls pooling, depths 1..3 — not just the
+blessed presets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitrs_tpu import params as P
+from vitrs_tpu.config import ViTConfig
+from vitrs_tpu.models import model as M
+
+GEOMETRIES = [
+    # (img, patch, channels, heads, layers, pool, classes)
+    (16, 4, 24, 1, 1, "cls", 5),
+    (16, 8, 48, 3, 2, "mean", 7),
+    (28, 7, 32, 2, 2, "cls", 11),
+    (32, 16, 64, 4, 3, "mean", 3),
+    (24, 4, 36, 3, 1, "cls", 2),
+    (32, 8, 40, 2, 2, "mean", 13),
+]
+
+
+@pytest.mark.parametrize("img,patch,ch,heads,layers,pool,classes", GEOMETRIES)
+def test_vit_geometry(img, patch, ch, heads, layers, pool, classes):
+    n_tok = (img // patch) ** 2 + (1 if pool == "cls" else 0)
+    cfg = ViTConfig(mode="vit", img_size=img, patch_size=patch, channels=ch,
+                    num_heads=heads, num_layers=layers, pool=pool,
+                    num_classes=classes, max_seq_len=n_tok, vocab_size=classes,
+                    use_flash=False).validate()
+    params = P.init_params(cfg, jax.random.PRNGKey(img * patch + ch))
+    rng = np.random.default_rng(0)
+    B = 3
+    x = jnp.asarray(rng.standard_normal((B, img, img, 3), dtype=np.float32))
+    y = jnp.asarray(rng.integers(0, classes, (B,)))
+    logits = M.vit_forward(params, x, cfg, train=False)
+    assert logits.shape == (B, classes)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    loss, grads = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+    assert np.isfinite(float(loss))
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), k
+    # every trainable tensor that participates must receive gradient
+    for k in ("patchw", "qkvw", "fcw", "headw", "wpe", "lnfw"):
+        assert np.abs(np.asarray(grads[k])).max() > 0, k
+
+
+@pytest.mark.parametrize("T,V,heads,ch", [(4, 11, 1, 8), (7, 31, 3, 12),
+                                          (16, 97, 2, 16), (9, 13, 4, 16)])
+def test_gpt_geometry(T, V, heads, ch):
+    cfg = ViTConfig(mode="gpt", max_seq_len=T, vocab_size=V, num_heads=heads,
+                    channels=ch, num_layers=2, use_flash=False).validate()
+    params = P.init_params(cfg, jax.random.PRNGKey(T * V))
+    rng = np.random.default_rng(1)
+    tok = jnp.asarray(rng.integers(0, V, (2, T)))
+    tgt = jnp.asarray(rng.integers(0, V, (2, T)))
+    loss, grads = jax.value_and_grad(M.gpt_loss)(params, tok, tgt, cfg)
+    assert np.isfinite(float(loss))
+    assert float(loss) < np.log(V) * 3   # sane magnitude at init
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), k
+
+
+def test_causality_property():
+    """Changing future tokens must not change past logits (gpt mode)."""
+    cfg = ViTConfig(mode="gpt", max_seq_len=8, vocab_size=29, num_heads=2,
+                    channels=16, num_layers=2, use_flash=False).validate()
+    params = P.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    tok = rng.integers(0, 29, (1, 8))
+    tok2 = tok.copy()
+    tok2[0, 5:] = rng.integers(0, 29, 3)        # perturb the future
+    l1 = np.asarray(M.gpt_forward(params, jnp.asarray(tok), cfg))
+    l2 = np.asarray(M.gpt_forward(params, jnp.asarray(tok2), cfg))
+    np.testing.assert_allclose(l1[:, :5], l2[:, :5], atol=1e-5)
+    assert np.abs(l1[:, 5:] - l2[:, 5:]).max() > 1e-3
+
+
+def test_permutation_equivariance_of_mean_pool():
+    """Mean-pool ViT without positional embeddings is patch-permutation
+    invariant — a strong structural check on the attention + pool path."""
+    cfg = ViTConfig(mode="vit", img_size=16, patch_size=4, channels=24,
+                    num_heads=2, num_layers=2, pool="mean", num_classes=5,
+                    max_seq_len=16, vocab_size=5, use_flash=False).validate()
+    params = P.init_params(cfg, jax.random.PRNGKey(1))
+    params["wpe"] = jnp.zeros_like(params["wpe"])   # kill position info
+    rng = np.random.default_rng(4)
+    img = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    from vitrs_tpu.ops import basic
+    patches = np.asarray(basic.patchify(jnp.asarray(img), 4))   # (1,16,48)
+    perm = rng.permutation(16)
+    shuffled = basic.unpatchify(jnp.asarray(patches[:, perm]), 4, 16, 3)
+    l1 = np.asarray(M.vit_forward(params, jnp.asarray(img), cfg))
+    l2 = np.asarray(M.vit_forward(params, shuffled, cfg))
+    np.testing.assert_allclose(l1, l2, atol=1e-4)
