@@ -116,3 +116,60 @@ def test_tp_training_decreases_loss():
                                jnp.asarray(0.0, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_sp_loss_and_grads_match_single_device():
+    """Sequence-parallel TP (Megatron-SP) vs single-device — loss and every
+    gradient leaf.  mean-pool config so seq_len (64) divides tp."""
+    cfg = CFG.replace(pool="mean", max_seq_len=64)
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(5))
+    images, labels = _data(seed=5)
+    loss_ref, grads_ref = jax.value_and_grad(M.loss_fn)(params, images,
+                                                        labels, cfg)
+    specs = tp.tp_param_specs(cfg)
+
+    def spmd(p, x, y):
+        loss, g = jax.value_and_grad(tp.tp_loss)(p, x, y, cfg, "model",
+                                                 True, 2)
+        for k in tp.SP_PARTIAL_GRADS:
+            g[k] = jax.lax.psum(g[k], "model")
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    from jax.experimental.shard_map import shard_map
+    fn = jax.jit(shard_map(spmd, mesh=mesh,
+                           in_specs=(dict(specs), P("data"), P("data")),
+                           out_specs=(P(), dict(specs)), check_rep=False))
+    tpp = tp.place_tp_params(params, cfg, mesh)
+    data_sh = NamedSharding(mesh, P("data"))
+    loss, tp_grads = fn(tpp, jax.device_put(images, data_sh),
+                        jax.device_put(labels, data_sh))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    got = tp.from_tp_params(jax.device_get(tp_grads), cfg)
+    for k in grads_ref:
+        g_ref = np.asarray(grads_ref[k])
+        scale = max(np.abs(g_ref).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(got[k]), g_ref, rtol=5e-4,
+                                   atol=2e-5 * scale, err_msg=k)
+
+
+def test_sp_training_decreases_loss():
+    cfg = CFG.replace(pool="mean", max_seq_len=64)
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(6))
+    images, labels = _data(seed=6)
+    tpp = tp.place_tp_params(params, cfg, mesh)
+    m, v = tp.init_tp_opt_state(tpp, mesh, cfg)
+    step = tp.make_tp_train_step(cfg, mesh, sequence_parallel=True)
+    dsh = NamedSharding(mesh, P("data"))
+    images = jax.device_put(images, dsh)
+    labels = jax.device_put(labels, dsh)
+    losses = []
+    for i in range(1, 6):
+        tpp, m, v, loss = step(tpp, m, v, images, labels,
+                               jnp.asarray(i, jnp.int32),
+                               jnp.asarray(3e-3, jnp.float32),
+                               jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

@@ -87,6 +87,139 @@ def _reduce_out_bwd(axis, _, g):
 reduce_out.defvjp(_reduce_out_fwd, _reduce_out_bwd)
 
 
+# --- sequence-parallel conjugates (Megatron-SP) -----------------------------
+#
+# With SP, the residual stream between blocks is sharded over the *sequence*
+# dim on the model axis: LayerNorm/residual compute and memory drop by 1/tp,
+# and the psum of the row-parallel matmuls becomes reduce-scatter while the
+# column-parallel input gather becomes all-gather — the same total collective
+# volume as plain TP (RS + AG = all-reduce), less redundant VPU work.
+
+def _ag(x, axis):
+    g = jax.lax.all_gather(x, axis, axis=0, tiled=False)   # (tp, B, Ts, ...)
+    return jnp.moveaxis(g, 0, 1).reshape(
+        (x.shape[0], g.shape[0] * x.shape[1]) + x.shape[2:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def gather_seq(x, axis, tp):
+    """all-gather the sequence shards (axis 1) forward, REDUCE-SCATTER
+    backward — the Megatron `g` operator.  The gathered tensor feeds
+    model-PARALLEL consumers (each device computes only its heads / 4C
+    slice), so every device's cotangent is a partial: the true per-shard
+    cotangent is sum-over-devices then slice."""
+    return _ag(x, axis)
+
+
+def _gather_seq_fwd(x, axis, tp):
+    return _ag(x, axis), None
+
+
+def _gather_seq_bwd(axis, tp, _, ct):
+    return (_rs(ct, axis, tp),)
+
+
+gather_seq.defvjp(_gather_seq_fwd, _gather_seq_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def gather_seq_rep(x, axis):
+    """all-gather forward for a REPLICATED continuation (the exit of the SP
+    region: final LN + head run redundantly on every device).  Each device's
+    cotangent is already the full gradient, so backward is slice-own — a
+    psum here would over-count by tp."""
+    return _ag(x, axis)
+
+
+def _gather_seq_rep_fwd(x, axis):
+    return _ag(x, axis), (x.shape[1],)
+
+
+def _gather_seq_rep_bwd(axis, res, ct):
+    (ts,) = res
+    idx = jax.lax.axis_index(axis)
+    return (jax.lax.dynamic_slice_in_dim(ct, idx * ts, ts, axis=1),)
+
+
+gather_seq_rep.defvjp(_gather_seq_rep_fwd, _gather_seq_rep_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def scatter_seq_sum(x, axis, tp):
+    """reduce-scatter over the sequence dim forward (combine row-parallel
+    partials AND shard the result); backward all-gathers the cotangent."""
+    return _rs(x, axis, tp)
+
+
+def _rs(x, axis, tp):
+    B, T = x.shape[0], x.shape[1]
+    parts = x.reshape((B, tp, T // tp) + x.shape[2:])
+    parts = jnp.moveaxis(parts, 1, 0)                      # (tp, B, Ts, ...)
+    return jax.lax.psum_scatter(parts, axis, scatter_dimension=0,
+                                tiled=False)[...]
+
+
+def _scatter_seq_sum_fwd(x, axis, tp):
+    return _rs(x, axis, tp), None
+
+
+def _scatter_seq_sum_bwd(axis, tp, _, ct):
+    return (_ag(ct, axis),)
+
+
+scatter_seq_sum.defvjp(_scatter_seq_sum_fwd, _scatter_seq_sum_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def scatter_seq(x, axis, tp):
+    """Enter the SP region: take this device's sequence shard of a replicated
+    tensor forward; backward all-gathers the shard cotangents so every device
+    leaves with the FULL upstream gradient (keeps replicated-parameter grads
+    full-by-construction, same contract as plain TP)."""
+    return _slice_own(x, axis, tp)
+
+
+def _slice_own(x, axis, tp):
+    ts = x.shape[1] // tp
+    idx = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(x, idx * ts, ts, axis=1)
+
+
+def _scatter_seq_fwd(x, axis, tp):
+    return _slice_own(x, axis, tp), None
+
+
+def _scatter_seq_bwd(axis, tp, _, ct):
+    return (_ag(ct, axis),)
+
+
+scatter_seq.defvjp(_scatter_seq_fwd, _scatter_seq_bwd)
+
+
+def _tp_sp_block(x_s, p, cfg: ViTConfig, causal: bool, axis: str, tp: int):
+    """Sequence-parallel variant: x_s is the (B, T/tp, C) residual shard."""
+    with jax.named_scope("attn_tp_sp"):
+        ln1_s = basic.layernorm_cv(x_s, p["ln1w"], p["ln1b"])
+        ln1 = gather_seq(ln1_s, axis, tp)                   # (B, T, C)
+        q = basic.linear(ln1, p["qkv3w"][0], p["qkv3b"][0])
+        k = basic.linear(ln1, p["qkv3w"][1], p["qkv3b"][1])
+        v = basic.linear(ln1, p["qkv3w"][2], p["qkv3b"][2])
+        qkv_local = jnp.concatenate([q, k, v], axis=-1)
+        heads_local = q.shape[-1] // cfg.head_size
+        atty = M.attention(qkv_local, heads_local, causal=causal,
+                           quirks=False, use_flash=cfg.use_flash)
+        attproj_s = scatter_seq_sum(
+            basic.linear(atty, p["attprojw"], None), axis, tp) + p["attprojb"]
+        x_s = x_s + attproj_s.astype(x_s.dtype)
+    with jax.named_scope("mlp_tp_sp"):
+        ln2_s = basic.layernorm_cv(x_s, p["ln2w"], p["ln2b"])
+        ln2 = gather_seq(ln2_s, axis, tp)
+        fch_gelu = basic.gelu_cv(basic.linear(ln2, p["fcw"], p["fcb"]))
+        fcproj_s = scatter_seq_sum(
+            basic.linear(fch_gelu, p["fcprojw"], None), axis, tp) + p["fcprojb"]
+        return x_s + fcproj_s.astype(x_s.dtype)
+
+
 # --- the tensor-parallel block ----------------------------------------------
 
 def _tp_block(x, p, cfg: ViTConfig, causal: bool, axis: str):
@@ -116,6 +249,10 @@ def _tp_block(x, p, cfg: ViTConfig, causal: bool, axis: str):
             basic.linear(fch_gelu, p["fcprojw"], None), axis) + p["fcprojb"]
         return x + fcproj.astype(x.dtype)
 
+
+# leaves whose forward compute runs on sequence shards under SP — their
+# per-device gradients cover only T/tp rows and must be psum'd over "model"
+SP_PARTIAL_GRADS = ("ln1w", "ln1b", "ln2w", "ln2b", "attprojb", "fcprojb")
 
 TP_BLOCK_SPECS = {
     "ln1w": P(), "ln1b": P(),
@@ -161,7 +298,8 @@ def tp_param_specs(cfg: ViTConfig):
     return specs
 
 
-def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str):
+def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str,
+                sequence_parallel: bool = False, tp: int = 1):
     dtype = jnp.dtype(cfg.dtype)
     if cfg.mode == "vit":
         h = M.vit_encode(x_or_tokens, p, cfg)
@@ -169,9 +307,19 @@ def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str):
     else:
         h = M.gpt_encode(x_or_tokens, p, dtype)
         causal = True
-    for l in range(cfg.num_layers):
-        bp = {k: p[k][l] for k in TP_BLOCK_SPECS}
-        h = _tp_block(h, bp, cfg, causal, axis)
+    if sequence_parallel:
+        assert h.shape[1] % tp == 0, (
+            f"sequence parallelism needs seq_len ({h.shape[1]}) divisible by "
+            f"tp ({tp}); use pool='mean' or pad for CLS-token ViTs")
+        h = scatter_seq(h, axis, tp)
+        for l in range(cfg.num_layers):
+            bp = {k: p[k][l] for k in TP_BLOCK_SPECS}
+            h = _tp_sp_block(h, bp, cfg, causal, axis, tp)
+        h = gather_seq_rep(h, axis)
+    else:
+        for l in range(cfg.num_layers):
+            bp = {k: p[k][l] for k in TP_BLOCK_SPECS}
+            h = _tp_block(h, bp, cfg, causal, axis)
     lnf = basic.layernorm_cv(h, p["lnfw"], p["lnfb"])
     if cfg.mode == "vit":
         pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
@@ -179,12 +327,14 @@ def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str):
     return basic.linear(lnf, p["wte"].astype(dtype), None)
 
 
-def tp_loss(p, inputs, targets, cfg: ViTConfig, axis: str = "model"):
-    logits = _tp_forward(inputs, p, cfg, axis)
+def tp_loss(p, inputs, targets, cfg: ViTConfig, axis: str = "model",
+            sequence_parallel: bool = False, tp: int = 1):
+    logits = _tp_forward(inputs, p, cfg, axis, sequence_parallel, tp)
     return jnp.mean(basic.cross_entropy_from_logits(logits, targets))
 
 
-def make_tp_train_step(cfg: ViTConfig, mesh: Mesh):
+def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
+                       sequence_parallel: bool = False):
     """2-D SPMD train step: batch sharded over "data", block weights sharded
     over "model", AdamW state sharded like the weights.
 
@@ -193,9 +343,18 @@ def make_tp_train_step(cfg: ViTConfig, mesh: Mesh):
     """
     specs = tp_param_specs(cfg)
     param_spec_tree = dict(specs)
+    tp_size = mesh.shape["model"]
 
     def spmd(p, m, v, inputs, targets, step, lr, wd):
-        loss, grads = jax.value_and_grad(tp_loss)(p, inputs, targets, cfg)
+        loss, grads = jax.value_and_grad(tp_loss)(p, inputs, targets, cfg,
+                                                  "model", sequence_parallel,
+                                                  tp_size)
+        if sequence_parallel:
+            # params whose compute lives on sequence shards produce partial
+            # grads — sum them over the model axis (Megatron's SP LN-grad
+            # all-reduce)
+            for k in SP_PARTIAL_GRADS:
+                grads[k] = jax.lax.psum(grads[k], "model")
         # combine over data; model-axis grads are already correct per shard
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, "data"), grads)
