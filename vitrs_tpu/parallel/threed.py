@@ -1,0 +1,139 @@
+"""3-D parallelism: data x tensor x pipeline on one mesh.
+
+Composes the verified building blocks: batch sharded over "data", attention
+heads / MLP width column-row split over "model" (tensor_parallel._tp_block
+with its explicit conjugate collectives), layers over "pipe" with GPipe
+microbatching (pipeline's tick scan + ppermute hops).
+
+Gradient combine rules, per leaf class:
+  * block weights: sharded over (pipe, model) — local grads are the shard ✓
+  * LN/bias leaves inside blocks: sharded over pipe, replicated over model —
+    local grads full (plain-TP contract), no psum needed
+  * encode/head/final-LN leaves: replicated everywhere, computed only on one
+    stage — psum over "pipe"
+  * everything: pmean over "data"
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import ViTConfig
+from .. import params as PRM
+from ..models import model as M
+from ..ops import basic, optimizer as opt
+from . import tensor_parallel as TPmod
+from .tensor_parallel import _tp_block, to_tp_params, from_tp_params, reduce_out
+
+
+def make_mesh_3d(dp: int, tp: int, pp: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:dp * tp * pp]
+    assert len(devices) == dp * tp * pp
+    return Mesh(np.asarray(devices).reshape(dp, tp, pp),
+                axis_names=("data", "model", "pipe"))
+
+
+def param_specs_3d(cfg: ViTConfig):
+    """TP-pytree leaves: block tensors pipe-sliced on L and model-sliced on
+    their channel dim (per TP_BLOCK_SPECS); the rest replicated."""
+    specs = {k: P() for k in PRM.tensor_order(cfg) if k not in M.BLOCK_KEYS}
+    for k, tp_spec in TPmod.TP_BLOCK_SPECS.items():
+        # the TP spec's first entry IS the stacked-L dim (None there);
+        # the pipe axis takes it over
+        specs[k] = P("pipe", *tuple(tp_spec)[1:])
+    specs.pop("qkvw", None)
+    specs.pop("qkvb", None)
+    return specs
+
+
+def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
+             microbatches: int):
+    S, Mb = n_stages, microbatches
+    stage = jax.lax.axis_index("pipe")
+    B = images.shape[0]
+    Bm = B // Mb
+    micro_x = images.reshape((Mb, Bm) + images.shape[1:])
+    micro_y = labels.reshape(Mb, Bm)
+    layers_local = cfg.num_layers // S
+    dtype = jnp.dtype(cfg.dtype)
+    T = cfg.seq_len
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def head_loss(y, lbl):
+        lnf = basic.layernorm_cv(y, p["lnfw"], p["lnfb"])
+        pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
+        logits = basic.linear(pooled, p["headw"], p["headb"]).astype(jnp.float32)
+        return jnp.mean(basic.cross_entropy_from_logits(logits, lbl))
+
+    def tick(carry, t):
+        act, loss_sum = carry
+        in_idx = jnp.clip(t, 0, Mb - 1)
+        x0 = M.vit_encode(
+            jax.lax.dynamic_index_in_dim(micro_x, in_idx, 0, keepdims=False),
+            p, cfg).astype(dtype)
+        y = jnp.where(stage == 0, x0, act)
+        for l in range(layers_local):
+            bp = {k: p[k][l] for k in TPmod.TP_BLOCK_SPECS}
+            y = _tp_block(y, bp, cfg, False, "model")
+        out_idx = t - (S - 1)
+        lbl = jax.lax.dynamic_index_in_dim(
+            micro_y, jnp.clip(out_idx, 0, Mb - 1), 0, keepdims=False)
+        ml = head_loss(y, lbl)
+        valid = jnp.logical_and(stage == S - 1,
+                                jnp.logical_and(out_idx >= 0, out_idx < Mb))
+        loss_sum = loss_sum + jnp.where(valid, ml, 0.0)
+        act = jax.lax.ppermute(y, "pipe", perm)
+        return (act, loss_sum), None
+
+    act0 = jnp.zeros((Bm, T, cfg.channels), dtype)
+    (_, loss_sum), _ = jax.lax.scan(tick, (act0, jnp.zeros((), jnp.float32)),
+                                    jnp.arange(Mb + S - 1))
+    return reduce_out(loss_sum, "pipe") / Mb
+
+
+def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int):
+    S = mesh.shape["pipe"]
+    assert cfg.num_layers % S == 0
+    specs = param_specs_3d(cfg)
+    replicated = [k for k, s in specs.items() if s == P()]
+
+    def spmd(p, m, v, images, labels, step, lr, wd):
+        loss, grads = jax.value_and_grad(_loss_3d)(p, images, labels, cfg, S,
+                                                   microbatches)
+        for k in replicated:     # encode/head computed on one stage only
+            grads[k] = jax.lax.psum(grads[k], "pipe")
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "data"), grads)
+        p, m, v = opt.adamw_tree(p, grads, m, v, step, lr, weight_decay=wd)
+        return p, m, v, jax.lax.pmean(loss, "data")
+
+    mapped = shard_map(
+        spmd, mesh=mesh,
+        in_specs=(dict(specs), dict(specs), dict(specs), P("data"), P("data"),
+                  P(), P(), P()),
+        out_specs=(dict(specs), dict(specs), dict(specs), P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1, 2))
+
+
+def place_params_3d(params, cfg: ViTConfig, mesh: Mesh):
+    tp_tree = to_tp_params(params, cfg)
+    specs = param_specs_3d(cfg)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in tp_tree.items()}
+
+
+def init_opt_state_3d(p3, mesh: Mesh, cfg: ViTConfig):
+    specs = param_specs_3d(cfg)
+
+    def zeros():
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=NamedSharding(mesh, specs[k]))()
+                for k, v in p3.items()}
+
+    return zeros(), zeros()
