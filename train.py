@@ -37,6 +37,7 @@ def main():
     p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="e.g. 0.9999; 0 disables EMA")
+    p.add_argument("--log-grad-norm", action="store_true")
     p.add_argument("--init-ckpt", default=None,
                    help="warm-start weights (e.g. MAE-pretrained encoder)")
     p.add_argument("--eval-only", action="store_true",
@@ -67,7 +68,8 @@ def main():
         ckpt_every=args.ckpt_every, resume=not args.no_resume,
         remat=args.remat, profile_at=args.profile_at,
         n_devices=args.n_devices, label_smoothing=args.label_smoothing,
-        ema_decay=args.ema_decay, init_ckpt=args.init_ckpt)
+        ema_decay=args.ema_decay, init_ckpt=args.init_ckpt,
+        log_grad_norm=args.log_grad_norm)
     summary = train(tc)
     print("[done]", summary)
 

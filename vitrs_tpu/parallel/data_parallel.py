@@ -62,7 +62,8 @@ def init_sharded_opt_state(cfg: ViTConfig, mesh: Mesh):
     return m, v
 
 
-def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1):
+def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
+                       return_grad_norm: bool = False):
     """Build the jitted SPMD training step.
 
     Signature: (params, m, v, inputs, targets, step, lr, wd)
@@ -116,13 +117,22 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1):
             p_shard, g_shard, m_shard, v_shard, step, lr, weight_decay=wd)
         flat_p_new = jax.lax.all_gather(p_shard, "data", tiled=True)
         new_params = PRM.unflatten_params(flat_p_new[:n], cfg)
-        return new_params, m_shard, v_shard, jax.lax.pmean(loss, "data")
+        loss = jax.lax.pmean(loss, "data")
+        if return_grad_norm:
+            # SURVEY.md §5.5 metric; the reduce-scattered shard already holds
+            # the global-mean gradient, so norm² sums across shards
+            gnorm = jnp.sqrt(jax.lax.psum(
+                jnp.sum(jnp.square(g_shard)), "data"))
+            return new_params, m_shard, v_shard, loss, gnorm
+        return new_params, m_shard, v_shard, loss
 
     mapped = shard_map(
         spmd_step, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
                   P(), P(), P()),
-        out_specs=(P(), P("data"), P("data"), P()),
+        out_specs=((P(), P("data"), P("data"), P(), P())
+                   if return_grad_norm else
+                   (P(), P("data"), P("data"), P())),
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 

@@ -64,6 +64,7 @@ class TrainConfig:
     remat: bool = False
     label_smoothing: float = 0.0
     ema_decay: float = 0.0         # 0 = off; e.g. 0.9999 for ViT recipes
+    log_grad_norm: bool = False    # SURVEY §5.5 metric (one extra psum)
     model_overrides: Optional[dict] = None
 
 
@@ -132,7 +133,8 @@ def train(tc: TrainConfig) -> dict:
     m = jax.device_put(np.pad(m_full, (0, n_pad - n)), opt_shard)
     v = jax.device_put(np.pad(v_full, (0, n_pad - n)), opt_shard)
 
-    step_fn = dp.make_dp_train_step(cfg, mesh)
+    step_fn = dp.make_dp_train_step(cfg, mesh,
+                                    return_grad_norm=tc.log_grad_norm)
     ema = None
     ema_update = None
     if tc.ema_decay > 0.0:
@@ -181,9 +183,14 @@ def train(tc: TrainConfig) -> dict:
             images, labels = next(prefetcher)
             lr = opt.cosine_lr(jnp.asarray(step, jnp.float32), tc.lr,
                                tc.warmup, tc.steps, tc.min_lr)
-            params, m, v, loss = step_fn(
+            outs = step_fn(
                 params, m, v, images, labels, jnp.asarray(step, jnp.int32),
                 lr, jnp.asarray(tc.weight_decay, jnp.float32))
+            if tc.log_grad_norm:
+                params, m, v, loss, gnorm = outs
+            else:
+                params, m, v, loss = outs
+                gnorm = None
             if ema_update is not None:
                 ema = ema_update(ema, params)
             imgs_since += tc.batch_size
@@ -201,6 +208,8 @@ def train(tc: TrainConfig) -> dict:
                        "imgs_per_sec": round(ips, 1),
                        "imgs_per_sec_chip": round(ips / n_chips, 1),
                        "mfu": round(mfu, 4)}
+                if gnorm is not None:
+                    rec["grad_norm"] = round(float(gnorm), 5)
                 print("[train] " + json.dumps(rec))
                 log_f.write(json.dumps(rec) + "\n")
                 log_f.flush()
