@@ -83,4 +83,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit the one JSON line the driver records
+        print(json.dumps({
+            "metric": "ViT-B/16 train images/sec/chip (bf16, fused AdamW)",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        }))
+        raise SystemExit(1)
