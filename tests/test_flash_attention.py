@@ -4,9 +4,11 @@ the compiled-on-TPU path is exercised by bench.py and the TPU drive).
 
 Covers: causal + bidirectional, padded sequence lengths (197 → 256, the
 ViT-B/16 token count), head_dim 64, gradients via custom_vjp vs jax.grad of
-the dense path, and bf16 inputs."""
+the dense path, and bf16 inputs.
 
-import functools
+All geometries use head_dim 64 so `supports()` passes and the Pallas kernel
+actually runs (head_dim 16/32 with 2 heads silently falls back to the dense
+path — each parametrized class asserts support up front)."""
 
 import jax
 import jax.numpy as jnp
@@ -14,7 +16,8 @@ import numpy as np
 import pytest
 
 from vitrs_tpu.ops import basic
-from vitrs_tpu.ops.flash_attention import flash_attention, flash_attention_qkv
+from vitrs_tpu.ops.flash_attention import (flash_attention,
+                                           flash_attention_qkv, supports)
 
 
 def _qkv(B, T, C, seed=0, dtype=np.float32):
@@ -25,7 +28,8 @@ def _qkv(B, T, C, seed=0, dtype=np.float32):
 @pytest.mark.parametrize("causal", [True, False])
 @pytest.mark.parametrize("T", [128, 197, 256])
 def test_flash_forward_matches_dense(causal, T):
-    B, C, NH = 2, 64, 2
+    B, C, NH = 2, 128, 2
+    assert supports(NH, C // NH)
     qkv = jnp.asarray(_qkv(B, T, C, seed=T))
     got = flash_attention_qkv(qkv, NH, causal=causal, interpret=True)
     want, _ = basic.attention_dense(qkv, NH, causal=causal)
@@ -35,13 +39,13 @@ def test_flash_forward_matches_dense(causal, T):
 
 @pytest.mark.parametrize("causal", [True, False])
 def test_flash_grads_match_dense(causal):
-    B, T, C, NH = 1, 197, 32, 2
+    B, T, C, NH = 1, 197, 128, 2
+    assert supports(NH, C // NH)
     qkv = jnp.asarray(_qkv(B, T, C, seed=7))
 
     def loss_flash(x):
         o = flash_attention_qkv(x, NH, causal=causal, interpret=True)
         return jnp.sum(jnp.sin(o))    # nontrivial cotangent
-
     def loss_dense(x):
         o, _ = basic.attention_dense(x, NH, causal=causal)
         return jnp.sum(jnp.sin(o))
@@ -55,6 +59,7 @@ def test_flash_grads_match_dense(causal):
 def test_flash_head_dim_64_multi_head():
     """ViT-B geometry: head_dim 64, 12 heads (scaled down batch/seq)."""
     B, T, C, NH = 1, 128, 768, 12
+    assert supports(NH, C // NH)
     qkv = jnp.asarray(_qkv(B, T, C, seed=3))
     got = flash_attention_qkv(qkv, NH, causal=False, interpret=True)
     want, _ = basic.attention_dense(qkv, NH, causal=False)
@@ -63,7 +68,8 @@ def test_flash_head_dim_64_multi_head():
 
 
 def test_flash_bf16_inputs():
-    B, T, C, NH = 1, 128, 64, 2
+    B, T, C, NH = 1, 128, 128, 2
+    assert supports(NH, C // NH)
     qkv32 = _qkv(B, T, C, seed=5)
     got = flash_attention_qkv(jnp.asarray(qkv32, jnp.bfloat16), NH,
                               causal=False, interpret=True)
@@ -74,7 +80,8 @@ def test_flash_bf16_inputs():
 
 
 def test_flash_4d_entry():
-    B, H, T, D = 2, 3, 130, 32   # ragged T exercises padding
+    B, H, T, D = 2, 2, 130, 64   # ragged T exercises padding
+    assert supports(H, D)
     rng = np.random.default_rng(9)
     q, k, v = (jnp.asarray(rng.standard_normal((B, H, T, D), dtype=np.float32))
                for _ in range(3))

@@ -152,13 +152,23 @@ def load_checkpoint(path: str, cfg: Optional[ViTConfig] = None
         h = np.frombuffer(f.read(HEADER_BYTES), dtype=np.int32)
         if int(h[0]) != MAGIC:
             raise ValueError(f"bad magic {int(h[0])} (expected {MAGIC}) in {path}")
+        if int(h[1]) not in (1, 2):
+            # llm.c reuses magic 20240326 with version 3 for bf16 payloads;
+            # reinterpreting those as f32 would load garbage silently.
+            raise ValueError(
+                f"unsupported checkpoint version {int(h[1])} in {path}: only "
+                f"versions 1 (f32 core-16) and 2 (vit/opt-state extension) are "
+                f"readable; llm.c bf16 exports (version 3) are not")
         file_cfg = config_from_header(h)
         if cfg is not None:
             # caller may override impl switches but core geometry must agree
             for f_name in ("max_seq_len", "vocab_size", "num_layers", "num_heads",
                            "channels"):
-                assert getattr(cfg, f_name) == getattr(file_cfg, f_name), (
-                    f"config mismatch on {f_name}")
+                if getattr(cfg, f_name) != getattr(file_cfg, f_name):
+                    raise ValueError(
+                        f"config mismatch on {f_name}: caller has "
+                        f"{getattr(cfg, f_name)}, file has "
+                        f"{getattr(file_cfg, f_name)}")
             file_cfg = cfg
     shapes = param_shapes(file_cfg)
     n = num_parameters(file_cfg)

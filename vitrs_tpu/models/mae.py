@@ -78,12 +78,30 @@ def random_masking(key: jax.Array, B: int, N: int, mask_ratio: float
     return keep_ids, restore, mask
 
 
+def _infer_decoder_config(cfg: ViTConfig, dec: Dict) -> ViTConfig:
+    """Recover decoder geometry FROM the decoder params so a decoder built
+    with custom width/depth via init_decoder_params can't silently mismatch
+    at forward time (round-1 re-derived defaults here).  Custom head counts
+    still need an explicit dcfg argument."""
+    width = int(dec["lnfw"].shape[0])
+    depth = int(dec["ln1w"].shape[0])          # stacked-L leading dim
+    return decoder_config(cfg, width=width, depth=depth)
+
+
 def mae_forward(params: Dict, images: jax.Array, cfg: ViTConfig,
-                rng: jax.Array, mask_ratio: float = 0.75
+                rng: jax.Array, mask_ratio: float = 0.75,
+                dcfg: ViTConfig = None
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (pred (B,N,patch_dim), target (B,N,patch_dim), mask (B,N))."""
-    dcfg = decoder_config(cfg)
     enc, dec = params["encoder"], params["decoder"]
+    if dcfg is None:
+        dcfg = _infer_decoder_config(cfg, dec)
+    if (int(dec["lnfw"].shape[0]) != dcfg.channels
+            or int(dec["ln1w"].shape[0]) != dcfg.num_layers):
+        raise ValueError(
+            f"decoder params geometry ({int(dec['lnfw'].shape[0])}w x "
+            f"{int(dec['ln1w'].shape[0])}L) does not match decoder config "
+            f"({dcfg.channels}w x {dcfg.num_layers}L)")
     B = images.shape[0]
     N = cfg.num_patches
     keep_ids, restore, mask = random_masking(rng, B, N, mask_ratio)
@@ -117,9 +135,11 @@ def mae_forward(params: Dict, images: jax.Array, cfg: ViTConfig,
 
 
 def mae_loss(params: Dict, images: jax.Array, cfg: ViTConfig, rng: jax.Array,
-             mask_ratio: float = 0.75, norm_pix: bool = True) -> jax.Array:
+             mask_ratio: float = 0.75, norm_pix: bool = True,
+             dcfg: ViTConfig = None) -> jax.Array:
     """MSE on masked patches only; targets per-patch normalized."""
-    pred, target, mask = mae_forward(params, images, cfg, rng, mask_ratio)
+    pred, target, mask = mae_forward(params, images, cfg, rng, mask_ratio,
+                                     dcfg=dcfg)
     if norm_pix:
         mu = target.mean(-1, keepdims=True)
         var = target.var(-1, keepdims=True)
@@ -129,9 +149,11 @@ def mae_loss(params: Dict, images: jax.Array, cfg: ViTConfig, rng: jax.Array,
 
 
 def reconstruct(params: Dict, images: jax.Array, cfg: ViTConfig,
-                rng: jax.Array, mask_ratio: float = 0.75) -> jax.Array:
+                rng: jax.Array, mask_ratio: float = 0.75,
+                dcfg: ViTConfig = None) -> jax.Array:
     """Full-image reconstruction (visible patches pasted back) for visual
     inspection."""
-    pred, target, mask = mae_forward(params, images, cfg, rng, mask_ratio)
+    pred, target, mask = mae_forward(params, images, cfg, rng, mask_ratio,
+                                     dcfg=dcfg)
     mixed = jnp.where(mask[..., None] > 0, pred, target)
     return basic.unpatchify(mixed, cfg.patch_size, cfg.img_size, cfg.in_chans)

@@ -181,3 +181,21 @@ def loss_fn(params, batch_inputs, batch_targets, cfg: ViTConfig,
     if cfg.mode == "vit":
         return vit_loss(params, batch_inputs, batch_targets, cfg, rng=rng)
     return gpt_loss(params, batch_inputs, batch_targets, cfg)
+
+
+def forward_with_loss(params, batch_inputs, batch_targets, cfg: ViTConfig):
+    """ONE compiled program returning (logits, mean_loss) — the reference's
+    forward contract populates probs AND mean_loss in a single pass
+    (rusty_vit.rs:269-350); computing them as two jit programs doubles the
+    device work for the flat API."""
+    if cfg.mode == "vit":
+        logits = vit_forward(params, batch_inputs, cfg, train=False)
+        loss = jnp.mean(basic.cross_entropy_from_logits(logits, batch_targets))
+        return logits, loss
+    logits = gpt_forward(params, batch_inputs, cfg)
+    if cfg.quirks:
+        probs = basic.softmax(logits.astype(jnp.float32), quirks=True)
+        loss = jnp.mean(basic.cross_entropy_quirk(probs, batch_targets))
+    else:
+        loss = jnp.mean(basic.cross_entropy_from_logits(logits, batch_targets))
+    return logits, loss

@@ -55,6 +55,10 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 MASK_VALUE = -1e30
 LANES = 128
+# Combined single-pass multi-tile backward holds a whole-sequence (G, T, D)
+# fp32 dq scratch in VMEM; above this byte budget fall back to the two-kernel
+# (dKV + dQ) decomposition.  Module-level so tests can force either path.
+COMBINED_BWD_VMEM_LIMIT = 2 << 20
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -631,11 +635,20 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     kv_out_spec = pl.BlockSpec((1, block_k, W), lambda b, h, i, j: (b, i, h),
                                memory_space=pltpu.VMEM)
 
-    if G * T * D * 4 <= 2 << 20:
+    if G * T * D * 4 <= COMBINED_BWD_VMEM_LIMIT:
         # combined single-pass backward: dq accumulates in a whole-sequence
         # VMEM scratch; p computed once per tile instead of twice
         dq_out_spec = pl.BlockSpec((1, T, W), lambda b, h, i, j: (b, 0, h),
                                    memory_space=pltpu.VMEM)
+        # dq accumulates ACROSS grid dim 2 (the kv sweep), so that dim must
+        # be 'arbitrary' (sequential): on megacore parts Mosaic may split a
+        # 'parallel' dim across cores, each with a private dq scratch —
+        # one core would write a partial dq, the other's scratch is never
+        # flushed.  The separate dKV/dQ kernels below only accumulate across
+        # their innermost axis and keep the wider 'parallel' declaration.
+        combined_semantics = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"))
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_combined_kernel, sm_scale=sm_scale,
                               causal=causal, block_q=block_q,
@@ -649,7 +662,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
             scratch_shapes=[pltpu.VMEM((G, T, D), jnp.float32),
                             pltpu.VMEM((G, block_k, D), jnp.float32),
                             pltpu.VMEM((G, block_k, D), jnp.float32)],
-            compiler_params=semantics,
+            compiler_params=combined_semantics,
             interpret=interpret,
         )(qkv, qkv, qkv, do, lse, di)
         return dq, dk, dv

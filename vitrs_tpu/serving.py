@@ -8,8 +8,9 @@ that a serving process deserializes and calls without Python model code.
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
+import struct
 from typing import Dict
 
 import jax
@@ -18,6 +19,8 @@ from jax import export as jax_export
 
 from .config import ViTConfig
 from .models import model as M
+
+_MAGIC = b"VITRSRV1"
 
 
 def export_forward(params: Dict, cfg: ViTConfig, batch_size: int,
@@ -37,13 +40,19 @@ def export_forward(params: Dict, cfg: ViTConfig, batch_size: int,
             return M.gpt_forward(params, x, cfg)
 
     exp = jax_export.export(jax.jit(fwd))(example)
-    blob = exp.serialize()
+    blob = bytes(exp.serialize())
     meta = {"mode": cfg.mode, "batch_size": batch_size,
-            "input_shape": tuple(example.shape),
+            "input_shape": list(example.shape),
             "input_dtype": str(example.dtype)}
+    # plain length-prefixed JSON + StableHLO bytes — NOT pickle, which would
+    # execute arbitrary code when loading an untrusted artifact
+    mjson = json.dumps(meta).encode()
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump({"meta": meta, "stablehlo": bytes(blob)}, f)
+        f.write(_MAGIC)
+        f.write(struct.pack("<II", len(mjson), len(blob)))
+        f.write(mjson)
+        f.write(blob)
     os.replace(tmp, path)
 
 
@@ -53,9 +62,14 @@ class ServedModel:
 
     def __init__(self, path: str):
         with open(path, "rb") as f:
-            d = pickle.load(f)
-        self.meta = d["meta"]
-        self._exported = jax_export.deserialize(bytearray(d["stablehlo"]))
+            if f.read(len(_MAGIC)) != _MAGIC:
+                raise ValueError(f"not a vitrs serving artifact: {path}")
+            mlen, blen = struct.unpack("<II", f.read(8))
+            self.meta = json.loads(f.read(mlen).decode())
+            blob = f.read(blen)
+        if len(blob) != blen:
+            raise ValueError(f"truncated serving artifact: {path}")
+        self._exported = jax_export.deserialize(bytearray(blob))
         self._call = jax.jit(self._exported.call)
 
     def __call__(self, x) -> jax.Array:

@@ -139,7 +139,19 @@ def train(tc: TrainConfig) -> dict:
     ema_update = None
     if tc.ema_decay > 0.0:
         from ..ops import ema as EMA
-        ema = jax.jit(EMA.init_ema)(params)
+        from .. import checkpoint_tree as CT
+        # resume the moving average alongside params: an EMA restarted from
+        # the resume-point params would diverge from an uninterrupted run,
+        # breaking the deterministic-resume contract the rest of the
+        # checkpoint (params/m/v/cursor/seed) upholds
+        ema_path = (os.path.join(tc.workdir, f"ema_{start_step:08d}.tree")
+                    if latest else None)
+        if ema_path and os.path.exists(ema_path):
+            host_ema, _ = CT.load_tree(ema_path)
+            ema = jax.tree.map(jnp.asarray, host_ema)
+            print(f"[resume] EMA from {ema_path}")
+        else:
+            ema = jax.jit(EMA.init_ema)(params)
         ema_update = jax.jit(functools.partial(EMA.update_ema,
                                                decay=tc.ema_decay))
 
@@ -148,8 +160,11 @@ def train(tc: TrainConfig) -> dict:
     if cfg.mode == "gpt":
         from ..data import tokens as TOK
         stream = TOK.get_tokens(tc.data_dir, cfg.vocab_size, seed=tc.seed)
+        # reserve a tail of windows as a genuine held-out val split
+        total_w = (len(stream) - 1) // cfg.max_seq_len
+        gpt_holdout = min(max(16, tc.batch_size), total_w // 4)
         loader = TOK.TokenLoader(stream, tc.batch_size, cfg.max_seq_len,
-                                 cursor=cursor)
+                                 cursor=cursor, holdout=gpt_holdout)
     else:
         ds = D.get_dataset(tc.dataset, tc.data_dir, train=True)
         loader = D.DataLoader(ds, tc.batch_size, seed=tc.seed, train=True,
@@ -173,6 +188,11 @@ def train(tc: TrainConfig) -> dict:
             os.path.join(tc.workdir, f"ckpt_{step:08d}.bin"),
             jax.device_get(params), cfg, m=m_host, v=v_host, step=step,
             seed=tc.seed, cursor=consumed)
+        if ema is not None:
+            from .. import checkpoint_tree as CT
+            CT.save_tree(os.path.join(tc.workdir, f"ema_{step:08d}.tree"),
+                         jax.device_get(ema),
+                         meta={"decay": tc.ema_decay, "step": step})
 
     stop_step = (min(tc.steps, start_step + tc.run_steps) if tc.run_steps
                  else tc.steps)
@@ -233,11 +253,12 @@ def train(tc: TrainConfig) -> dict:
                 params = EMA.ema_params(ema, params)   # eval with EMA weights
             host_params = jax.device_get(params)
             if cfg.mode == "gpt":
-                # val loss over fresh windows from the tail of the stream
+                # val loss over the RESERVED holdout windows — the training
+                # wrap never touches these (tokens.TokenLoader holdout split)
                 from ..data import tokens as TOK
                 val = TOK.TokenLoader(loader.tokens, min(tc.batch_size, 16),
                                       cfg.max_seq_len,
-                                      cursor=loader.windows_total // 2)
+                                      holdout=loader.holdout, val=True)
                 xb, yb = val.next_batch()
                 vloss = float(jax.jit(M.loss_fn, static_argnums=3)(
                     host_params, jnp.asarray(xb), jnp.asarray(yb), cfg))

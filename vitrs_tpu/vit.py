@@ -95,6 +95,9 @@ class ViT:
 
         self._jit_loss = jax.jit(_loss)
         self._jit_logits = jax.jit(_fwd_logits)
+        self._jit_fwd_loss = jax.jit(
+            lambda params, inputs, targets: M.forward_with_loss(
+                params, inputs, targets, cfg))
         self._jit_grad = jax.jit(jax.value_and_grad(_loss))
 
         def _train_step(params, m, v, inputs, targets, step, lr, wd):
@@ -113,12 +116,14 @@ class ViT:
         inputs = jnp.asarray(inputs)
         self._inputs = inputs
         self._targets = None if targets is None else jnp.asarray(targets)
-        self.logits = self._jit_logits(self.params, inputs)
         if targets is None:
+            self.logits = self._jit_logits(self.params, inputs)
             self.mean_loss = -1.0
         else:
-            self.mean_loss = float(self._jit_loss(self.params, inputs,
-                                                  self._targets))
+            # one compiled program fills both, like the reference's one pass
+            self.logits, loss = self._jit_fwd_loss(self.params, inputs,
+                                                   self._targets)
+            self.mean_loss = float(loss)
         return self.mean_loss
 
     def zero_grad(self):
