@@ -1,16 +1,31 @@
-"""Pipeline parallelism — GPipe-style microbatching over a "pipe" mesh axis.
+"""Pipeline parallelism — GPipe and 1F1B schedules over a "pipe" mesh axis.
 
 Beyond the reference's capability set (SURVEY.md §2 row 26) — the third
 parallelism axis after data (data_parallel.py) and tensor (tensor_parallel.py).
 
 Design: the stacked (L, ...) block parameters are sliced over the pipe axis
-(L/S layers per stage).  A `lax.scan` over M + S - 1 ticks runs the classic
-schedule: stage 0 encodes microbatch t, every stage applies its layer slab,
-activations hop to the next stage via `ppermute` (neighbor-only, rides ICI),
-and the last stage computes the loss for the microbatch that has finished
-draining.  Autodiff differentiates straight through the scan+ppermute — the
-transpose of a permutation is the inverse permutation, so the backward pass
-is automatically the reverse pipeline.
+(L/S layers per stage).  Both schedules run as a `lax.scan` of synchronous
+ticks inside shard_map; activations hop to the next stage via `ppermute`
+(neighbor-only, rides ICI).  Works for BOTH model families: vit mode
+(patch-embed encode, classifier head) and gpt mode (token encode, weight-tied
+vocab head, per-token CE — the reference's own model, rusty_vit.rs:336).
+
+Stage work is gated with `lax.cond` on the stage index, so only stage 0 runs
+the encoder and only stage S-1 runs the head+loss — a `jnp.where(stage==0,..)`
+select (round 1) made EVERY stage patch-embed every tick and throw the result
+away.
+
+Schedules:
+  * GPipe (`schedule="gpipe"`): forward scan over M + S - 1 ticks, autodiff
+    straight through scan+ppermute (the transpose of a permutation is the
+    inverse permutation, so the backward pass is automatically the reverse
+    pipeline).  Activation memory grows with the number of microbatches.
+  * 1F1B (`schedule="1f1b"`): one scan over M + 2S - 1 ticks where every
+    stage does one forward micro-step AND one backward micro-step per tick —
+    the synchronous form of the 1F1B steady state.  Backward recomputes the
+    stage forward from a stashed input activation (jax.vjp per microbatch),
+    so activation memory is bounded by the pipeline depth (a (2S, Bm, T, C)
+    circular buffer), NOT by the microbatch count — the reason 1F1B exists.
 
 Collective-transpose care (same class of bug as tensor_parallel.reduce_out):
 the final loss combine uses psum-forward/identity-backward, and replicated
@@ -53,41 +68,79 @@ def pp_param_specs(cfg: ViTConfig):
     return specs
 
 
-def _pp_loss(p, images, labels, cfg: ViTConfig, n_stages: int,
+def _mode_fns(p, cfg: ViTConfig, stage_cfg: ViTConfig):
+    """(encode, apply, head_loss) closures dispatching on cfg.mode.
+
+    gpt head is weight-tied to wte with no bias (rusty_vit.rs:336) and the
+    loss is mean per-token CE (rusty_vit.rs:342-347); vit head is the
+    pooled classifier."""
+    dtype = jnp.dtype(cfg.dtype)
+    causal = cfg.mode == "gpt"
+
+    def encode(pp_, xb):
+        # takes params explicitly so jax.vjp in the 1F1B backward captures
+        # the embedding gradients (a closure over the outer p would not)
+        if cfg.mode == "gpt":
+            return M.gpt_encode(xb, pp_, dtype)
+        return M.vit_encode(xb, pp_, cfg).astype(dtype)
+
+    def apply(pp_, x):
+        return M.transformer(x, pp_, stage_cfg, causal=causal)
+
+    def head_loss(pp_, y, lbl):
+        lnf = basic.layernorm_cv(y, pp_["lnfw"], pp_["lnfb"])
+        if cfg.mode == "gpt":
+            logits = basic.linear(lnf, pp_["wte"].astype(dtype), None)
+            return jnp.mean(basic.cross_entropy_from_logits(logits, lbl))
+        pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
+        logits = basic.linear(pooled, pp_["headw"],
+                              pp_["headb"]).astype(jnp.float32)
+        return jnp.mean(basic.cross_entropy_from_logits(logits, lbl))
+
+    return encode, apply, head_loss
+
+
+def _act_seq_len(cfg: ViTConfig, inputs) -> int:
+    return inputs.shape[1] if cfg.mode == "gpt" else cfg.seq_len
+
+
+def _pp_loss(p, inputs, labels, cfg: ViTConfig, n_stages: int,
              microbatches: int):
-    """Pipelined forward + loss, running inside shard_map on the pipe axis."""
+    """GPipe pipelined forward + loss, inside shard_map on the pipe axis."""
     S, Mb = n_stages, microbatches
     stage = jax.lax.axis_index("pipe")
-    B = images.shape[0]
+    B = inputs.shape[0]
     Bm = B // Mb
-    micro_x = images.reshape((Mb, Bm) + images.shape[1:])
-    micro_y = labels.reshape(Mb, Bm)
+    micro_x = inputs.reshape((Mb, Bm) + inputs.shape[1:])
+    micro_y = labels.reshape((Mb, Bm) + labels.shape[1:])
     stage_cfg = cfg.replace(num_layers=cfg.num_layers // S)
     dtype = jnp.dtype(cfg.dtype)
-    T = cfg.seq_len
+    T = _act_seq_len(cfg, inputs)
     perm = [(i, (i + 1) % S) for i in range(S)]
-
-    def head_loss(y, lbl):
-        lnf = basic.layernorm_cv(y, p["lnfw"], p["lnfb"])
-        pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
-        logits = basic.linear(pooled, p["headw"], p["headb"]).astype(jnp.float32)
-        return jnp.mean(basic.cross_entropy_from_logits(logits, lbl))
+    encode, apply, head_loss = _mode_fns(p, cfg, stage_cfg)
 
     def tick(carry, t):
         act, loss_sum = carry
         in_idx = jnp.clip(t, 0, Mb - 1)
-        x0 = M.vit_encode(
-            jax.lax.dynamic_index_in_dim(micro_x, in_idx, 0, keepdims=False),
-            p, cfg).astype(dtype)
-        x_in = jnp.where(stage == 0, x0, act)
-        y = M.transformer(x_in, p, stage_cfg, causal=False)
+        # only stage 0, and only on ticks that inject a real microbatch,
+        # pays for the encoder (cond, not select); drain ticks pass through
+        x_in = jax.lax.cond(
+            jnp.logical_and(stage == 0, t < Mb),
+            lambda a: encode(p, jax.lax.dynamic_index_in_dim(
+                micro_x, in_idx, 0, keepdims=False)),
+            lambda a: a, act)
+        y = apply(p, x_in)
         out_idx = t - (S - 1)
         lbl = jax.lax.dynamic_index_in_dim(
             micro_y, jnp.clip(out_idx, 0, Mb - 1), 0, keepdims=False)
-        ml = head_loss(y, lbl)
         valid = jnp.logical_and(stage == S - 1,
                                 jnp.logical_and(out_idx >= 0, out_idx < Mb))
-        loss_sum = loss_sum + jnp.where(valid, ml, 0.0)
+        # only the last stage pays for the head (for gpt that is the full
+        # B*T*V vocab matmul — a select would run it on every stage)
+        ml = jax.lax.cond(valid,
+                          lambda yy, ll: head_loss(p, yy, ll),
+                          lambda yy, ll: jnp.zeros((), jnp.float32), y, lbl)
+        loss_sum = loss_sum + ml
         act_next = jax.lax.ppermute(y, "pipe", perm)
         return (act_next, loss_sum), None
 
@@ -98,16 +151,133 @@ def _pp_loss(p, images, labels, cfg: ViTConfig, n_stages: int,
     return reduce_out(loss_sum, "pipe") / Mb
 
 
-def make_pp_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int):
-    """(pp_params, m, v, images, labels, step, lr, wd) -> (..., loss) on a
-    (data, pipe) mesh; batch sharded over data, layers over pipe."""
+def _pp_1f1b(p, inputs, labels, cfg: ViTConfig, n_stages: int,
+             microbatches: int):
+    """1F1B: returns (loss, grads) directly — no outer jax.grad.
+
+    Synchronous schedule: stage s runs forward of microbatch f at tick
+    t = f + s and backward of microbatch b at tick t = 2S - 1 - s + b, so in
+    steady state every stage does one F and one B per tick.  Backward
+    recomputes the stage forward under jax.vjp from the stashed input
+    activation — in-flight activations are bounded by 2S microbatches."""
+    S, Mb = n_stages, microbatches
+    stage = jax.lax.axis_index("pipe")
+    B = inputs.shape[0]
+    Bm = B // Mb
+    micro_x = inputs.reshape((Mb, Bm) + inputs.shape[1:])
+    micro_y = labels.reshape((Mb, Bm) + labels.shape[1:])
+    stage_cfg = cfg.replace(num_layers=cfg.num_layers // S)
+    dtype = jnp.dtype(cfg.dtype)
+    T = _act_seq_len(cfg, inputs)
+    C = cfg.channels
+    fwd_perm = [(i, (i + 1) % S) for i in range(S)]
+    bwd_perm = [(i, (i - 1) % S) for i in range(S)]
+    encode, apply, head_loss = _mode_fns(p, cfg, stage_cfg)
+    DEPTH = 2 * S     # max in-flight microbatches per stage: gap 2S-1-2s ticks
+
+    def stage_out(pp_, a, idx, with_head=True):
+        """The whole per-stage computation for ONE microbatch, as a function
+        of (params, input activation) so one jax.vjp gives both dp and dx.
+        Stage 0's input is the raw microbatch (encode inside); the last
+        stage's outputs include the loss.  with_head=False skips the head on
+        forward ticks — it is recomputed under vjp on the backward tick."""
+        x_in = jax.lax.cond(
+            stage == 0,
+            lambda aa: encode(pp_, jax.lax.dynamic_index_in_dim(
+                micro_x, idx, 0, keepdims=False)),
+            lambda aa: aa, a)
+        y = apply(pp_, x_in)
+        if not with_head:
+            return y, jnp.zeros((), jnp.float32)
+        lbl = jax.lax.dynamic_index_in_dim(micro_y, idx, 0, keepdims=False)
+        ml = jax.lax.cond(stage == S - 1,
+                          lambda yy: head_loss(pp_, yy, lbl),
+                          lambda yy: jnp.zeros((), jnp.float32), y)
+        return y, ml
+
+    zero_grads = jax.tree_util.tree_map(
+        lambda v: jnp.zeros(v.shape, jnp.float32), p)
+
+    def tick(carry, t):
+        act_recv, g_recv, buf, dp_acc, loss_sum = carry
+
+        # ---- forward micro-step: f = t - stage ----
+        f = t - stage
+        valid_f = jnp.logical_and(f >= 0, f < Mb)
+        fc = jnp.clip(f, 0, Mb - 1)
+
+        def do_fwd(a):
+            y, _ = stage_out(p, a, fc, with_head=False)
+            return y
+
+        y = jax.lax.cond(valid_f, do_fwd,
+                         lambda a: jnp.zeros((Bm, T, C), dtype), act_recv)
+        # stash the INPUT activation for the recompute-backward
+        buf = jax.lax.cond(
+            valid_f,
+            lambda bf: jax.lax.dynamic_update_index_in_dim(
+                bf, act_recv, fc % DEPTH, 0),
+            lambda bf: bf, buf)
+
+        # ---- backward micro-step: b = t - (2S - 1 - stage) ----
+        b = t - (2 * S - 1 - stage)
+        valid_b = jnp.logical_and(b >= 0, b < Mb)
+        bc = jnp.clip(b, 0, Mb - 1)
+
+        def do_bwd(args):
+            g_in, bf = args
+            a_saved = jax.lax.dynamic_index_in_dim(bf, bc % DEPTH, 0,
+                                                   keepdims=False)
+            (y_r, ml), vjp = jax.vjp(
+                lambda pp_, aa: stage_out(pp_, aa, bc), p, a_saved)
+            # cotangents: last stage seeds the loss (1.0); others push the
+            # gradient received from stage s+1 into y
+            is_last = stage == S - 1
+            g_y = jnp.where(is_last, jnp.zeros_like(g_in), g_in)
+            g_ml = jnp.where(is_last, 1.0, 0.0).astype(jnp.float32)
+            dp, da = vjp((g_y.astype(y_r.dtype), g_ml))
+            return dp, da, ml
+
+        def skip_bwd(args):
+            g_in, _ = args
+            return zero_grads, jnp.zeros_like(g_in), jnp.zeros((), jnp.float32)
+
+        dp, da, ml = jax.lax.cond(valid_b, do_bwd, skip_bwd, (g_recv, buf))
+        dp_acc = jax.tree_util.tree_map(jnp.add, dp_acc, dp)
+        loss_sum = loss_sum + ml      # nonzero only on the last stage
+
+        act_next = jax.lax.ppermute(y, "pipe", fwd_perm)
+        g_next = jax.lax.ppermute(da.astype(dtype), "pipe", bwd_perm)
+        return (act_next, g_next, buf, dp_acc, loss_sum), None
+
+    act0 = jnp.zeros((Bm, T, C), dtype)
+    g0 = jnp.zeros((Bm, T, C), dtype)
+    buf0 = jnp.zeros((DEPTH, Bm, T, C), dtype)
+    carry0 = (act0, g0, buf0, zero_grads, jnp.zeros((), jnp.float32))
+    (_, _, _, dp_acc, loss_sum), _ = jax.lax.scan(
+        tick, carry0, jnp.arange(Mb + 2 * S - 1))
+    inv = 1.0 / Mb
+    grads = jax.tree_util.tree_map(lambda g: g * inv, dp_acc)
+    return reduce_out(loss_sum, "pipe") * inv, grads
+
+
+def make_pp_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
+                       schedule: str = "gpipe"):
+    """(pp_params, m, v, inputs, labels, step, lr, wd) -> (..., loss) on a
+    (data, pipe) mesh; batch sharded over data, layers over pipe.
+    schedule: "gpipe" (autodiff through the forward scan) or "1f1b"
+    (explicit fwd/bwd interleave, depth-bounded activation memory)."""
     S = mesh.shape["pipe"]
     assert cfg.num_layers % S == 0, (cfg.num_layers, S)
+    assert schedule in ("gpipe", "1f1b"), schedule
     specs = pp_param_specs(cfg)
 
-    def spmd(p, m, v, images, labels, step, lr, wd):
-        loss, grads = jax.value_and_grad(_pp_loss)(p, images, labels, cfg, S,
-                                                   microbatches)
+    def spmd(p, m, v, inputs, labels, step, lr, wd):
+        if schedule == "gpipe":
+            loss, grads = jax.value_and_grad(_pp_loss)(
+                p, inputs, labels, cfg, S, microbatches)
+        else:
+            loss, grads = _pp_1f1b(p, inputs, labels, cfg, S, microbatches)
         # replicated leaves: true grad = sum of per-stage partials
         grads = {k: (jax.lax.psum(g, "pipe") if specs[k] == P() else g)
                  for k, g in grads.items()}

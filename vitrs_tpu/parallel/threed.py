@@ -73,20 +73,26 @@ def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
     def tick(carry, t):
         act, loss_sum = carry
         in_idx = jnp.clip(t, 0, Mb - 1)
-        x0 = M.vit_encode(
-            jax.lax.dynamic_index_in_dim(micro_x, in_idx, 0, keepdims=False),
-            p, cfg).astype(dtype)
-        y = jnp.where(stage == 0, x0, act)
+        # cond (not select): only stage 0, on injection ticks, pays the
+        # patch-embed FLOPs
+        y = jax.lax.cond(
+            jnp.logical_and(stage == 0, t < Mb),
+            lambda a: M.vit_encode(
+                jax.lax.dynamic_index_in_dim(micro_x, in_idx, 0,
+                                             keepdims=False),
+                p, cfg).astype(dtype),
+            lambda a: a, act)
         for l in range(layers_local):
             bp = {k: p[k][l] for k in TPmod.TP_BLOCK_SPECS}
             y = _tp_block(y, bp, cfg, False, "model")
         out_idx = t - (S - 1)
         lbl = jax.lax.dynamic_index_in_dim(
             micro_y, jnp.clip(out_idx, 0, Mb - 1), 0, keepdims=False)
-        ml = head_loss(y, lbl)
         valid = jnp.logical_and(stage == S - 1,
                                 jnp.logical_and(out_idx >= 0, out_idx < Mb))
-        loss_sum = loss_sum + jnp.where(valid, ml, 0.0)
+        ml = jax.lax.cond(valid, head_loss,
+                          lambda yy, ll: jnp.zeros((), jnp.float32), y, lbl)
+        loss_sum = loss_sum + ml
         act = jax.lax.ppermute(y, "pipe", perm)
         return (act, loss_sum), None
 
