@@ -38,6 +38,12 @@ def main():
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="e.g. 0.9999; 0 disables EMA")
     p.add_argument("--log-grad-norm", action="store_true")
+    p.add_argument("--ra-ops", type=int, default=0,
+                   help="RandAugment ops per image (imagenet loader)")
+    p.add_argument("--ra-mag", type=float, default=0.0,
+                   help="RandAugment magnitude in [0, 1]")
+    p.add_argument("--mixup-alpha", type=float, default=0.0,
+                   help="device-side mixup Beta(a, a); 0 = off")
     p.add_argument("--init-ckpt", default=None,
                    help="warm-start weights (e.g. MAE-pretrained encoder)")
     p.add_argument("--eval-only", action="store_true",
@@ -69,7 +75,8 @@ def main():
         remat=args.remat, profile_at=args.profile_at,
         n_devices=args.n_devices, label_smoothing=args.label_smoothing,
         ema_decay=args.ema_decay, init_ckpt=args.init_ckpt,
-        log_grad_norm=args.log_grad_norm)
+        log_grad_norm=args.log_grad_norm, ra_ops=args.ra_ops,
+        ra_mag=args.ra_mag, mixup_alpha=args.mixup_alpha)
     summary = train(tc)
     print("[done]", summary)
 

@@ -23,6 +23,8 @@ _CACHE = {}
 CXX = os.environ.get("CXX", "g++")
 CXXFLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
             "-march=native", "-Wall"]
+# per-component extra link/compile flags
+EXTRA_FLAGS = {"jpegpipe": ["-ljpeg"]}
 
 
 def _source_hash(src_path: str) -> str:
@@ -44,7 +46,7 @@ def load(name: str) -> Optional[ctypes.CDLL]:
         if not os.path.exists(so_path):
             os.makedirs(_BUILD, exist_ok=True)
             tmp = so_path + f".tmp{os.getpid()}"
-            cmd = [CXX, *CXXFLAGS, "-o", tmp, src]
+            cmd = [CXX, *CXXFLAGS, "-o", tmp, src, *EXTRA_FLAGS.get(name, [])]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=180)
                 os.replace(tmp, so_path)

@@ -63,7 +63,8 @@ def init_sharded_opt_state(cfg: ViTConfig, mesh: Mesh):
 
 
 def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
-                       return_grad_norm: bool = False):
+                       return_grad_norm: bool = False,
+                       mixup_alpha: float = 0.0):
     """Build the jitted SPMD training step.
 
     Signature: (params, m, v, inputs, targets, step, lr, wd)
@@ -74,12 +75,41 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
     per-device batch is split into accum_steps micro-batches scanned
     sequentially, their grads averaged before the reduce-scatter — same math,
     1/accum_steps the activation memory.
+
+    mixup_alpha > 0 (vit mode) applies device-side mixup per step: images
+    convex-combined with a shuffled copy of the local batch (lam ~
+    Beta(alpha, alpha), one draw per device per step, keyed on (step,
+    device)); loss = lam*CE(y) + (1-lam)*CE(y[perm]).  Runs on-device after
+    the H2D transfer, so the host loader stays unchanged.
     """
     n = PRM.num_parameters(cfg)
     n_pad = _ceil_to(n, mesh.size)
     shard = n_pad // mesh.size
+    use_mixup = mixup_alpha > 0.0 and cfg.mode == "vit"
 
-    def _loss_and_grads(params, inputs, targets):
+    def _mixup_loss(params, inputs, targets, step):
+        key = jax.random.fold_in(jax.random.PRNGKey(0x31A5), step)
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        k_lam, k_perm = jax.random.split(key)
+        lam = jax.random.beta(k_lam, mixup_alpha, mixup_alpha)
+        lam = lam.astype(inputs.dtype)
+        perm = jax.random.permutation(k_perm, inputs.shape[0])
+        mixed = lam * inputs + (1.0 - lam) * inputs[perm]
+        logits = M.vit_forward(params, mixed, cfg, train=True)
+        from ..ops import basic
+        if cfg.label_smoothing > 0.0:
+            ce = lambda y: jnp.mean(basic.cross_entropy_smoothed(
+                logits, y, cfg.label_smoothing))
+        else:
+            ce = lambda y: jnp.mean(basic.cross_entropy_from_logits(logits, y))
+        lam32 = lam.astype(jnp.float32)
+        return lam32 * ce(targets) + (1.0 - lam32) * ce(targets[perm])
+
+    def _loss_and_grads(params, inputs, targets, step):
+        if use_mixup:
+            assert accum_steps == 1, "mixup + accumulation not wired"
+            return jax.value_and_grad(_mixup_loss)(params, inputs, targets,
+                                                   step)
         if accum_steps == 1:
             return jax.value_and_grad(M.loss_fn)(params, inputs, targets, cfg)
         micro = inputs.shape[0] // accum_steps
@@ -101,7 +131,7 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
         return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, g_sum)
 
     def spmd_step(params, m_shard, v_shard, inputs, targets, step, lr, wd):
-        loss, grads = _loss_and_grads(params, inputs, targets)
+        loss, grads = _loss_and_grads(params, inputs, targets, step)
         flat_g = PRM.flatten_params(grads, cfg)
         if n_pad != n:
             flat_g = jnp.pad(flat_g, (0, n_pad - n))

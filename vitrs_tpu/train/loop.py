@@ -65,6 +65,9 @@ class TrainConfig:
     label_smoothing: float = 0.0
     ema_decay: float = 0.0         # 0 = off; e.g. 0.9999 for ViT recipes
     log_grad_norm: bool = False    # SURVEY §5.5 metric (one extra psum)
+    ra_ops: int = 0                # RandAugment ops per image (imagenet path)
+    ra_mag: float = 0.0            # RandAugment magnitude in [0, 1]
+    mixup_alpha: float = 0.0       # device-side mixup (vit mode)
     model_overrides: Optional[dict] = None
 
 
@@ -90,6 +93,28 @@ def evaluate(cfg: ViTConfig, params, ds: D.Dataset, batch: int = 256) -> dict:
             jnp.asarray(logits), jnp.asarray(y)))
         loss_sum += float(losses.sum())
         total += batch
+    return {"acc": correct / max(total, 1), "loss": loss_sum / max(total, 1),
+            "n": total}
+
+
+def evaluate_streaming(cfg: ViTConfig, params, loader, max_batches: int = 0
+                       ) -> dict:
+    """Top-1 + mean loss over a StreamingLoader(train=False) — the imagenet
+    eval path (resize shorter side then center-crop, one pass, no shuffle)."""
+    from ..ops import basic
+    fwd = jax.jit(lambda p, x: M.vit_forward(p, x, cfg, train=False))
+    steps = loader.steps_per_epoch
+    if max_batches:
+        steps = min(steps, max_batches)
+    correct, total, loss_sum = 0, 0, 0.0
+    for _ in range(steps):
+        x, y = loader.next_batch()
+        logits = np.asarray(fwd(params, jnp.asarray(x)))
+        correct += int((logits.argmax(-1) == y).sum())
+        losses = np.asarray(basic.cross_entropy_from_logits(
+            jnp.asarray(logits), jnp.asarray(y)))
+        loss_sum += float(losses.sum())
+        total += len(y)
     return {"acc": correct / max(total, 1), "loss": loss_sum / max(total, 1),
             "n": total}
 
@@ -134,7 +159,8 @@ def train(tc: TrainConfig) -> dict:
     v = jax.device_put(np.pad(v_full, (0, n_pad - n)), opt_shard)
 
     step_fn = dp.make_dp_train_step(cfg, mesh,
-                                    return_grad_norm=tc.log_grad_norm)
+                                    return_grad_norm=tc.log_grad_norm,
+                                    mixup_alpha=tc.mixup_alpha)
     ema = None
     ema_update = None
     if tc.ema_decay > 0.0:
@@ -165,6 +191,13 @@ def train(tc: TrainConfig) -> dict:
         gpt_holdout = min(max(16, tc.batch_size), total_w // 4)
         loader = TOK.TokenLoader(stream, tc.batch_size, cfg.max_seq_len,
                                  cursor=cursor, holdout=gpt_holdout)
+    elif tc.dataset == "imagenet":
+        # streaming sharded-JPEG path (native decode + fused-affine augment)
+        from ..data import imagenet as IN
+        ds = IN.ShardedImageNet(tc.data_dir, split="train")
+        loader = IN.StreamingLoader(ds, tc.batch_size, cfg.img_size,
+                                    train=True, seed=tc.seed, cursor=cursor,
+                                    ra_ops=tc.ra_ops, ra_mag=tc.ra_mag)
     else:
         ds = D.get_dataset(tc.dataset, tc.data_dir, train=True)
         loader = D.DataLoader(ds, tc.batch_size, seed=tc.seed, train=True,
@@ -263,6 +296,16 @@ def train(tc: TrainConfig) -> dict:
                 vloss = float(jax.jit(M.loss_fn, static_argnums=3)(
                     host_params, jnp.asarray(xb), jnp.asarray(yb), cfg))
                 summary["eval"] = {"val_loss": vloss}
+            elif tc.dataset == "imagenet":
+                from ..data import imagenet as IN
+                try:
+                    val_ds = IN.ShardedImageNet(tc.data_dir, split="val")
+                except FileNotFoundError:
+                    val_ds = IN.ShardedImageNet(tc.data_dir, split="train")
+                val_loader = IN.StreamingLoader(
+                    val_ds, min(tc.batch_size, 256), cfg.img_size, train=False)
+                summary["eval"] = evaluate_streaming(cfg, host_params,
+                                                     val_loader)
             else:
                 eval_ds = D.get_dataset(tc.dataset, tc.data_dir, train=False)
                 summary["eval"] = evaluate(cfg, host_params, eval_ds,
