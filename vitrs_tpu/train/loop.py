@@ -68,6 +68,7 @@ class TrainConfig:
     ra_ops: int = 0                # RandAugment ops per image (imagenet path)
     ra_mag: float = 0.0            # RandAugment magnitude in [0, 1]
     mixup_alpha: float = 0.0       # device-side mixup (vit mode)
+    async_ckpt: bool = True        # background device->host snapshot writes
     model_overrides: Optional[dict] = None
 
 
@@ -211,16 +212,24 @@ def train(tc: TrainConfig) -> dict:
     imgs_since = 0
     summary = {}
 
+    ckpt_async = None
+    if tc.async_ckpt:
+        from ..checkpoint_async import AsyncCheckpointer
+        ckpt_async = AsyncCheckpointer()
+
     def save(step):
-        m_host = np.asarray(m)[:n]
-        v_host = np.asarray(v)[:n]
         # cursor = examples actually *consumed* by completed steps — NOT
         # loader.cursor, which runs ahead by the prefetch depth
         consumed = cursor + (step - start_step) * tc.batch_size
-        ckpt_io.save_checkpoint(
-            os.path.join(tc.workdir, f"ckpt_{step:08d}.bin"),
-            jax.device_get(params), cfg, m=m_host, v=v_host, step=step,
-            seed=tc.seed, cursor=consumed)
+        path = os.path.join(tc.workdir, f"ckpt_{step:08d}.bin")
+        if ckpt_async is not None:
+            # device-side snapshot, write overlaps the next train steps
+            ckpt_async.save(path, params, cfg, m=m, v=v, step=step,
+                            seed=tc.seed, cursor=consumed, n_valid=n)
+        else:
+            ckpt_io.save_checkpoint(
+                path, jax.device_get(params), cfg, m=np.asarray(m)[:n],
+                v=np.asarray(v)[:n], step=step, seed=tc.seed, cursor=consumed)
         if ema is not None:
             from .. import checkpoint_tree as CT
             CT.save_tree(os.path.join(tc.workdir, f"ema_{step:08d}.tree"),
@@ -313,5 +322,7 @@ def train(tc: TrainConfig) -> dict:
             print("[eval] " + json.dumps(summary["eval"]))
     finally:
         prefetcher.close()
+        if ckpt_async is not None:
+            ckpt_async.close()     # drain pending writes before returning
         log_f.close()
     return summary
