@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ViTConfig
-from ..ops import basic
+from ..ops import basic, fused_ce
 from ..ops.attention import attention
 
 BLOCK_KEYS = ("ln1w", "ln1b", "qkvw", "qkvb", "attprojw", "attprojb",
@@ -93,28 +93,52 @@ def gpt_encode(tokens: jax.Array, params: Dict[str, jax.Array],
     return (params["wte"][tokens] + params["wpe"][None, :T, :]).astype(dtype)
 
 
+def gpt_trunk(params: Dict[str, jax.Array], tokens: jax.Array,
+              cfg: ViTConfig) -> jax.Array:
+    """Everything up to (and including) the final layernorm; (B, T, C)."""
+    dtype = jnp.dtype(cfg.dtype)
+    x = gpt_encode(tokens, params, dtype)
+    x = transformer(x, params, cfg, causal=True)
+    return basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
+
+
 def gpt_forward(params: Dict[str, jax.Array], tokens: jax.Array,
                 cfg: ViTConfig) -> jax.Array:
     """Returns logits (B, T, V).  Head is weight-tied to wte with no bias
     (rusty_vit.rs:336 passes an empty bias)."""
-    dtype = jnp.dtype(cfg.dtype)
-    x = gpt_encode(tokens, params, dtype)
-    x = transformer(x, params, cfg, causal=True)
-    lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
-    return basic.linear(lnf, params["wte"].astype(dtype), None)
+    lnf = gpt_trunk(params, tokens, cfg)
+    return basic.linear(lnf, params["wte"].astype(lnf.dtype), None)
 
 
 def gpt_loss(params: Dict[str, jax.Array], tokens: jax.Array,
              targets: jax.Array, cfg: ViTConfig) -> jax.Array:
     """Mean CE over B*T (rusty_vit.rs:342-347).  quirks=True uses the
-    reference's literal -p loss (gap G6) for oracle parity."""
-    logits = gpt_forward(params, tokens, cfg)
+    reference's literal -p loss (gap G6) for oracle parity.
+
+    Production path pads the weight-tied head to a lane multiple
+    (V=50257 -> 50304, llm.c's own pad) so the (B*T, V) logits are
+    lane-aligned, then runs the one-pass Pallas CE — the ragged vocab
+    otherwise halves HBM streaming bandwidth (measured 141 vs 308 GB/s on
+    v5e; see ops/fused_ce.py).  The pad columns hit zero weight rows, are
+    masked out of the logsumexp, and autodiff of the pad slices their
+    (all-zero-contribution) gradient away, so the loss is bit-identical in
+    exact arithmetic to the unpadded form.
+    """
     if cfg.quirks:
+        logits = gpt_forward(params, tokens, cfg)
         probs = basic.softmax(logits.astype(jnp.float32), quirks=True)
-        losses = basic.cross_entropy_quirk(probs, targets)
-    else:
-        losses = basic.cross_entropy_from_logits(logits, targets)
-    return jnp.mean(losses)
+        return jnp.mean(basic.cross_entropy_quirk(probs, targets))
+    V = cfg.vocab_size
+    Vp = fused_ce.pad_vocab(V)
+    lnf = gpt_trunk(params, tokens, cfg)
+    from ..ops.attention import _flash_available
+    if (cfg.use_flash and _flash_available()
+            and fused_ce.supports(lnf.shape[0] * lnf.shape[1], Vp)):
+        wte_p = jnp.pad(params["wte"].astype(lnf.dtype), ((0, Vp - V), (0, 0)))
+        logits = basic.linear(lnf, wte_p, None)
+        return fused_ce.cross_entropy_mean(logits, targets, real_vocab=V)
+    logits = basic.linear(lnf, params["wte"].astype(lnf.dtype), None)
+    return jnp.mean(basic.cross_entropy_from_logits(logits, targets))
 
 
 # ---------------------------------------------------------------------------
