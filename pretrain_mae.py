@@ -55,7 +55,8 @@ def main():
     loader = D.DataLoader(ds, args.batch_size, seed=args.seed, train=True)
     prefetch = DevicePrefetcher(loader)
 
-    def step_fn(p, m, v, x, i, lr, rng):
+    def step_fn(p, m, v, x, i, lr, seed):
+        rng = jax.random.PRNGKey(seed)   # built inside jit: no eager dispatch
         loss, g = jax.value_and_grad(MAE.mae_loss)(p, x, cfg, rng,
                                                    args.mask_ratio)
         p, m, v = opt.adamw_tree(p, g, m, v, i, lr,
@@ -67,11 +68,11 @@ def main():
     try:
         for step in range(1, args.steps + 1):
             x, _ = next(prefetch)
-            lr = opt.cosine_lr(jnp.asarray(step, jnp.float32), args.lr,
-                               args.warmup, args.steps)
+            lr = opt.cosine_lr_host(step, args.lr, args.warmup, args.steps)
             params, m, v, loss = jstep(params, m, v, x,
-                                       jnp.asarray(step, jnp.int32), lr,
-                                       jax.random.PRNGKey(args.seed * 100003 + step))
+                                       np.int32(step), np.float32(lr),
+                                       np.uint32((args.seed * 100003 + step)
+                                                 % (1 << 32)))
             since += args.batch_size
             if step % args.log_every == 0 or step == args.steps:
                 lv = float(loss)

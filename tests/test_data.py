@@ -101,3 +101,38 @@ def test_synthetic_dataset_has_class_signal():
     pred = np.argmin(
         ((x[:, None, :] - centroids[None]) ** 2).sum(-1), axis=1)
     assert (pred == y).mean() > 0.9
+
+
+def test_uint8_loader_matches_host_normalize():
+    """device_normalize=True ships uint8 with the SAME per-sample augment
+    draws: normalizing its batch on the host must bit-match the float
+    loader's batch (the two paths differ only in where (x/255-mean)/std
+    runs)."""
+    ds = D.synthetic_dataset(n=256, img_size=16, num_classes=4, seed=5)
+    a = D.DataLoader(ds, batch_size=32, seed=7, train=True)
+    b = D.DataLoader(ds, batch_size=32, seed=7, train=True,
+                     device_normalize=True)
+    for _ in range(3):
+        xa, ya = a.next_batch()
+        xb, yb = b.next_batch()
+        assert xb.dtype == np.uint8 and xa.dtype == np.float32
+        np.testing.assert_array_equal(ya, yb)
+        xb_norm = (xb.astype(np.float32) / 255.0 - ds.mean) / ds.std
+        np.testing.assert_allclose(xa, xb_norm, rtol=1e-6, atol=1e-6)
+
+
+def test_synthetic_shapes_is_hard_but_learnable():
+    """The shapes task (accuracy-datapoint dataset) must NOT be linearly
+    separable in pixel space (shapes move around), yet have consistent
+    labels: a nearest-centroid probe stays well under 50% while fresh
+    samples from another seed share the generator's class semantics."""
+    ds = D.synthetic_shapes(n=1200, img_size=32, seed=0)
+    x = ds.images.reshape(len(ds), -1).astype(np.float32)
+    y = ds.labels
+    cent = np.stack([x[y == c].mean(0) for c in range(10)])
+    pred = np.argmin(((x[:, None, :] - cent[None]) ** 2).sum(-1), axis=1)
+    acc = (pred == y).mean()
+    assert 0.05 < acc < 0.5, acc          # above floor, far from separable
+    ds2 = D.synthetic_shapes(n=64, img_size=32, seed=9)
+    assert ds2.images.shape == (64, 32, 32, 3)
+    assert set(np.unique(ds2.labels)) <= set(range(10))

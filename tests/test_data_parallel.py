@@ -87,3 +87,36 @@ def test_dp_training_decreases_loss():
                                      jnp.asarray(0.0, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_dp_uint8_device_normalize_matches_float_path():
+    """normalize=(mean,std) + uint8 batch == host-normalized float batch
+    (the two input paths must produce identical losses; uint8 quantization
+    is upstream of both, so the comparison is exact up to f32 rounding)."""
+    mesh = dp.make_mesh()
+    params = PRM.init_params(CFG, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (16, 32, 32, 3)).astype(np.uint8)
+    labels = rng.integers(0, 10, (16,))
+    mean = np.array([0.4, 0.45, 0.5], np.float32)
+    std = np.array([0.25, 0.3, 0.2], np.float32)
+    host = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    # fresh param copies per call: the step donates params/m/v, and
+    # replicate() may alias the source buffers
+    args = lambda imgs: (
+        dp.replicate(jax.tree.map(jnp.array, params), mesh),
+        *dp.init_sharded_opt_state(CFG, mesh),
+        dp.shard_batch(jnp.asarray(imgs), mesh),
+        dp.shard_batch(jnp.asarray(labels), mesh),
+        jnp.asarray(1, jnp.int32), jnp.asarray(1e-3, jnp.float32),
+        jnp.asarray(0.01, jnp.float32))
+
+    step_n = dp.make_dp_train_step(CFG, mesh, normalize=(mean, std))
+    _, _, _, loss_u8 = step_n(*args(u8))
+    step_f = dp.make_dp_train_step(CFG, mesh)
+    _, _, _, loss_f = step_f(*args(host))
+    np.testing.assert_allclose(float(loss_u8), float(loss_f), rtol=1e-6)
+    # float inputs pass through a normalize-enabled step untouched
+    _, _, _, loss_pass = step_n(*args(host))
+    np.testing.assert_allclose(float(loss_pass), float(loss_f), rtol=1e-6)

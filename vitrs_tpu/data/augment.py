@@ -68,14 +68,51 @@ def _augment_numpy(images, indices, crop_pad, flip, seed, epoch, mean, std):
     return out
 
 
+def _augment_numpy_u8(images, indices, crop_pad, flip, seed, epoch):
+    """Geometry-only augment (crop/flip), uint8 in -> uint8 out.  Same
+    per-sample RNG contract as `_augment_numpy` so a run is reproducible
+    regardless of where normalization happens (host vs device)."""
+    n = len(indices)
+    H, W, C = images.shape[1:]
+    out = np.empty((n, H, W, C), np.uint8)
+    for i, idx in enumerate(indices):
+        s = _splitmix64(seed ^ _splitmix64(epoch ^ _splitmix64(int(idx))))
+        dy = dx = 0
+        do_flip = 0
+        if crop_pad > 0:
+            s = _splitmix64(s)
+            dy = int(s % (2 * crop_pad + 1)) - crop_pad
+            s = _splitmix64(s)
+            dx = int(s % (2 * crop_pad + 1)) - crop_pad
+        if flip:
+            s = _splitmix64(s)
+            do_flip = int(s & 1)
+        ys = _reflect(np.arange(H) + dy, H)
+        xs = np.arange(W) + dx
+        if do_flip:
+            xs = (W - 1) - xs
+        xs = _reflect(xs, W)
+        out[i] = images[idx][np.ix_(ys, xs)]
+    return out
+
+
 def augment_batch(images: np.ndarray, indices: np.ndarray,
                   crop_pad: int = 0, flip: bool = False,
                   seed: int = 0, epoch: int = 0,
                   mean: Optional[np.ndarray] = None,
                   std: Optional[np.ndarray] = None,
-                  nthreads: int = 0) -> np.ndarray:
-    """(num_total, H, W, C) uint8 + indices -> (n, H, W, C) float32."""
+                  nthreads: int = 0, out_uint8: bool = False) -> np.ndarray:
+    """(num_total, H, W, C) uint8 + indices -> (n, H, W, C) float32.
+
+    out_uint8=True skips host normalization and returns uint8 (4x less
+    host->device traffic; the train step normalizes on device — the right
+    trade when the TPU is attached over a network relay or for multi-host
+    input pipelines)."""
     assert images.dtype == np.uint8 and images.ndim == 4
+    if out_uint8:
+        indices = np.ascontiguousarray(indices, np.int64)
+        return _augment_numpy_u8(np.ascontiguousarray(images), indices,
+                                 crop_pad, int(flip), seed, epoch)
     H, W, C = images.shape[1:]
     mean = np.asarray(mean if mean is not None else np.zeros(C), np.float32)
     std = np.asarray(std if std is not None else np.ones(C), np.float32)

@@ -74,6 +74,67 @@ def synthetic_dataset(n: int = 4096, img_size: int = 32, num_classes: int = 10,
     return Dataset(imgs, labels, num_classes, CIFAR10_MEAN, CIFAR10_STD)
 
 
+def synthetic_shapes(n: int = 20000, img_size: int = 32, seed: int = 0
+                     ) -> Dataset:
+    """Procedural 10-class shape-recognition task for zero-egress builds.
+
+    Unlike `synthetic_dataset` (global frequency patterns, linearly
+    separable), class identity here is the *geometry* of a shape drawn at a
+    random position/scale/color on a random background with pixel noise — a
+    classifier must learn translation/scale-invariant spatial features, so
+    held-out top-1 on fresh samples is a meaningful generalization number,
+    and MAE reconstruction pretraining on it learns reusable structure.
+    Classes: circle, ring, square, square-outline, triangle, diamond, plus,
+    X-cross, h-bars, v-bars.
+    """
+    rng = np.random.default_rng(seed)
+    S = img_size
+    yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+    labels = rng.integers(0, 10, n).astype(np.int64)
+    imgs = np.empty((n, S, S, 3), np.uint8)
+    cx = rng.uniform(0.30 * S, 0.70 * S, n)
+    cy = rng.uniform(0.30 * S, 0.70 * S, n)
+    r = rng.uniform(0.15 * S, 0.33 * S, n)
+    fg = rng.uniform(0.55, 1.0, (n, 3))
+    bg = rng.uniform(0.0, 0.35, (n, 3))
+    noise_sig = 0.08
+    for i in range(n):
+        dx, dy = xx - cx[i], yy - cy[i]
+        ri = r[i]
+        ax, ay = np.abs(dx), np.abs(dy)
+        c = labels[i]
+        if c == 0:                                    # circle
+            mask = dx * dx + dy * dy < ri * ri
+        elif c == 1:                                  # ring
+            d2 = dx * dx + dy * dy
+            mask = (d2 < ri * ri) & (d2 > (0.55 * ri) ** 2)
+        elif c == 2:                                  # square
+            mask = np.maximum(ax, ay) < 0.8 * ri
+        elif c == 3:                                  # square outline
+            m = np.maximum(ax, ay)
+            mask = (m < 0.85 * ri) & (m > 0.5 * ri)
+        elif c == 4:                                  # triangle (apex up)
+            mask = (dy > -0.75 * ri) & (dy < 0.75 * ri) & \
+                   (ax < (dy + 0.75 * ri) * 0.6)
+        elif c == 5:                                  # diamond
+            mask = ax + ay < ri
+        elif c == 6:                                  # plus
+            mask = ((ax < 0.28 * ri) & (ay < ri)) | \
+                   ((ay < 0.28 * ri) & (ax < ri))
+        elif c == 7:                                  # X cross
+            mask = (np.abs(ax - ay) < 0.35 * ri) & (np.maximum(ax, ay) < ri)
+        elif c == 8:                                  # horizontal bars
+            mask = (ax < ri) & (ay < ri) & \
+                   (np.mod(dy + ri, 0.66 * ri) < 0.3 * ri)
+        else:                                         # vertical bars
+            mask = (ax < ri) & (ay < ri) & \
+                   (np.mod(dx + ri, 0.66 * ri) < 0.3 * ri)
+        img = np.where(mask[..., None], fg[i], bg[i])
+        img = img + rng.normal(0, noise_sig, (S, S, 3))
+        imgs[i] = np.clip(img * 255, 0, 255).astype(np.uint8)
+    return Dataset(imgs, labels, 10, CIFAR10_MEAN, CIFAR10_STD)
+
+
 def get_dataset(name: str, data_dir: Optional[str] = None, train: bool = True,
                 **kw) -> Dataset:
     if name == "cifar10":
@@ -81,6 +142,10 @@ def get_dataset(name: str, data_dir: Optional[str] = None, train: bool = True,
             return load_cifar10(data_dir, train)
         return synthetic_dataset(n=4096 if train else 512, img_size=32,
                                  num_classes=10, seed=0 if train else 1)
+    if name == "synthetic-shapes":
+        return synthetic_shapes(n=kw.get("n", 20000 if train else 2000),
+                                img_size=kw.get("img_size", 32),
+                                seed=0 if train else 1)
     if name == "synthetic-imagenet":
         return synthetic_dataset(n=kw.get("n", 2048),
                                  img_size=kw.get("img_size", 224),
@@ -99,7 +164,8 @@ class DataLoader:
     def __init__(self, ds: Dataset, batch_size: int, seed: int = 0,
                  train: bool = True, crop_pad: int = 4,
                  host_id: int = 0, num_hosts: int = 1,
-                 cursor: int = 0, nthreads: int = 0):
+                 cursor: int = 0, nthreads: int = 0,
+                 device_normalize: bool = False):
         assert batch_size % num_hosts == 0
         self.ds = ds
         self.global_batch = batch_size
@@ -112,6 +178,10 @@ class DataLoader:
         self.num_hosts = num_hosts
         self.cursor = cursor
         self.nthreads = nthreads
+        # device_normalize: ship uint8 batches (4x less H2D traffic) and let
+        # the train step fold (x/255 - mean)/std on device; same per-sample
+        # augment RNG, so runs are bitwise-reproducible either way
+        self.device_normalize = device_normalize
         self.steps_per_epoch = len(ds) // self.global_batch
 
     def _perm(self, epoch: int) -> np.ndarray:
@@ -132,7 +202,8 @@ class DataLoader:
         images = A.augment_batch(self.ds.images, sel, crop_pad=self.crop_pad,
                                  flip=self.flip, seed=self.seed, epoch=epoch,
                                  mean=self.ds.mean, std=self.ds.std,
-                                 nthreads=self.nthreads)
+                                 nthreads=self.nthreads,
+                                 out_uint8=self.device_normalize)
         labels = self.ds.labels[sel]
         self.cursor += self.global_batch
         return images, labels

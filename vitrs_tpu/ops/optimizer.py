@@ -18,6 +18,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def sgd_step(flat_params: jax.Array, flat_grads: jax.Array,
@@ -94,9 +95,28 @@ def adamw_tree(params, grads, m, v, step, lr, beta1=0.9, beta2=0.999,
 
 def cosine_lr(step: jax.Array, base_lr: float, warmup: int, total: int,
               min_lr: float = 0.0) -> jax.Array:
-    """Linear warmup + cosine decay schedule for the train loop."""
+    """Linear warmup + cosine decay schedule (traceable form)."""
     step = step.astype(jnp.float32)
     warm = base_lr * step / jnp.maximum(1.0, warmup)
     prog = jnp.clip((step - warmup) / jnp.maximum(1.0, total - warmup), 0.0, 1.0)
     cos = min_lr + 0.5 * (base_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * prog))
     return jnp.where(step < warmup, warm, cos)
+
+
+def cosine_lr_host(step: int, base_lr: float, warmup: int, total: int,
+                   min_lr: float = 0.0) -> float:
+    """Host-side (pure Python) twin of `cosine_lr` for the train loops.
+
+    The schedule is driven from Python once per step; computing it with jnp
+    outside jit issues ~10 tiny device dispatches per step, which over an
+    RPC-attached TPU (axon relay) dominates wall-clock for small models
+    (measured: 1.1 s/step ViT-Tiny where the device step is ~5 ms).  Same
+    math in float32 so logged lr values match the traced schedule."""
+    s = np.float32(step)
+    if s < warmup:
+        return float(np.float32(base_lr) * s / np.float32(max(1.0, warmup)))
+    prog = np.clip((s - warmup) / np.float32(max(1.0, total - warmup)),
+                   np.float32(0), np.float32(1))
+    return float(np.float32(min_lr) + np.float32(0.5)
+                 * (np.float32(base_lr) - np.float32(min_lr))
+                 * (np.float32(1.0) + np.cos(np.float32(np.pi) * prog)))

@@ -64,7 +64,8 @@ def init_sharded_opt_state(cfg: ViTConfig, mesh: Mesh):
 
 def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
                        return_grad_norm: bool = False,
-                       mixup_alpha: float = 0.0):
+                       mixup_alpha: float = 0.0,
+                       normalize=None):
     """Build the jitted SPMD training step.
 
     Signature: (params, m, v, inputs, targets, step, lr, wd)
@@ -86,6 +87,20 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
     n_pad = _ceil_to(n, mesh.size)
     shard = n_pad // mesh.size
     use_mixup = mixup_alpha > 0.0 and cfg.mode == "vit"
+
+    # normalize = (mean, std) enables device-side input normalization: the
+    # loader ships uint8 (4x less H2D traffic — decisive over a network
+    # relay and for multi-host input), and (x/255 - mean)/std folds into the
+    # first XLA fusion on device.  float inputs pass through untouched.
+    if normalize is not None:
+        _nmean = jnp.asarray(normalize[0], jnp.float32)
+        _ninv = jnp.asarray(1.0 / normalize[1], jnp.float32)
+
+    def _prep(inputs):
+        if normalize is not None and inputs.dtype == jnp.uint8:
+            return (inputs.astype(jnp.float32) * (1.0 / 255.0)
+                    - _nmean) * _ninv
+        return inputs
 
     def _mixup_loss(params, inputs, targets, step):
         key = jax.random.fold_in(jax.random.PRNGKey(0x31A5), step)
@@ -131,7 +146,7 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
         return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, g_sum)
 
     def spmd_step(params, m_shard, v_shard, inputs, targets, step, lr, wd):
-        loss, grads = _loss_and_grads(params, inputs, targets, step)
+        loss, grads = _loss_and_grads(params, _prep(inputs), targets, step)
         flat_g = PRM.flatten_params(grads, cfg)
         if n_pad != n:
             flat_g = jnp.pad(flat_g, (0, n_pad - n))

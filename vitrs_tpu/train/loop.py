@@ -159,9 +159,17 @@ def train(tc: TrainConfig) -> dict:
     m = jax.device_put(np.pad(m_full, (0, n_pad - n)), opt_shard)
     v = jax.device_put(np.pad(v_full, (0, n_pad - n)), opt_shard)
 
+    # in-memory datasets ship uint8 batches and normalize on device (4x less
+    # H2D; see DataLoader.device_normalize) — fetch the dataset stats early
+    norm_stats = None
+    if cfg.mode == "vit" and tc.dataset and tc.dataset != "imagenet":
+        _ds_for_stats = D.get_dataset(tc.dataset, tc.data_dir, train=True)
+        norm_stats = (_ds_for_stats.mean, _ds_for_stats.std)
+
     step_fn = dp.make_dp_train_step(cfg, mesh,
                                     return_grad_norm=tc.log_grad_norm,
-                                    mixup_alpha=tc.mixup_alpha)
+                                    mixup_alpha=tc.mixup_alpha,
+                                    normalize=norm_stats)
     ema = None
     ema_update = None
     if tc.ema_decay > 0.0:
@@ -200,15 +208,18 @@ def train(tc: TrainConfig) -> dict:
                                     train=True, seed=tc.seed, cursor=cursor,
                                     ra_ops=tc.ra_ops, ra_mag=tc.ra_mag)
     else:
-        ds = D.get_dataset(tc.dataset, tc.data_dir, train=True)
+        ds = (_ds_for_stats if norm_stats is not None
+              else D.get_dataset(tc.dataset, tc.data_dir, train=True))
         loader = D.DataLoader(ds, tc.batch_size, seed=tc.seed, train=True,
-                              cursor=cursor)
+                              cursor=cursor,
+                              device_normalize=norm_stats is not None)
     prefetcher = DevicePrefetcher(loader, sharding=batch_sharding)
 
     flops_per_img = F.train_flops_per_example(cfg)
     log_path = os.path.join(tc.workdir, "metrics.jsonl")
     log_f = open(log_path, "a")
     t_last = time.perf_counter()
+    wd_host = np.float32(tc.weight_decay)
     imgs_since = 0
     summary = {}
 
@@ -243,11 +254,14 @@ def train(tc: TrainConfig) -> dict:
             if tc.profile_at and step == tc.profile_at:
                 jax.profiler.start_trace(os.path.join(tc.workdir, "profile"))
             images, labels = next(prefetcher)
-            lr = opt.cosine_lr(jnp.asarray(step, jnp.float32), tc.lr,
-                               tc.warmup, tc.steps, tc.min_lr)
+            # host-side schedule + host scalars: the jitted step is the ONLY
+            # device dispatch per iteration (eager jnp scalar math here costs
+            # ~10 RPC roundtrips/step on a relay-attached TPU)
+            lr = opt.cosine_lr_host(step, tc.lr, tc.warmup, tc.steps,
+                                    tc.min_lr)
             outs = step_fn(
-                params, m, v, images, labels, jnp.asarray(step, jnp.int32),
-                lr, jnp.asarray(tc.weight_decay, jnp.float32))
+                params, m, v, images, labels, np.int32(step),
+                np.float32(lr), wd_host)
             if tc.log_grad_norm:
                 params, m, v, loss, gnorm = outs
             else:
