@@ -21,6 +21,9 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--quant", default="none", choices=["none", "w8", "w8a8"],
+                   help="int8 post-training quantization: w8 = weight-only "
+                        "(bandwidth-bound), w8a8 = int8 MXU (compute-bound)")
     args = p.parse_args()
 
     import jax
@@ -39,12 +42,22 @@ def main():
     x = jnp.asarray(rng.standard_normal(
         (B, cfg.img_size, cfg.img_size, cfg.in_chans), dtype=np.float32))
 
-    fwd = model._jit_logits
-    logits = fwd(model.params, x)
+    if args.quant != "none":
+        from vitrs_tpu.models import quantized as Q
+        from vitrs_tpu.ops import quant
+        qp = quant.quantize_params(model.params, mode=cfg.mode)
+        w8a8 = args.quant == "w8a8"
+        fwd = jax.jit(lambda p, x: Q.vit_forward_q(p, x, cfg, w8a8=w8a8))
+        model_params = qp
+    else:
+        fwd = model._jit_logits
+        model_params = model.params
+
+    logits = fwd(model_params, x)
     _ = float(logits[0, 0])          # compile + sync
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        logits = fwd(model.params, x)
+        logits = fwd(model_params, x)
     _ = float(logits[0, 0])
     dt = (time.perf_counter() - t0) / args.steps
 
@@ -52,7 +65,9 @@ def main():
     dev = jax.devices()[0]
     mfu = F.mfu(ips, cfg, dev.device_kind, train=False)
     print(json.dumps({
-        "metric": f"{args.preset} inference images/sec/chip ({cfg.dtype})",
+        "metric": f"{args.preset} inference images/sec/chip "
+                  f"({cfg.dtype if args.quant == 'none' else args.quant})",
+        "quant": args.quant,
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "batch": B,

@@ -85,3 +85,24 @@ def test_max_new_1():
     out = G.generate(params, prompt, CFG, max_new=1, key=jax.random.PRNGKey(0),
                      temperature=0.0)
     assert out.shape == (2, 6)
+
+
+def test_int8_weight_only_generation_tracks_float():
+    """generate() with ops/quant weight-only params: greedy output must be
+    valid and the cached-forward logits must track the float model within
+    the int8 rounding budget."""
+    from vitrs_tpu.ops import quant
+    params, prompt = _setup(3)
+    qp = quant.quantize_params(params, mode="gpt")
+    caches_f = G.init_kv_cache(CFG, 2, 5)
+    caches_q = G.init_kv_cache(CFG, 2, 5)
+    lf, _ = G.forward_with_cache(params, prompt, caches_f, 0, CFG)
+    lq, _ = G.forward_with_cache(qp, prompt, caches_q, 0, CFG)
+    rel = np.abs(np.asarray(lq) - np.asarray(lf)).mean() / (
+        np.abs(np.asarray(lf)).mean() + 1e-9)
+    assert rel < 0.05, rel
+    out = G.generate(qp, prompt, CFG, max_new=4,
+                     key=jax.random.PRNGKey(0), temperature=0.0)
+    assert out.shape == (2, 9)
+    assert (np.asarray(out) >= 0).all()
+    assert (np.asarray(out) < CFG.vocab_size).all()

@@ -84,3 +84,63 @@ def test_3d_training_decreases_loss():
                               jnp.asarray(0.0, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_3d_sp_loss_and_grads_match_single_device():
+    """4-D composition dp x tp(sp) x pp: the SP block form inside the
+    pipeline must reproduce single-device loss/grads (mean pool: SP needs
+    seq_len % tp == 0, and the CLS token makes T odd)."""
+    cfg = CFG.replace(pool="mean")
+    mesh = D3.make_mesh_3d(dp=2, tp=2, pp=2)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(2))
+    images, labels = _data(seed=2)
+    loss_ref, grads_ref = jax.value_and_grad(M.loss_fn)(params, images,
+                                                        labels, cfg)
+    specs = D3.param_specs_3d(cfg)
+    replicated = [k for k, s in specs.items() if s == P()]
+
+    def spmd(p, x, y):
+        loss, g = jax.value_and_grad(D3._loss_3d)(p, x, y, cfg, 2, 2,
+                                                  True, 2)
+        for k in replicated:
+            g[k] = jax.lax.psum(g[k], "pipe")
+        for k in D3.SP_PARTIAL_GRADS:
+            g[k] = jax.lax.psum(g[k], "model")
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    fn = jax.jit(shard_map(spmd, mesh=mesh,
+                           in_specs=(dict(specs), P("data"), P("data")),
+                           out_specs=(P(), dict(specs)), check_rep=False))
+    p3 = D3.place_params_3d(params, cfg, mesh)
+    dsh = NamedSharding(mesh, P("data"))
+    loss, g3 = fn(p3, jax.device_put(images, dsh), jax.device_put(labels, dsh))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    got = tp.from_tp_params(jax.device_get(g3), cfg)
+    for k in grads_ref:
+        g_ref = np.asarray(grads_ref[k])
+        scale = max(np.abs(g_ref).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(got[k]), g_ref, rtol=5e-4,
+                                   atol=3e-5 * scale, err_msg=k)
+
+
+def test_3d_sp_train_step_runs_and_decreases():
+    cfg = CFG.replace(pool="mean")
+    mesh = D3.make_mesh_3d(dp=2, tp=2, pp=2)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(3))
+    images, labels = _data(seed=3)
+    p3 = D3.place_params_3d(params, cfg, mesh)
+    m, v = D3.init_opt_state_3d(p3, mesh, cfg)
+    step = D3.make_3d_train_step(cfg, mesh, microbatches=2,
+                                 sequence_parallel=True)
+    dsh = NamedSharding(mesh, P("data"))
+    images = jax.device_put(images, dsh)
+    labels = jax.device_put(labels, dsh)
+    losses = []
+    for i in range(1, 6):
+        p3, m, v, loss = step(p3, m, v, images, labels,
+                              jnp.asarray(i, jnp.int32),
+                              jnp.asarray(3e-3, jnp.float32),
+                              jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

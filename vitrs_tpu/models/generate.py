@@ -46,6 +46,18 @@ def _dequant(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
     return x.transpose(0, 2, 1, 3).astype(dtype)
 
 
+def _plin(p: Dict, wkey: str, bkey, x: jax.Array) -> jax.Array:
+    """Linear that transparently takes int8 weight-only quantized params
+    (ops/quant.py layout: `wkey` int8 + `wkey + '_scale'` per-OC f32).
+    Weight-only int8 halves the per-token weight reads — generation is
+    weight-bound (BASELINE.md: 248 MB/step of weights at GPT-2 B=8)."""
+    b = p[bkey] if bkey is not None else None
+    if wkey + "_scale" in p:
+        from ..ops import quant
+        return quant.linear_w8(x, p[wkey], p[wkey + "_scale"], b)
+    return basic.linear(x, p[wkey], b)
+
+
 def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     """One block step that reads/updates its (B, Tmax, C) cache slice.
 
@@ -63,7 +75,7 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     int8_cache = isinstance(k_cache, tuple)
     Tmax = k_cache[0].shape[1] if int8_cache else k_cache.shape[1]
     ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
-    qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
+    qkv = _plin(p, "qkvw", "qkvb", ln1)
     q, k, v = jnp.split(qkv, 3, axis=-1)                    # (B, S, C)
     if int8_cache:
         kq, ks = quantize_kv(k, NH)
@@ -94,10 +106,10 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
                       preferred_element_type=jnp.float32).astype(x.dtype)
     atty = atty.transpose(0, 2, 1, 3).reshape(B, S, C)
 
-    x = x + basic.linear(atty, p["attprojw"], p["attprojb"])
+    x = x + _plin(p, "attprojw", "attprojb", atty)
     ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
-    fch_gelu = basic.gelu_cv(basic.linear(ln2, p["fcw"], p["fcb"]))
-    x = x + basic.linear(fch_gelu, p["fcprojw"], p["fcprojb"])
+    fch_gelu = basic.gelu_cv(_plin(p, "fcw", "fcb", ln2))
+    x = x + _plin(p, "fcprojw", "fcprojb", fch_gelu)
     return x, k_cache, v_cache
 
 
@@ -120,10 +132,16 @@ def forward_with_cache(params: Dict, tokens: jax.Array, caches, pos,
     k_caches, v_caches = caches
     dtype = jnp.dtype(cfg.dtype)
     S = tokens.shape[-1]
-    x = (params["wte"][tokens]
-         + jax.lax.dynamic_slice_in_dim(params["wpe"], pos, S, 0)[None]
-         ).astype(dtype)
-    blocks = {k: params[k] for k in M.BLOCK_KEYS}
+    int8_w = "wte_scale" in params          # weight-only quantized params
+    emb = params["wte"][tokens].astype(dtype)
+    if int8_w:
+        emb = emb * params["wte_scale"][tokens][..., None].astype(dtype)
+    x = emb + jax.lax.dynamic_slice_in_dim(
+        params["wpe"], pos, S, 0)[None].astype(dtype)
+    bkeys = M.BLOCK_KEYS + tuple(
+        k + "_scale" for k in M.BLOCK_KEYS
+        if k + "_scale" in params)
+    blocks = {k: params[k] for k in bkeys}
 
     def step(x, layer):
         p, kc, vc = layer
@@ -133,7 +151,11 @@ def forward_with_cache(params: Dict, tokens: jax.Array, caches, pos,
     x, (k_caches, v_caches) = jax.lax.scan(step, x,
                                            (blocks, k_caches, v_caches))
     lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
-    logits = basic.linear(lnf, params["wte"].astype(dtype), None)
+    if int8_w:
+        from ..ops import quant
+        logits = quant.linear_w8(lnf, params["wte"], params["wte_scale"])
+    else:
+        logits = basic.linear(lnf, params["wte"].astype(dtype), None)
     return logits.astype(jnp.float32), (k_caches, v_caches)
 
 

@@ -27,7 +27,9 @@ from .. import params as PRM
 from ..models import model as M
 from ..ops import basic, optimizer as opt
 from . import tensor_parallel as TPmod
-from .tensor_parallel import _tp_block, to_tp_params, from_tp_params, reduce_out
+from .tensor_parallel import (_tp_block, _tp_sp_block, to_tp_params,
+                              from_tp_params, reduce_out, scatter_seq,
+                              gather_seq_rep, SP_PARTIAL_GRADS)
 
 
 def make_mesh_3d(dp: int, tp: int, pp: int, devices=None) -> Mesh:
@@ -52,7 +54,8 @@ def param_specs_3d(cfg: ViTConfig):
 
 
 def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
-             microbatches: int):
+             microbatches: int, sequence_parallel: bool = False,
+             tp: int = 1):
     S, Mb = n_stages, microbatches
     stage = jax.lax.axis_index("pipe")
     B = images.shape[0]
@@ -62,13 +65,31 @@ def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
     layers_local = cfg.num_layers // S
     dtype = jnp.dtype(cfg.dtype)
     T = cfg.seq_len
+    if sequence_parallel:
+        assert T % tp == 0, (
+            f"SP needs seq_len ({T}) divisible by tp ({tp}); "
+            f"use pool='mean' or pad for CLS-token ViTs")
+    T_act = T // tp if sequence_parallel else T
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def head_loss(y, lbl):
+        if sequence_parallel:
+            # exit the SP region: head runs replicated on the model axis
+            y = gather_seq_rep(y, "model")
         lnf = basic.layernorm_cv(y, p["lnfw"], p["lnfb"])
         pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
         logits = basic.linear(pooled, p["headw"], p["headb"]).astype(jnp.float32)
         return jnp.mean(basic.cross_entropy_from_logits(logits, lbl))
+
+    def encode(idx):
+        h = M.vit_encode(
+            jax.lax.dynamic_index_in_dim(micro_x, idx, 0, keepdims=False),
+            p, cfg).astype(dtype)
+        if sequence_parallel:
+            # enter the SP region: each model-device keeps its T/tp shard —
+            # the pipeline ppermute then moves 1/tp the bytes per hop too
+            h = scatter_seq(h, "model", tp)
+        return h
 
     def tick(carry, t):
         act, loss_sum = carry
@@ -77,14 +98,14 @@ def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
         # patch-embed FLOPs
         y = jax.lax.cond(
             jnp.logical_and(stage == 0, t < Mb),
-            lambda a: M.vit_encode(
-                jax.lax.dynamic_index_in_dim(micro_x, in_idx, 0,
-                                             keepdims=False),
-                p, cfg).astype(dtype),
+            lambda a: encode(in_idx),
             lambda a: a, act)
         for l in range(layers_local):
             bp = {k: p[k][l] for k in TPmod.TP_BLOCK_SPECS}
-            y = _tp_block(y, bp, cfg, False, "model")
+            if sequence_parallel:
+                y = _tp_sp_block(y, bp, cfg, False, "model", tp)
+            else:
+                y = _tp_block(y, bp, cfg, False, "model")
         out_idx = t - (S - 1)
         lbl = jax.lax.dynamic_index_in_dim(
             micro_y, jnp.clip(out_idx, 0, Mb - 1), 0, keepdims=False)
@@ -96,23 +117,36 @@ def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
         act = jax.lax.ppermute(y, "pipe", perm)
         return (act, loss_sum), None
 
-    act0 = jnp.zeros((Bm, T, cfg.channels), dtype)
+    act0 = jnp.zeros((Bm, T_act, cfg.channels), dtype)
     (_, loss_sum), _ = jax.lax.scan(tick, (act0, jnp.zeros((), jnp.float32)),
                                     jnp.arange(Mb + S - 1))
     return reduce_out(loss_sum, "pipe") / Mb
 
 
-def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int):
+def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
+                       sequence_parallel: bool = False):
+    """sequence_parallel=True runs every stage's blocks in the Megatron-SP
+    form: the inter-stage activation (and its ppermute hop) is the
+    (B, T/tp, C) sequence shard, LN/residual compute drops by 1/tp, and the
+    TP collectives become the all-gather/reduce-scatter conjugate pair —
+    the full 4-D composition dp x tp(sp) x pp on one mesh."""
     S = mesh.shape["pipe"]
+    tp_size = mesh.shape["model"]
     assert cfg.num_layers % S == 0
     specs = param_specs_3d(cfg)
     replicated = [k for k, s in specs.items() if s == P()]
 
     def spmd(p, m, v, images, labels, step, lr, wd):
         loss, grads = jax.value_and_grad(_loss_3d)(p, images, labels, cfg, S,
-                                                   microbatches)
+                                                   microbatches,
+                                                   sequence_parallel, tp_size)
         for k in replicated:     # encode/head computed on one stage only
             grads[k] = jax.lax.psum(grads[k], "pipe")
+        if sequence_parallel:
+            # LN/bias compute lives on sequence shards: partial grads over
+            # the model axis (Megatron's SP LN-grad all-reduce)
+            for k in SP_PARTIAL_GRADS:
+                grads[k] = jax.lax.psum(grads[k], "model")
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, "data"), grads)
         p, m, v = opt.adamw_tree(p, grads, m, v, step, lr, weight_decay=wd)
