@@ -53,18 +53,22 @@ def param_specs_3d(cfg: ViTConfig):
     return specs
 
 
-def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
+def _loss_3d(p, inputs, labels, cfg: ViTConfig, n_stages: int,
              microbatches: int, sequence_parallel: bool = False,
              tp: int = 1):
+    """vit mode (patch-embed encode + classifier head) and gpt mode (token
+    encode + weight-tied vocab head, per-token CE — the reference's own
+    model, rusty_vit.rs:336-347) both pipeline over the same tick scan."""
     S, Mb = n_stages, microbatches
     stage = jax.lax.axis_index("pipe")
-    B = images.shape[0]
+    gpt = cfg.mode == "gpt"
+    B = inputs.shape[0]
     Bm = B // Mb
-    micro_x = images.reshape((Mb, Bm) + images.shape[1:])
-    micro_y = labels.reshape(Mb, Bm)
+    micro_x = inputs.reshape((Mb, Bm) + inputs.shape[1:])
+    micro_y = labels.reshape((Mb, Bm) + labels.shape[1:])
     layers_local = cfg.num_layers // S
     dtype = jnp.dtype(cfg.dtype)
-    T = cfg.seq_len
+    T = inputs.shape[1] if gpt else cfg.seq_len
     if sequence_parallel:
         assert T % tp == 0, (
             f"SP needs seq_len ({T}) divisible by tp ({tp}); "
@@ -77,14 +81,17 @@ def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
             # exit the SP region: head runs replicated on the model axis
             y = gather_seq_rep(y, "model")
         lnf = basic.layernorm_cv(y, p["lnfw"], p["lnfb"])
+        if gpt:
+            logits = basic.linear(lnf, p["wte"].astype(dtype), None)
+            return jnp.mean(basic.cross_entropy_from_logits(logits, lbl))
         pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
         logits = basic.linear(pooled, p["headw"], p["headb"]).astype(jnp.float32)
         return jnp.mean(basic.cross_entropy_from_logits(logits, lbl))
 
     def encode(idx):
-        h = M.vit_encode(
-            jax.lax.dynamic_index_in_dim(micro_x, idx, 0, keepdims=False),
-            p, cfg).astype(dtype)
+        xb = jax.lax.dynamic_index_in_dim(micro_x, idx, 0, keepdims=False)
+        h = (M.gpt_encode(xb, p, dtype) if gpt
+             else M.vit_encode(xb, p, cfg).astype(dtype))
         if sequence_parallel:
             # enter the SP region: each model-device keeps its T/tp shard —
             # the pipeline ppermute then moves 1/tp the bytes per hop too
@@ -103,9 +110,9 @@ def _loss_3d(p, images, labels, cfg: ViTConfig, n_stages: int,
         for l in range(layers_local):
             bp = {k: p[k][l] for k in TPmod.TP_BLOCK_SPECS}
             if sequence_parallel:
-                y = _tp_sp_block(y, bp, cfg, False, "model", tp)
+                y = _tp_sp_block(y, bp, cfg, gpt, "model", tp)
             else:
-                y = _tp_block(y, bp, cfg, False, "model")
+                y = _tp_block(y, bp, cfg, gpt, "model")
         out_idx = t - (S - 1)
         lbl = jax.lax.dynamic_index_in_dim(
             micro_y, jnp.clip(out_idx, 0, Mb - 1), 0, keepdims=False)
