@@ -197,3 +197,93 @@ def generate(params: Dict, prompt: jax.Array, cfg: ViTConfig, max_new: int,
     (last, _, _), toks = jax.lax.scan(decode, (first, T0, caches), keys)
     gen = jnp.concatenate([toks.T, last[:, None]], axis=1)   # (B, max_new)
     return jnp.concatenate([prompt, gen], axis=1)
+
+
+# --------------------------------------------------------------------------
+# Continuous-batching decode: per-slot positions (serving_gen.py engine)
+# --------------------------------------------------------------------------
+
+def _block_decode_multi(x, p, cfg, k_cache, v_cache, pos):
+    """One block step for ONE new token per slot with per-slot positions.
+
+    x: (B, 1, C); pos: (B,) int32 — each slot's write position.  The causal
+    mask is per-slot (t <= pos[b]), so slots at different depths coexist in
+    one batch — the kernel of continuous batching.  Caches are raw
+    (B, Tmax, C) (int8 cache is a whole-batch layout; per-slot decode keeps
+    the simpler form and quantized *weights* instead, see _plin)."""
+    B, _, C = x.shape
+    NH = cfg.num_heads
+    D = C // NH
+    Tmax = k_cache.shape[1]
+    ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
+    qkv = _plin(p, "qkvw", "qkvb", ln1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)                    # (B, 1, C)
+    bidx = jnp.arange(B)
+    k_cache = k_cache.at[bidx, pos].set(k[:, 0])
+    v_cache = v_cache.at[bidx, pos].set(v[:, 0])
+    kh = k_cache.reshape(B, Tmax, NH, D).transpose(0, 2, 1, 3)
+    vh = v_cache.reshape(B, Tmax, NH, D).transpose(0, 2, 1, 3)
+    qh = q.reshape(B, 1, NH, D).transpose(0, 2, 1, 3)       # (B, NH, 1, D)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    s = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
+                   preferred_element_type=jnp.float32) * scale
+    mask = jnp.arange(Tmax)[None, :] <= pos[:, None]        # (B, Tmax)
+    s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
+    att = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    atty = jnp.einsum("bhst,bhtd->bhsd", att, vh,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    atty = atty.transpose(0, 2, 1, 3).reshape(B, 1, C)
+    x = x + _plin(p, "attprojw", "attprojb", atty)
+    ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
+    fch_gelu = basic.gelu_cv(_plin(p, "fcw", "fcb", ln2))
+    x = x + _plin(p, "fcprojw", "fcprojb", fch_gelu)
+    return x, k_cache, v_cache
+
+
+def decode_step_multi(params: Dict, tokens: jax.Array, caches, pos,
+                      cfg: ViTConfig):
+    """tokens (B,) at per-slot positions pos (B,) -> (logits (B, V), caches).
+
+    Inactive slots simply carry a stale pos; their logits are computed and
+    discarded by the engine (dense batch = one compiled program regardless
+    of which slots are live — the XLA-friendly form of continuous batching).
+    """
+    k_caches, v_caches = caches
+    dtype = jnp.dtype(cfg.dtype)
+    int8_w = "wte_scale" in params
+    emb = params["wte"][tokens].astype(dtype)
+    if int8_w:
+        emb = emb * params["wte_scale"][tokens][..., None].astype(dtype)
+    x = (emb + params["wpe"][pos].astype(dtype))[:, None, :]   # (B, 1, C)
+    bkeys = M.BLOCK_KEYS + tuple(
+        k + "_scale" for k in M.BLOCK_KEYS if k + "_scale" in params)
+    blocks = {k: params[k] for k in bkeys}
+
+    def step(x, layer):
+        p, kc, vc = layer
+        x, kc, vc = _block_decode_multi(x, p, cfg, kc, vc, pos)
+        return x, (kc, vc)
+
+    x, (k_caches, v_caches) = jax.lax.scan(step, x,
+                                           (blocks, k_caches, v_caches))
+    lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
+    if int8_w:
+        from ..ops import quant
+        logits = quant.linear_w8(lnf, params["wte"], params["wte_scale"])
+    else:
+        logits = basic.linear(lnf, params["wte"].astype(dtype), None)
+    return logits[:, 0, :].astype(jnp.float32), (k_caches, v_caches)
+
+
+def prefill_into_slot(params: Dict, prompt: jax.Array, caches, slot: int,
+                      cfg: ViTConfig):
+    """Run a (T0,) prompt through the stack, writing K/V into `slot`'s rows.
+    Returns (last-token logits (V,), caches)."""
+    k_caches, v_caches = caches
+    kc1 = jax.lax.dynamic_slice_in_dim(k_caches, slot, 1, axis=1)
+    vc1 = jax.lax.dynamic_slice_in_dim(v_caches, slot, 1, axis=1)
+    logits, (kc1, vc1) = forward_with_cache(params, prompt[None], (kc1, vc1),
+                                            0, cfg)
+    k_caches = jax.lax.dynamic_update_slice_in_dim(k_caches, kc1, slot, axis=1)
+    v_caches = jax.lax.dynamic_update_slice_in_dim(v_caches, vc1, slot, axis=1)
+    return logits[0, -1, :], (k_caches, v_caches)

@@ -1,0 +1,176 @@
+"""Continuous-batching generation engine (GPT serving).
+
+The reference's serving story is a batch `forward` without targets
+(rusty_vit.rs:269-350); this module supplies the production text-serving
+loop the TPU way: a FIXED pool of decode slots driven by one compiled
+program per tick, with requests admitted into free slots as others retire
+— so throughput stays at the dense-batch rate even when sequences start
+and finish at different times (the property continuous batching exists
+for).  Dynamic shapes never reach XLA: inactive slots decode garbage that
+the host discards, which costs a slot's worth of FLOPs rather than a
+recompile.
+
+Components:
+  * `generate.prefill_into_slot` — one compiled prefill per prompt length
+    bucket (prompts are right-padded up to the bucket; positions beyond
+    the true length are overwritten during decode, never read, because the
+    causal mask is per-slot `t <= pos`).
+  * `generate.decode_step_multi` — ONE token for ALL slots per tick with
+    per-slot positions.
+  * host-side slot allocator + per-request sampling state.
+
+Weight-only int8 params (ops/quant.py) pass straight through — both
+compiled programs dispatch on the `_scale` leaves.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ViTConfig
+from .models import generate as G
+
+
+@dataclass
+class _Request:
+    rid: int
+    prompt: np.ndarray                 # (T0,) int
+    max_new: int
+    temperature: float
+    top_k: int
+    eos_id: Optional[int]
+    out: List[int] = field(default_factory=list)
+    slot: int = -1
+
+
+class GenerationEngine:
+    """Slot-pool continuous batching over one shared KV cache.
+
+    >>> eng = GenerationEngine(params, cfg, max_slots=8, max_len=256)
+    >>> eng.submit(prompt_tokens, max_new=64)
+    >>> finished = eng.run()            # list of (rid, np.ndarray tokens)
+    """
+
+    def __init__(self, params: Dict, cfg: ViTConfig, max_slots: int,
+                 max_len: int, seed: int = 0,
+                 prompt_buckets: tuple = (32, 64, 128)):
+        assert max_len <= cfg.max_seq_len
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.buckets = tuple(sorted(b for b in prompt_buckets
+                                    if b <= max_len))
+        self.caches = G.init_kv_cache(cfg, max_slots, max_len)
+        self.free: List[int] = list(range(max_slots))
+        self.active: Dict[int, _Request] = {}      # slot -> request
+        self.pending: List[_Request] = []
+        self.finished: List[_Request] = []
+        self._next_rid = 0
+        self._key = jax.random.PRNGKey(seed)
+        # host mirrors of per-slot state fed to the decode program
+        self._tokens = np.zeros(max_slots, np.int32)
+        self._pos = np.zeros(max_slots, np.int32)
+
+        # caches donated: the pool updates in place instead of copying the
+        # whole (L, slots, Tmax, C) buffer every tick
+        self._decode = jax.jit(functools.partial(G.decode_step_multi,
+                                                 cfg=cfg),
+                               donate_argnums=(2,))
+        self._prefill = jax.jit(functools.partial(G.prefill_into_slot,
+                                                  cfg=cfg),
+                                donate_argnums=(2,))
+
+    # ------------------------------------------------------------- intake
+
+    def submit(self, prompt, max_new: int, temperature: float = 0.0,
+               top_k: int = 0, eos_id: Optional[int] = None) -> int:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        assert len(prompt) + max_new <= self.max_len, "request exceeds max_len"
+        assert len(prompt) <= max(self.buckets), "prompt exceeds buckets"
+        rid = self._next_rid
+        self._next_rid += 1
+        self.pending.append(_Request(rid, prompt, max_new, temperature,
+                                     top_k, eos_id))
+        return rid
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(n)
+
+    def _admit(self):
+        while self.pending and self.free:
+            req = self.pending.pop(0)
+            slot = self.free.pop()
+            req.slot = slot
+            T0 = len(req.prompt)
+            bucket = self._bucket(T0)
+            padded = np.zeros(bucket, np.int32)
+            padded[:T0] = req.prompt
+            # pad tokens write cache rows >= T0, but decode's causal mask
+            # (t <= pos) never reads them before they are overwritten
+            _, self.caches = self._prefill(
+                self.params, jnp.asarray(padded), self.caches,
+                jnp.asarray(slot, jnp.int32))
+            # the last REAL prompt token's logits live at index T0-1; with
+            # right-padding the returned last-row logits are the pad's, so
+            # re-sample from the correct row is needed — prefill_into_slot
+            # returns only the last row, so instead seed decode with the
+            # final prompt token at pos T0-1 and let the first decode tick
+            # produce the first new token.
+            self._tokens[slot] = req.prompt[-1]
+            self._pos[slot] = T0 - 1
+            self.active[slot] = req
+
+    # ------------------------------------------------------------- decode
+
+    def _sample_host(self, req: _Request, logits: np.ndarray) -> int:
+        if req.temperature == 0.0:
+            return int(np.argmax(logits))
+        self._key, k = jax.random.split(self._key)
+        lg = logits / req.temperature
+        if req.top_k:
+            kth = np.sort(lg)[-req.top_k]
+            lg = np.where(lg < kth, -np.inf, lg)
+        return int(jax.random.categorical(k, jnp.asarray(lg)))
+
+    def step(self) -> List[_Request]:
+        """One decode tick for every active slot; returns newly finished."""
+        self._admit()
+        if not self.active:
+            return []
+        logits, self.caches = self._decode(
+            self.params, jnp.asarray(self._tokens), self.caches,
+            jnp.asarray(self._pos))
+        logits = np.asarray(logits)
+        done: List[_Request] = []
+        for slot, req in list(self.active.items()):
+            nxt = self._sample_host(req, logits[slot])
+            req.out.append(nxt)
+            self._tokens[slot] = nxt
+            self._pos[slot] += 1
+            hit_eos = req.eos_id is not None and nxt == req.eos_id
+            if len(req.out) >= req.max_new or hit_eos:
+                done.append(req)
+                del self.active[slot]
+                self.free.append(slot)
+        self.finished.extend(done)
+        return done
+
+    def run(self) -> List[tuple]:
+        """Drive until every submitted request finishes."""
+        while self.pending or self.active:
+            self.step()
+        out = [(r.rid, np.concatenate([r.prompt, np.asarray(r.out,
+                                                            np.int32)]))
+               for r in sorted(self.finished, key=lambda r: r.rid)]
+        self.finished.clear()
+        return out
