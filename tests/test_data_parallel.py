@@ -120,3 +120,36 @@ def test_dp_uint8_device_normalize_matches_float_path():
     # float inputs pass through a normalize-enabled step untouched
     _, _, _, loss_pass = step_n(*args(host))
     np.testing.assert_allclose(float(loss_pass), float(loss_f), rtol=1e-6)
+
+
+def test_dp_clip_norm_bounds_update():
+    """clip_norm must scale the applied gradient so its global norm is at
+    most the clip, and the logged metric stays the PRE-clip norm."""
+    mesh = dp.make_mesh()
+    params = PRM.init_params(CFG, jax.random.PRNGKey(4))
+    images, labels = _data(seed=4)
+    images = jnp.asarray(images) * 50.0        # inflate grads so clip binds
+    args_tail = (dp.shard_batch(images, mesh),
+                 dp.shard_batch(jnp.asarray(labels), mesh),
+                 jnp.asarray(1, jnp.int32), jnp.asarray(0.0, jnp.float32),
+                 jnp.asarray(0.0, jnp.float32))      # lr=0: isolate grads
+
+    step_ref = dp.make_dp_train_step(CFG, mesh, return_grad_norm=True)
+    _, _, _, _, gn_raw = step_ref(
+        dp.replicate(jax.tree.map(jnp.array, params), mesh),
+        *dp.init_sharded_opt_state(CFG, mesh), *args_tail)
+    gn_raw = float(gn_raw)
+    assert gn_raw > 1.0                        # clip at 1.0 will bind
+
+    step_clip = dp.make_dp_train_step(CFG, mesh, return_grad_norm=True,
+                                      clip_norm=1.0)
+    _, m1, _, _, gn_logged = step_clip(
+        dp.replicate(jax.tree.map(jnp.array, params), mesh),
+        *dp.init_sharded_opt_state(CFG, mesh), *args_tail)
+    # metric reports the pre-clip norm
+    np.testing.assert_allclose(float(gn_logged), gn_raw, rtol=1e-5)
+    # AdamW first moment after one step = (1-b1) * applied grad, so the
+    # applied-grad global norm is ||m1|| / (1-b1) — must equal the clip
+    applied = np.linalg.norm(np.concatenate(
+        [np.asarray(s.data).ravel() for s in m1.addressable_shards])) / 0.1
+    np.testing.assert_allclose(applied, 1.0, rtol=1e-4)

@@ -65,7 +65,7 @@ def init_sharded_opt_state(cfg: ViTConfig, mesh: Mesh):
 def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
                        return_grad_norm: bool = False,
                        mixup_alpha: float = 0.0,
-                       normalize=None):
+                       normalize=None, clip_norm: float = 0.0):
     """Build the jitted SPMD training step.
 
     Signature: (params, m, v, inputs, targets, step, lr, wd)
@@ -153,6 +153,17 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
         # reduce-scatter the summed gradient: each device gets its 1/N slice
         g_shard = jax.lax.psum_scatter(flat_g, "data", scatter_dimension=0,
                                        tiled=True) / mesh.size
+        gnorm = None
+        if clip_norm > 0.0 or return_grad_norm:
+            # SURVEY.md §5.5 metric; the reduce-scattered shard already
+            # holds the global-mean gradient, so norm² sums across shards
+            gnorm = jnp.sqrt(jax.lax.psum(jnp.sum(jnp.square(g_shard)),
+                                          "data"))
+        if clip_norm > 0.0:
+            # global-norm clip on the sharded gradient — the production GPT
+            # recipe's clip-at-1.0; the reported metric stays the PRE-clip
+            # norm (the quantity worth monitoring)
+            g_shard = g_shard * jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
         flat_p = PRM.flatten_params(params, cfg)
         if n_pad != n:
             flat_p = jnp.pad(flat_p, (0, n_pad - n))
@@ -164,10 +175,6 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
         new_params = PRM.unflatten_params(flat_p_new[:n], cfg)
         loss = jax.lax.pmean(loss, "data")
         if return_grad_norm:
-            # SURVEY.md §5.5 metric; the reduce-scattered shard already holds
-            # the global-mean gradient, so norm² sums across shards
-            gnorm = jnp.sqrt(jax.lax.psum(
-                jnp.sum(jnp.square(g_shard)), "data"))
             return new_params, m_shard, v_shard, loss, gnorm
         return new_params, m_shard, v_shard, loss
 

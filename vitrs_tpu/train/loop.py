@@ -65,6 +65,7 @@ class TrainConfig:
     label_smoothing: float = 0.0
     ema_decay: float = 0.0         # 0 = off; e.g. 0.9999 for ViT recipes
     log_grad_norm: bool = False    # SURVEY §5.5 metric (one extra psum)
+    clip_norm: float = 0.0         # 0 = off; 1.0 = the standard GPT recipe
     ra_ops: int = 0                # RandAugment ops per image (imagenet path)
     ra_mag: float = 0.0            # RandAugment magnitude in [0, 1]
     mixup_alpha: float = 0.0       # device-side mixup (vit mode)
@@ -169,7 +170,8 @@ def train(tc: TrainConfig) -> dict:
     step_fn = dp.make_dp_train_step(cfg, mesh,
                                     return_grad_norm=tc.log_grad_norm,
                                     mixup_alpha=tc.mixup_alpha,
-                                    normalize=norm_stats)
+                                    normalize=norm_stats,
+                                    clip_norm=tc.clip_norm)
     ema = None
     ema_update = None
     if tc.ema_decay > 0.0:
