@@ -79,3 +79,39 @@ def test_engine_int8_weight_params():
     ref = G.generate(qp, jnp.asarray(p1)[None], CFG, max_new=4,
                      key=jax.random.PRNGKey(0), temperature=0.0)
     np.testing.assert_array_equal(outs[0], np.asarray(ref)[0])
+
+
+def test_paged_engine_matches_dense_engine():
+    """Paged mode (block pool + page tables) must reproduce the dense
+    engine's greedy output exactly, including page reuse after retirement:
+    a second wave of requests recycles the first wave's pages."""
+    params = P.init_params(CFG, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, CFG.vocab_size, n) for n in (5, 9, 4, 7)]
+    # pool sized for only ~2 concurrent requests -> forces recycling
+    eng = GenerationEngine(params, CFG, max_slots=2, max_len=32,
+                           prompt_buckets=(16,), paged=True, n_pages=5)
+    for p in prompts:
+        eng.submit(p, max_new=4)
+    outs = dict(eng.run())
+    assert len(outs) == 4
+    for i, p in enumerate(prompts):
+        np.testing.assert_array_equal(outs[i], _ref_greedy(params, p, 4))
+    # all non-sink pages returned to the pool
+    assert sorted(eng.free_pages) == [1, 2, 3, 4]
+
+
+def test_paged_pool_smaller_than_dense():
+    """The point of paging: serve max_slots=4 requests from a pool smaller
+    than 4 * max_len tokens (here 3 pages < 4 slots x 2 pages)."""
+    params = P.init_params(CFG, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, CFG.vocab_size, 6) for _ in range(4)]
+    eng = GenerationEngine(params, CFG, max_slots=4, max_len=32,
+                           prompt_buckets=(16,), paged=True, n_pages=4)
+    for p in prompts:
+        eng.submit(p, max_new=3)
+    outs = dict(eng.run())          # admission waits for pages, still finishes
+    assert len(outs) == 4
+    for i, p in enumerate(prompts):
+        np.testing.assert_array_equal(outs[i], _ref_greedy(params, p, 3))

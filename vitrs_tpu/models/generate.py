@@ -287,3 +287,105 @@ def prefill_into_slot(params: Dict, prompt: jax.Array, caches, slot: int,
     k_caches = jax.lax.dynamic_update_slice_in_dim(k_caches, kc1, slot, axis=1)
     v_caches = jax.lax.dynamic_update_slice_in_dim(v_caches, vc1, slot, axis=1)
     return logits[0, -1, :], (k_caches, v_caches)
+
+
+# --------------------------------------------------------------------------
+# Paged KV cache (vLLM-style, XLA-static): block-pool + per-slot page table
+# --------------------------------------------------------------------------
+#
+# The dense slot cache reserves max_slots * max_len rows; a paged pool holds
+# N_PAGES fixed-size pages shared by all slots, with a host-managed page
+# table mapping (slot, page-index) -> pool page.  Memory scales with TOTAL
+# live tokens, not worst-case per slot — the property that lets a server
+# admit many short requests alongside a few long ones.  All shapes are
+# static: decode gathers each slot's pages (B, MAX_PP, PAGE, C) and masks by
+# position, so XLA compiles one program for every occupancy pattern.
+
+PAGE = 16                   # tokens per page (multiple of 8 for sublanes)
+
+
+def init_paged_kv(cfg: ViTConfig, n_pages: int):
+    dtype = jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, n_pages, PAGE, cfg.channels)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _block_decode_paged(x, p, cfg, kp, vp, table, pos):
+    """kp/vp (N_PAGES, PAGE, C); table (B, MAX_PP) page ids; pos (B,)."""
+    B, _, C = x.shape
+    NH = cfg.num_heads
+    D = C // NH
+    max_pp = table.shape[1]
+    Tv = max_pp * PAGE                                  # virtual max length
+    ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
+    qkv = _plin(p, "qkvw", "qkvb", ln1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)                # (B, 1, C)
+    page_id = jnp.take_along_axis(table, (pos // PAGE)[:, None],
+                                  axis=1)[:, 0]         # (B,)
+    off = pos % PAGE
+    kp = kp.at[page_id, off].set(k[:, 0])
+    vp = vp.at[page_id, off].set(v[:, 0])
+    kh = kp[table].reshape(B, Tv, NH, D).transpose(0, 2, 1, 3)
+    vh = vp[table].reshape(B, Tv, NH, D).transpose(0, 2, 1, 3)
+    qh = q.reshape(B, 1, NH, D).transpose(0, 2, 1, 3)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    s = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
+                   preferred_element_type=jnp.float32) * scale
+    mask = jnp.arange(Tv)[None, :] <= pos[:, None]
+    s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
+    att = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    atty = jnp.einsum("bhst,bhtd->bhsd", att, vh,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    atty = atty.transpose(0, 2, 1, 3).reshape(B, 1, C)
+    x = x + _plin(p, "attprojw", "attprojb", atty)
+    ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
+    fch_gelu = basic.gelu_cv(_plin(p, "fcw", "fcb", ln2))
+    x = x + _plin(p, "fcprojw", "fcprojb", fch_gelu)
+    return x, kp, vp
+
+
+def decode_step_paged(params: Dict, tokens: jax.Array, caches, table,
+                      pos, cfg: ViTConfig):
+    """Paged twin of decode_step_multi; table (B, MAX_PP), pos (B,)."""
+    kps, vps = caches
+    dtype = jnp.dtype(cfg.dtype)
+    int8_w = "wte_scale" in params
+    emb = params["wte"][tokens].astype(dtype)
+    if int8_w:
+        emb = emb * params["wte_scale"][tokens][..., None].astype(dtype)
+    x = (emb + params["wpe"][pos].astype(dtype))[:, None, :]
+    bkeys = M.BLOCK_KEYS + tuple(
+        k + "_scale" for k in M.BLOCK_KEYS if k + "_scale" in params)
+    blocks = {k: params[k] for k in bkeys}
+
+    def step(x, layer):
+        p, kp, vp = layer
+        x, kp, vp = _block_decode_paged(x, p, cfg, kp, vp, table, pos)
+        return x, (kp, vp)
+
+    x, (kps, vps) = jax.lax.scan(step, x, (blocks, kps, vps))
+    lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
+    if int8_w:
+        from ..ops import quant
+        logits = quant.linear_w8(lnf, params["wte"], params["wte_scale"])
+    else:
+        logits = basic.linear(lnf, params["wte"].astype(dtype), None)
+    return logits[:, 0, :].astype(jnp.float32), (kps, vps)
+
+
+def prefill_into_pages(params: Dict, prompt: jax.Array, caches, page_ids,
+                       cfg: ViTConfig):
+    """Run a (T0,) prompt (T0 % PAGE == 0 via bucket padding) through the
+    stack and scatter its K/V rows into the slot's pages.  page_ids
+    (T0 // PAGE,) pool pages, in sequence order."""
+    kps, vps = caches
+    n_pg = prompt.shape[0] // PAGE
+    kc1, vc1 = init_kv_cache(cfg, 1, prompt.shape[0])
+    logits, (kc1, vc1) = forward_with_cache(params, prompt[None], (kc1, vc1),
+                                            0, cfg)
+    L, _, T0, C = kc1.shape
+    kpages = kc1.reshape(L, n_pg, PAGE, C)
+    vpages = vc1.reshape(L, n_pg, PAGE, C)
+    kps = kps.at[:, page_ids].set(kpages)
+    vps = vps.at[:, page_ids].set(vpages)
+    return logits[0, -1, :], (kps, vps)

@@ -59,7 +59,8 @@ class GenerationEngine:
 
     def __init__(self, params: Dict, cfg: ViTConfig, max_slots: int,
                  max_len: int, seed: int = 0,
-                 prompt_buckets: tuple = (32, 64, 128)):
+                 prompt_buckets: tuple = (32, 64, 128),
+                 paged: bool = False, n_pages: int = 0):
         assert max_len <= cfg.max_seq_len
         self.params = params
         self.cfg = cfg
@@ -67,7 +68,7 @@ class GenerationEngine:
         self.max_len = max_len
         self.buckets = tuple(sorted(b for b in prompt_buckets
                                     if b <= max_len))
-        self.caches = G.init_kv_cache(cfg, max_slots, max_len)
+        self.paged = paged
         self.free: List[int] = list(range(max_slots))
         self.active: Dict[int, _Request] = {}      # slot -> request
         self.pending: List[_Request] = []
@@ -78,14 +79,41 @@ class GenerationEngine:
         self._tokens = np.zeros(max_slots, np.int32)
         self._pos = np.zeros(max_slots, np.int32)
 
-        # caches donated: the pool updates in place instead of copying the
-        # whole (L, slots, Tmax, C) buffer every tick
-        self._decode = jax.jit(functools.partial(G.decode_step_multi,
-                                                 cfg=cfg),
-                               donate_argnums=(2,))
-        self._prefill = jax.jit(functools.partial(G.prefill_into_slot,
-                                                  cfg=cfg),
-                                donate_argnums=(2,))
+        if paged:
+            # block-pool cache: memory = n_pages * PAGE tokens TOTAL, shared
+            # by all slots; the dense form would reserve max_slots * max_len
+            assert max_len % G.PAGE == 0
+            assert all(b % G.PAGE == 0 for b in self.buckets)
+            self.max_pp = max_len // G.PAGE
+            if n_pages <= 0:
+                # dense-equivalent pool (+1 for the reserved sink page)
+                n_pages = max_slots * self.max_pp + 1
+            self.caches = G.init_paged_kv(cfg, n_pages)
+            # page 0 is a reserved write-sink: every slot in the dense decode
+            # batch writes its K/V somewhere each tick, and a retired slot's
+            # stale table row must never alias a page reallocated to a live
+            # slot — pointing retired rows at page 0 makes those writes
+            # harmless (page 0 is only ever read under the causal mask)
+            self.free_pages: List[int] = list(range(1, n_pages))
+            # host page table + per-slot allocated-token high-water mark
+            self._table = np.zeros((max_slots, self.max_pp), np.int32)
+            self._alloc = np.zeros(max_slots, np.int32)
+            self._decode = jax.jit(functools.partial(G.decode_step_paged,
+                                                     cfg=cfg),
+                                   donate_argnums=(2,))
+            self._prefill = jax.jit(functools.partial(G.prefill_into_pages,
+                                                      cfg=cfg),
+                                    donate_argnums=(2,))
+        else:
+            self.caches = G.init_kv_cache(cfg, max_slots, max_len)
+            # caches donated: the pool updates in place instead of copying
+            # the whole (L, slots, Tmax, C) buffer every tick
+            self._decode = jax.jit(functools.partial(G.decode_step_multi,
+                                                     cfg=cfg),
+                                   donate_argnums=(2,))
+            self._prefill = jax.jit(functools.partial(G.prefill_into_slot,
+                                                      cfg=cfg),
+                                    donate_argnums=(2,))
 
     # ------------------------------------------------------------- intake
 
@@ -106,20 +134,39 @@ class GenerationEngine:
                 return b
         raise ValueError(n)
 
+    def _release_pages(self, slot: int):
+        n = int(self._alloc[slot]) // G.PAGE
+        self.free_pages.extend(int(p) for p in self._table[slot, :n])
+        self._table[slot] = 0              # retired writes land in page 0
+        self._pos[slot] = 0
+        self._alloc[slot] = 0
+
     def _admit(self):
         while self.pending and self.free:
             req = self.pending.pop(0)
-            slot = self.free.pop()
-            req.slot = slot
             T0 = len(req.prompt)
             bucket = self._bucket(T0)
+            if self.paged and len(self.free_pages) < bucket // G.PAGE:
+                self.pending.insert(0, req)        # wait for pages to free
+                return
+            slot = self.free.pop()
+            req.slot = slot
             padded = np.zeros(bucket, np.int32)
             padded[:T0] = req.prompt
             # pad tokens write cache rows >= T0, but decode's causal mask
             # (t <= pos) never reads them before they are overwritten
-            _, self.caches = self._prefill(
-                self.params, jnp.asarray(padded), self.caches,
-                jnp.asarray(slot, jnp.int32))
+            if self.paged:
+                n_pg = bucket // G.PAGE
+                pids = [self.free_pages.pop() for _ in range(n_pg)]
+                self._table[slot, :n_pg] = pids
+                self._alloc[slot] = bucket
+                _, self.caches = self._prefill(
+                    self.params, jnp.asarray(padded), self.caches,
+                    jnp.asarray(pids, jnp.int32))
+            else:
+                _, self.caches = self._prefill(
+                    self.params, jnp.asarray(padded), self.caches,
+                    jnp.asarray(slot, jnp.int32))
             # the last REAL prompt token's logits live at index T0-1; with
             # right-padding the returned last-row logits are the pad's, so
             # re-sample from the correct row is needed — prefill_into_slot
@@ -147,9 +194,24 @@ class GenerationEngine:
         self._admit()
         if not self.active:
             return []
-        logits, self.caches = self._decode(
-            self.params, jnp.asarray(self._tokens), self.caches,
-            jnp.asarray(self._pos))
+        if self.paged:
+            # grow any slot whose next write position crosses its allocation
+            for slot in self.active:
+                if self._pos[slot] >= self._alloc[slot]:
+                    if not self.free_pages:
+                        raise RuntimeError(
+                            "page pool exhausted; size n_pages for the "
+                            "expected live-token total")
+                    idx = int(self._alloc[slot]) // G.PAGE
+                    self._table[slot, idx] = self.free_pages.pop()
+                    self._alloc[slot] += G.PAGE
+            logits, self.caches = self._decode(
+                self.params, jnp.asarray(self._tokens), self.caches,
+                jnp.asarray(self._table), jnp.asarray(self._pos))
+        else:
+            logits, self.caches = self._decode(
+                self.params, jnp.asarray(self._tokens), self.caches,
+                jnp.asarray(self._pos))
         logits = np.asarray(logits)
         done: List[_Request] = []
         for slot, req in list(self.active.items()):
@@ -162,6 +224,8 @@ class GenerationEngine:
                 done.append(req)
                 del self.active[slot]
                 self.free.append(slot)
+                if self.paged:
+                    self._release_pages(slot)
         self.finished.extend(done)
         return done
 
