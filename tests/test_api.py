@@ -139,3 +139,45 @@ def test_vit_mode_end_to_end():
     loss = model.forward(images)
     assert loss == -1.0
     assert model.logits.shape == (4, 10)
+
+
+def test_drop_path_semantics():
+    """Stochastic depth: inert without rng / at eval; with rng + rate it
+    perturbs the forward, identity layers (rate 0 at layer 0) survive, and
+    gradients stay finite; gpt2-family presets pin the llm.c counts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vitrs_tpu import params as PRM
+    from vitrs_tpu.config import get_config
+    from vitrs_tpu.models import model as M
+
+    cfg = get_config("vit-tiny-4-cifar10", use_flash=False, num_layers=4,
+                     channels=64, num_heads=2, drop_path=0.5)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3), dtype=np.float32))
+    y = jnp.asarray(rng.integers(0, 10, (8,)))
+
+    eval_logits = M.vit_forward(params, x, cfg, train=False)
+    # train WITHOUT rng: drop-path must be inert (deterministic contract)
+    no_rng = M.vit_forward(params, x, cfg, train=True)
+    np.testing.assert_array_equal(np.asarray(eval_logits), np.asarray(no_rng))
+    # with rng: perturbed, different keys -> different drops
+    k1 = M.vit_forward(params, x, cfg, train=True, rng=jax.random.PRNGKey(1))
+    k2 = M.vit_forward(params, x, cfg, train=True, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(k1), np.asarray(eval_logits))
+    assert not np.allclose(np.asarray(k1), np.asarray(k2))
+    # grads finite through the dropped scan
+    g = jax.grad(M.vit_loss)(params, x, y, cfg, rng=jax.random.PRNGKey(3))
+    for k, v in g.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_gpt2_family_param_counts():
+    from vitrs_tpu import params as PRM
+    from vitrs_tpu.config import get_config
+    want = {"gpt2-124m": 124_439_808, "gpt2-350m": 354_823_168,
+            "gpt2-774m": 774_030_080, "gpt2-1558m": 1_557_611_200}
+    for name, n in want.items():
+        assert PRM.num_parameters(get_config(name)) == n, name

@@ -40,6 +40,8 @@ def main():
     p.add_argument("--log-grad-norm", action="store_true")
     p.add_argument("--clip-norm", type=float, default=0.0,
                    help="global grad-norm clip (1.0 = standard GPT recipe)")
+    p.add_argument("--drop-path", type=float, default=0.0,
+                   help="stochastic depth rate (ViT-L recipes: 0.1-0.3)")
     p.add_argument("--ra-ops", type=int, default=0,
                    help="RandAugment ops per image (imagenet loader)")
     p.add_argument("--ra-mag", type=float, default=0.0,
@@ -79,7 +81,9 @@ def main():
         ema_decay=args.ema_decay, init_ckpt=args.init_ckpt,
         log_grad_norm=args.log_grad_norm, clip_norm=args.clip_norm,
         ra_ops=args.ra_ops,
-        ra_mag=args.ra_mag, mixup_alpha=args.mixup_alpha)
+        ra_mag=args.ra_mag, mixup_alpha=args.mixup_alpha,
+        model_overrides=({"drop_path": args.drop_path}
+                         if args.drop_path > 0 else None))
     summary = train(tc)
     print("[done]", summary)
 

@@ -46,6 +46,9 @@ class ViTConfig:
                                       # backward: no per-layer dynamic-update-slice
                                       # of the stacked grads); N>0 = unroll factor
     drop_rate: float = 0.0            # head dropout (train-time)
+    drop_path: float = 0.0            # stochastic depth: per-layer residual-
+                                      # branch drop, linearly 0..drop_path
+                                      # over depth (the ViT-L regularizer)
     mask_ratio: float = 0.0           # MAE-style random patch masking (0 = off)
     label_smoothing: float = 0.0      # ViT supervised-training CE smoothing
 
@@ -97,6 +100,13 @@ def _vit(depth, heads, width, patch, img, classes, **kw) -> ViTConfig:
 PRESETS = {
     # the reference test-suite config: GPT-2 124M (tests/vit_tests.rs:10-15)
     "gpt2-124m": ViTConfig().validate(),
+    # the rest of the GPT-2 family (llm.c checkpoint-compatible geometries)
+    "gpt2-350m": ViTConfig(num_layers=24, num_heads=16,
+                           channels=1024).validate(),
+    "gpt2-774m": ViTConfig(num_layers=36, num_heads=20,
+                           channels=1280).validate(),
+    "gpt2-1558m": ViTConfig(num_layers=48, num_heads=25,
+                            channels=1600).validate(),
     # tiny GPT config for parity/gradient tests
     "gpt-nano": ViTConfig(max_seq_len=16, vocab_size=97, num_layers=2,
                           num_heads=2, channels=16).validate(),

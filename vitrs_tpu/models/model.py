@@ -48,27 +48,51 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
                      use_flash=cfg.use_flash)
 
 
+def _drop_path(branch: jax.Array, key: jax.Array, rate: jax.Array
+               ) -> jax.Array:
+    """Stochastic depth: zero the residual branch for a random sample
+    subset, rescaling survivors by 1/(1-rate) so expectation is preserved."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, (branch.shape[0], 1, 1))
+    return jnp.where(keep, branch / (1.0 - rate), 0.0)
+
+
 def _block(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
            causal: bool) -> jax.Array:
     """The 10-op pre-LN block, exact op order of rusty_vit.rs:322-331.
-    named_scope keeps the compiled HLO readable in profiles (SURVEY.md §5.1)."""
+    named_scope keeps the compiled HLO readable in profiles (SURVEY.md §5.1).
+
+    When the scan leaves carry `_dp_rate`/`_dp_key` (train-time stochastic
+    depth, see `transformer`), each residual branch is dropped per-sample."""
+    dp = "_dp_rate" in p
     with jax.named_scope("attn"):
         ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
         atty = _project_and_attend(ln1, p, cfg, causal)
         attproj = basic.linear(atty, p["attprojw"], p["attprojb"])
+        if dp:
+            attproj = _drop_path(attproj, p["_dp_key"][0], p["_dp_rate"])
         x = x + attproj
     with jax.named_scope("mlp"):
         ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
         fch = basic.linear(ln2, p["fcw"], p["fcb"])
         fch_gelu = basic.gelu_cv(fch)
         fcproj = basic.linear(fch_gelu, p["fcprojw"], p["fcprojb"])
+        if dp:
+            fcproj = _drop_path(fcproj, p["_dp_key"][1], p["_dp_rate"])
         return x + fcproj
 
 
 def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
-                causal: bool) -> jax.Array:
-    """Scan the block over the stacked-L parameter slabs."""
+                causal: bool, rng: Optional[jax.Array] = None) -> jax.Array:
+    """Scan the block over the stacked-L parameter slabs.
+
+    rng != None and cfg.drop_path > 0 enables stochastic depth: layer l
+    drops each residual branch with prob linspace(0, drop_path, L)[l]
+    (timm's ViT recipe), keys folded per (layer, branch)."""
+    L = cfg.num_layers
     blocks = {k: params[k] for k in BLOCK_KEYS}
+    if rng is not None and cfg.drop_path > 0.0:
+        blocks["_dp_rate"] = jnp.linspace(0.0, cfg.drop_path, L)
+        blocks["_dp_key"] = jax.random.split(rng, 2 * L).reshape(L, 2, 2)
     body = functools.partial(_block, cfg=cfg, causal=causal)
     if cfg.remat:
         body = jax.checkpoint(body)  # trade FLOPs for HBM on deep configs
@@ -176,14 +200,18 @@ def vit_forward(params: Dict[str, jax.Array], images: jax.Array,
                 rng: Optional[jax.Array] = None) -> jax.Array:
     """Returns class logits (B, num_classes)."""
     x = vit_encode(images, params, cfg)
-    x = transformer(x, params, cfg, causal=False)
+    dp_rng = head_rng = None
+    if train and rng is not None:
+        dp_rng, head_rng = jax.random.split(rng)
+    x = transformer(x, params, cfg, causal=False, rng=dp_rng)
     lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
     if cfg.pool == "cls":
         pooled = lnf[:, 0, :]
     else:
         pooled = jnp.mean(lnf, axis=1)
-    if train and cfg.drop_rate > 0.0 and rng is not None:
-        keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_rate, pooled.shape)
+    if train and cfg.drop_rate > 0.0 and head_rng is not None:
+        keep = jax.random.bernoulli(head_rng, 1.0 - cfg.drop_rate,
+                                    pooled.shape)
         pooled = jnp.where(keep, pooled / (1.0 - cfg.drop_rate), 0.0)
     return basic.linear(pooled, params["headw"], params["headb"]).astype(jnp.float32)
 

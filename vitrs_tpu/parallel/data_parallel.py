@@ -120,13 +120,25 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
         lam32 = lam.astype(jnp.float32)
         return lam32 * ce(targets) + (1.0 - lam32) * ce(targets[perm])
 
+    # stochastic-depth / head-dropout rng: per (step, device), so DP devices
+    # drop independently and the psum'd gradient is the dropout-SGD estimate
+    needs_rng = cfg.mode == "vit" and (cfg.drop_path > 0.0
+                                       or cfg.drop_rate > 0.0)
+
+    def _loss(params, inputs, targets, step):
+        if needs_rng:
+            key = jax.random.fold_in(jax.random.PRNGKey(0xDA7A), step)
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            return M.loss_fn(params, inputs, targets, cfg, rng=key)
+        return M.loss_fn(params, inputs, targets, cfg)
+
     def _loss_and_grads(params, inputs, targets, step):
         if use_mixup:
             assert accum_steps == 1, "mixup + accumulation not wired"
             return jax.value_and_grad(_mixup_loss)(params, inputs, targets,
                                                    step)
         if accum_steps == 1:
-            return jax.value_and_grad(M.loss_fn)(params, inputs, targets, cfg)
+            return jax.value_and_grad(_loss)(params, inputs, targets, step)
         micro = inputs.shape[0] // accum_steps
         xs = (inputs[:micro * accum_steps].reshape(
                   (accum_steps, micro) + inputs.shape[1:]),
@@ -135,7 +147,7 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
         def acc(carry, xy):
             loss_sum, g_sum = carry
             x, y = xy
-            loss, g = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+            loss, g = jax.value_and_grad(_loss)(params, x, y, step)
             return (loss_sum + loss,
                     jax.tree_util.tree_map(jnp.add, g_sum, g)), None
 
