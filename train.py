@@ -42,6 +42,8 @@ def main():
                    help="global grad-norm clip (1.0 = standard GPT recipe)")
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="stochastic depth rate (ViT-L recipes: 0.1-0.3)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient-accumulation micro-batches per step")
     p.add_argument("--ra-ops", type=int, default=0,
                    help="RandAugment ops per image (imagenet loader)")
     p.add_argument("--ra-mag", type=float, default=0.0,
@@ -80,6 +82,7 @@ def main():
         n_devices=args.n_devices, label_smoothing=args.label_smoothing,
         ema_decay=args.ema_decay, init_ckpt=args.init_ckpt,
         log_grad_norm=args.log_grad_norm, clip_norm=args.clip_norm,
+        accum_steps=args.accum_steps,
         ra_ops=args.ra_ops,
         ra_mag=args.ra_mag, mixup_alpha=args.mixup_alpha,
         model_overrides=({"drop_path": args.drop_path}

@@ -66,6 +66,7 @@ class TrainConfig:
     ema_decay: float = 0.0         # 0 = off; e.g. 0.9999 for ViT recipes
     log_grad_norm: bool = False    # SURVEY §5.5 metric (one extra psum)
     clip_norm: float = 0.0         # 0 = off; 1.0 = the standard GPT recipe
+    accum_steps: int = 1           # micro-batches per step (grad accumulation)
     ra_ops: int = 0                # RandAugment ops per image (imagenet path)
     ra_mag: float = 0.0            # RandAugment magnitude in [0, 1]
     mixup_alpha: float = 0.0       # device-side mixup (vit mode)
@@ -168,6 +169,7 @@ def train(tc: TrainConfig) -> dict:
         norm_stats = (_ds_for_stats.mean, _ds_for_stats.std)
 
     step_fn = dp.make_dp_train_step(cfg, mesh,
+                                    accum_steps=tc.accum_steps,
                                     return_grad_norm=tc.log_grad_norm,
                                     mixup_alpha=tc.mixup_alpha,
                                     normalize=norm_stats,
