@@ -278,17 +278,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         kf, vf = k_ref[0], v_ref[0]
 
         def body(masked: bool):
+            # phase-split across the G independent head-groups (see
+            # _fwd_single_kernel): all QKᵀ dots, then all online-softmax VPU
+            # updates, then all PV dots — Mosaic overlaps MXU and VPU
+            # between heads
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
                             causal, seq_len)
+            ss = []
             for g in range(G):
                 sl = slice(g * D, (g + 1) * D)
-                q, k, v = qf[:, sl], kf[:, sl], vf[:, sl]
-                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                if masked:
-                    s = jnp.where(msk, s, MASK_VALUE)
-
+                ss.append(jax.lax.dot_general(
+                    qf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            ps, alphas = [], []
+            for g in range(G):
+                s = jnp.where(msk, ss[g], MASK_VALUE) if masked else ss[g]
                 m_prev, l_prev = m_scr[g], l_scr[g]        # (block_q, 128)
                 m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
                 m_next = jnp.maximum(m_prev, m_curr)
@@ -296,11 +301,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 p = jnp.exp(s - m_next[:, :1])
                 m_scr[g] = m_next
                 l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
-                pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                ps.append(p)
+                alphas.append(alpha)
+            for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
+                pv = jax.lax.dot_general(ps[g].astype(vf.dtype), vf[:, sl],
                                          (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-                acc_scr[g] = acc_scr[g] * alpha[:, :1] + pv
+                acc_scr[g] = acc_scr[g] * alphas[g][:, :1] + pv
 
         # masking is only needed on tiles the diagonal crosses and on the
         # padded tail tile; interior tiles take the mask-free body
@@ -421,27 +429,37 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
+            # phase-split over G (see _fwd_single_kernel): MXU s/dp dots,
+            # then VPU p/ds, then the accumulate dots
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
                             causal, seq_len)
+            ss, dps = [], []
             for g in range(G):
                 sl = slice(g * D, (g + 1) * D)
-                q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
+                ss.append(jax.lax.dot_general(
+                    sqf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dps.append(jax.lax.dot_general(
+                    dof[:, sl], vf[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            ps, dss = [], []
+            for g in range(G):
                 lse = lse_ref[0, g][:, :1]               # (block_q, 1)
                 di = di_ref[0, g][:, :1]
-                s = jax.lax.dot_general(sqf[:, sl], k, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                p = jnp.exp(s - lse)
+                p = jnp.exp(ss[g] - lse)
                 if masked:
                     p = jnp.where(msk, p, 0.0)
+                ps.append(p)
+                dss.append(p * (dps[g] - di) * sm_scale)
+            for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
+                q, do = qf[:, sl], dof[:, sl]
                 dv_scr[g] += jax.lax.dot_general(
-                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    ps[g].astype(do.dtype), do, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                ds = p * (dp - di) * sm_scale
                 dk_scr[g] += jax.lax.dot_general(
-                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                    dss[g].astype(q.dtype), q, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
         has_pad = seq_len != T
@@ -501,31 +519,40 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
+            # phase-split over G (see _fwd_single_kernel): MXU s/dp dots,
+            # then VPU p/ds, then the accumulate dots
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
                             causal, seq_len)
+            ss, dps = [], []
             for g in range(G):
                 sl = slice(g * D, (g + 1) * D)
-                q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
+                ss.append(jax.lax.dot_general(
+                    sqf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dps.append(jax.lax.dot_general(
+                    dof[:, sl], vf[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            ps, dss = [], []
+            for g in range(G):
                 lse = lse_ref[0, g][:, :1]
                 di = di_ref[0, g][:, :1]
-                s = jax.lax.dot_general(sqf[:, sl], k,
-                                        (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                p = jnp.exp(s - lse)
+                p = jnp.exp(ss[g] - lse)
                 if masked:
                     p = jnp.where(msk, p, 0.0)
+                ps.append(p)
+                dss.append(p * (dps[g] - di) * sm_scale)
+            for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
+                q, k, do = qf[:, sl], kf[:, sl], dof[:, sl]
                 dv_scr[g] += jax.lax.dot_general(
-                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    ps[g].astype(do.dtype), do, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                ds = p * (dp - di) * sm_scale
                 dk_scr[g] += jax.lax.dot_general(
-                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                    dss[g].astype(q.dtype), q, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dq_scr[g, pl.ds(i_q * block_q, block_q)] += \
-                    jax.lax.dot_general(ds.astype(k.dtype), k,
+                    jax.lax.dot_general(dss[g].astype(k.dtype), k,
                                         (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
@@ -578,24 +605,32 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
+            # phase-split over G (see _fwd_single_kernel)
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
                             causal, seq_len)
+            ss, dps = [], []
             for g in range(G):
                 sl = slice(g * D, (g + 1) * D)
-                k, v, do = kf[:, sl], vf[:, sl], dof[:, sl]
+                ss.append(jax.lax.dot_general(
+                    sqf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dps.append(jax.lax.dot_general(
+                    dof[:, sl], vf[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            dss = []
+            for g in range(G):
                 lse = lse_ref[0, g][:, :1]
                 di = di_ref[0, g][:, :1]
-                s = jax.lax.dot_general(sqf[:, sl], k, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                p = jnp.exp(s - lse)
+                p = jnp.exp(ss[g] - lse)
                 if masked:
                     p = jnp.where(msk, p, 0.0)
-                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                ds = p * (dp - di) * sm_scale
+                dss.append(p * (dps[g] - di) * sm_scale)
+            for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
+                k = kf[:, sl]
                 dq_scr[g] += jax.lax.dot_general(
-                    ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                    dss[g].astype(k.dtype), k, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
         has_pad = seq_len != T
