@@ -1,0 +1,65 @@
+"""Continuous-batching serving throughput (GPT-2 124M, one TPU chip).
+
+Submits a Poisson-ish mix of prompt lengths and measures aggregate
+generated tok/s through serving_gen.GenerationEngine — the serving number
+that matters for a text endpoint (vs the fixed-batch `generate()` bench).
+
+Usage: python benchmarks/serving_engine.py [--slots 8] [--requests 32]
+       [--max-new 64] [--paged]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--max-len", type=int, default=256)
+    ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 params")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    from vitrs_tpu import params as PRM
+    from vitrs_tpu.config import get_config
+    from vitrs_tpu.serving_gen import GenerationEngine
+
+    cfg = get_config("gpt2-124m", dtype="bfloat16", use_flash=True)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    if args.int8:
+        from vitrs_tpu.ops import quant
+        params = quant.quantize_params(params, mode="gpt")
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(16, 128, args.requests)
+    prompts = [rng.integers(0, cfg.vocab_size, n) for n in lengths]
+
+    eng = GenerationEngine(params, cfg, max_slots=args.slots,
+                           max_len=args.max_len, paged=args.paged)
+    # warmup: compile prefill buckets + decode once
+    eng.submit(prompts[0], max_new=2)
+    eng.run()
+
+    t0 = time.perf_counter()
+    for p in prompts:
+        eng.submit(p, max_new=args.max_new)
+    outs = eng.run()
+    dt = time.perf_counter() - t0
+    gen_toks = sum(len(o) - len(p) for (_, o), p in zip(outs, prompts))
+    print({"engine_tok_per_sec": round(gen_toks / dt),
+           "requests": args.requests, "slots": args.slots,
+           "paged": args.paged, "int8": args.int8,
+           "wall_s": round(dt, 2)})
+
+
+if __name__ == "__main__":
+    main()

@@ -66,8 +66,12 @@ def main():
         paths = sorted(glob.glob(f"{args.workdir}/ckpt_*.bin"))
         assert paths, f"no checkpoints in {args.workdir}"
         params, cfg, extras = C.load_checkpoint(paths[-1])
-        eval_ds = D.get_dataset(args.dataset, args.data_dir, train=False)
-        res = evaluate(cfg, params, eval_ds, batch=min(256, len(eval_ds)))
+        if cfg.mode == "gpt":
+            from vitrs_tpu.train.loop import evaluate_gpt
+            res = evaluate_gpt(cfg, params, args.data_dir, seed=args.seed)
+        else:
+            eval_ds = D.get_dataset(args.dataset, args.data_dir, train=False)
+            res = evaluate(cfg, params, eval_ds, batch=min(256, len(eval_ds)))
         print(json.dumps({"ckpt": paths[-1], "step": extras["step"], **res}))
         return
 

@@ -100,6 +100,28 @@ def evaluate(cfg: ViTConfig, params, ds: D.Dataset, batch: int = 256) -> dict:
             "n": total}
 
 
+def evaluate_gpt(cfg: ViTConfig, params, data_dir: Optional[str] = None,
+                 seed: int = 0, batch: int = 16, max_batches: int = 8
+                 ) -> dict:
+    """Held-out val loss + perplexity for a GPT checkpoint over the
+    reserved TokenLoader holdout windows (the split training never wraps
+    into)."""
+    from ..data import tokens as TOK
+    stream = TOK.get_tokens(data_dir, cfg.vocab_size, seed=seed)
+    total_w = (len(stream) - 1) // cfg.max_seq_len
+    holdout = min(max(16, batch), total_w // 4)
+    val = TOK.TokenLoader(stream, batch, cfg.max_seq_len,
+                          holdout=holdout, val=True)
+    f = jax.jit(M.loss_fn, static_argnums=3)
+    losses, n = [], min(max_batches, max(1, holdout // batch))
+    for _ in range(n):
+        xb, yb = val.next_batch()
+        losses.append(float(f(params, jnp.asarray(xb), jnp.asarray(yb), cfg)))
+    mean = float(np.mean(losses))
+    return {"val_loss": mean, "ppl": float(np.exp(min(mean, 20.0))),
+            "windows": n * batch}
+
+
 def evaluate_streaming(cfg: ViTConfig, params, loader, max_batches: int = 0
                        ) -> dict:
     """Top-1 + mean loss over a StreamingLoader(train=False) — the imagenet
