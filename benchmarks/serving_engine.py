@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--paged", action="store_true")
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 params")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="decode ticks per host sync (1 = per-token)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +46,8 @@ def main():
     prompts = [rng.integers(0, cfg.vocab_size, n) for n in lengths]
 
     eng = GenerationEngine(params, cfg, max_slots=args.slots,
-                           max_len=args.max_len, paged=args.paged)
+                           max_len=args.max_len, paged=args.paged,
+                           decode_chunk=args.chunk, top_k=0)
     # warmup: compile prefill buckets + decode once
     eng.submit(prompts[0], max_new=2)
     eng.run()
@@ -57,7 +60,7 @@ def main():
     gen_toks = sum(len(o) - len(p) for (_, o), p in zip(outs, prompts))
     print({"engine_tok_per_sec": round(gen_toks / dt),
            "requests": args.requests, "slots": args.slots,
-           "paged": args.paged, "int8": args.int8,
+           "paged": args.paged, "int8": args.int8, "chunk": args.chunk,
            "wall_s": round(dt, 2)})
 
 

@@ -115,3 +115,34 @@ def test_paged_pool_smaller_than_dense():
     assert len(outs) == 4
     for i, p in enumerate(prompts):
         np.testing.assert_array_equal(outs[i], _ref_greedy(params, p, 3))
+
+
+def test_chunked_decode_matches_per_tick_greedy():
+    """decode_chunk=4 (N on-device ticks + on-device sampling per sync)
+    must reproduce the per-tick engine greedily, dense AND paged, including
+    mid-chunk retirement (different max_new per request)."""
+    params = P.init_params(CFG, jax.random.PRNGKey(6))
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, CFG.vocab_size, n) for n in (5, 9, 4)]
+    news = [6, 3, 7]
+    for paged in (False, True):
+        eng = GenerationEngine(params, CFG, max_slots=2, max_len=32,
+                               prompt_buckets=(16,), paged=paged,
+                               decode_chunk=4)
+        for p, mn in zip(prompts, news):
+            eng.submit(p, max_new=mn)
+        outs = dict(eng.run())
+        for i, (p, mn) in enumerate(zip(prompts, news)):
+            np.testing.assert_array_equal(outs[i], _ref_greedy(params, p, mn),
+                                          err_msg=f"paged={paged} req={i}")
+
+
+def test_chunked_sampled_smoke():
+    params = P.init_params(CFG, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(7)
+    eng = GenerationEngine(params, CFG, max_slots=2, max_len=32,
+                           prompt_buckets=(8,), decode_chunk=3, top_k=5)
+    eng.submit(rng.integers(0, CFG.vocab_size, 6), max_new=5, temperature=0.9)
+    outs = dict(eng.run())
+    assert len(outs[0]) == 11
+    assert (np.asarray(outs[0]) < CFG.vocab_size).all()

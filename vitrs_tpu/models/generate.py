@@ -389,3 +389,54 @@ def prefill_into_pages(params: Dict, prompt: jax.Array, caches, page_ids,
     kps = kps.at[:, page_ids].set(kpages)
     vps = vps.at[:, page_ids].set(vpages)
     return logits[0, -1, :], (kps, vps)
+
+
+def decode_ticks_multi(params: Dict, tokens: jax.Array, caches, pos,
+                       keys: jax.Array, temps: jax.Array, cfg: ViTConfig,
+                       top_k: int):
+    """N decode ticks for all slots in ONE device program (lax.scan), with
+    on-device sampling — one host sync per chunk instead of per token,
+    which is the difference between ~80 and ~4000 tok/s on a
+    network-attached TPU (serving_gen.GenerationEngine chunked mode).
+
+    temps (B,) per-slot temperature; 0 = greedy.  top_k static (engine-wide
+    in chunked mode).  Returns (tokens (N, B), caches, final pos).
+    """
+    def tick(carry, key):
+        tok, p, cs = carry
+        logits, cs = decode_step_multi(params, tok, cs, p, cfg)
+        greedy = jnp.argmax(logits, axis=-1)
+        lg = logits / jnp.maximum(temps, 1e-6)[:, None]
+        if top_k:
+            kth = jnp.sort(lg, axis=-1)[..., -top_k][..., None]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        sampled = jax.random.categorical(key, lg, axis=-1)
+        nxt = jnp.where(temps == 0.0, greedy, sampled).astype(jnp.int32)
+        return (nxt, p + 1, cs), nxt
+
+    (tok, pos, caches), toks = jax.lax.scan(tick, (tokens, pos, caches),
+                                            keys)
+    return toks, caches, pos
+
+
+def decode_ticks_paged(params: Dict, tokens: jax.Array, caches, table, pos,
+                       keys: jax.Array, temps: jax.Array, cfg: ViTConfig,
+                       top_k: int):
+    """Paged twin of decode_ticks_multi; pages for all N ticks must be
+    pre-allocated in `table` (the engine grows allocations before the
+    dispatch — allocation cannot happen mid-scan)."""
+    def tick(carry, key):
+        tok, p, cs = carry
+        logits, cs = decode_step_paged(params, tok, cs, table, p, cfg)
+        greedy = jnp.argmax(logits, axis=-1)
+        lg = logits / jnp.maximum(temps, 1e-6)[:, None]
+        if top_k:
+            kth = jnp.sort(lg, axis=-1)[..., -top_k][..., None]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        sampled = jax.random.categorical(key, lg, axis=-1)
+        nxt = jnp.where(temps == 0.0, greedy, sampled).astype(jnp.int32)
+        return (nxt, p + 1, cs), nxt
+
+    (tok, pos, caches), toks = jax.lax.scan(tick, (tokens, pos, caches),
+                                            keys)
+    return toks, caches, pos

@@ -60,7 +60,8 @@ class GenerationEngine:
     def __init__(self, params: Dict, cfg: ViTConfig, max_slots: int,
                  max_len: int, seed: int = 0,
                  prompt_buckets: tuple = (32, 64, 128),
-                 paged: bool = False, n_pages: int = 0):
+                 paged: bool = False, n_pages: int = 0,
+                 decode_chunk: int = 1, top_k: int = 0):
         assert max_len <= cfg.max_seq_len
         self.params = params
         self.cfg = cfg
@@ -78,6 +79,18 @@ class GenerationEngine:
         # host mirrors of per-slot state fed to the decode program
         self._tokens = np.zeros(max_slots, np.int32)
         self._pos = np.zeros(max_slots, np.int32)
+        # chunked decode: N on-device ticks + on-device sampling per host
+        # sync (the lever on network-attached TPUs: one RPC per chunk, not
+        # per token).  Sampling in chunked mode: per-slot temperature, but
+        # ONE engine-wide static top_k (`top_k` here); per-request top_k is
+        # honored only by the tick-at-a-time path.
+        self.decode_chunk = decode_chunk
+        self.top_k = top_k
+        if decode_chunk > 1:
+            scan = (G.decode_ticks_paged if paged else G.decode_ticks_multi)
+            self._decode_scan = jax.jit(
+                functools.partial(scan, cfg=cfg, top_k=top_k),
+                donate_argnums=(2,))
 
         if paged:
             # block-pool cache: memory = n_pages * PAGE tokens TOTAL, shared
@@ -229,10 +242,74 @@ class GenerationEngine:
         self.finished.extend(done)
         return done
 
+    def step_chunk(self) -> List[_Request]:
+        """Chunked tick: N tokens for every active slot in one dispatch.
+
+        Slots that hit EOS/max_new mid-chunk waste their remaining ticks
+        (the device keeps decoding them; the host discards) — the classic
+        sync-batching trade, bounded by decode_chunk.
+        """
+        self._admit()
+        if not self.active:
+            return []
+        # never let any slot's writes run past max_len
+        room = min(self.max_len - int(self._pos[s]) for s in self.active)
+        n = max(1, min(self.decode_chunk, room))
+        if self.paged:
+            # pre-allocate every page the chunk could touch (no allocation
+            # mid-scan); fall back to single ticks if the pool is short
+            need = []
+            for slot in self.active:
+                want = int(self._pos[slot]) + n
+                have = int(self._alloc[slot])
+                need.append((slot, max(0, -(-want // G.PAGE)
+                                       - have // G.PAGE)))
+            if sum(k for _, k in need) > len(self.free_pages):
+                return self.step()
+            for slot, k in need:
+                for _ in range(k):
+                    idx = int(self._alloc[slot]) // G.PAGE
+                    self._table[slot, idx] = self.free_pages.pop()
+                    self._alloc[slot] += G.PAGE
+        temps = np.zeros(self.max_slots, np.float32)
+        for slot, req in self.active.items():
+            temps[slot] = req.temperature
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, n)
+        if self.paged:
+            toks, self.caches, _ = self._decode_scan(
+                self.params, jnp.asarray(self._tokens), self.caches,
+                jnp.asarray(self._table), jnp.asarray(self._pos), keys,
+                jnp.asarray(temps))
+        else:
+            toks, self.caches, _ = self._decode_scan(
+                self.params, jnp.asarray(self._tokens), self.caches,
+                jnp.asarray(self._pos), keys, jnp.asarray(temps))
+        toks = np.asarray(toks)                     # (n, B): ONE host sync
+        done: List[_Request] = []
+        live = dict(self.active)
+        for t in range(n):
+            for slot, req in list(live.items()):
+                nxt = int(toks[t, slot])
+                req.out.append(nxt)
+                hit_eos = req.eos_id is not None and nxt == req.eos_id
+                if len(req.out) >= req.max_new or hit_eos:
+                    done.append(req)
+                    del live[slot]
+                    del self.active[slot]
+                    self.free.append(slot)
+                    if self.paged:
+                        self._release_pages(slot)
+        for slot in live:
+            self._tokens[slot] = int(toks[n - 1, slot])
+            self._pos[slot] += n
+        self.finished.extend(done)
+        return done
+
     def run(self) -> List[tuple]:
         """Drive until every submitted request finishes."""
         while self.pending or self.active:
-            self.step()
+            self.step_chunk() if self.decode_chunk > 1 else self.step()
         out = [(r.rid, np.concatenate([r.prompt, np.asarray(r.out,
                                                             np.int32)]))
                for r in sorted(self.finished, key=lambda r: r.rid)]
