@@ -27,6 +27,8 @@ from vitrs_tpu.utils import flops as F
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="gpt2-124m",
+                    help="gpt2-124m / gpt2-350m / gpt2-774m / gpt2-1558m")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--seq", type=int, default=1024)
@@ -35,7 +37,7 @@ def main():
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
-    cfg = get_config("gpt2-124m").replace(
+    cfg = get_config(args.preset).replace(
         dtype="bfloat16" if on_tpu else "float32",
         use_flash=on_tpu, max_seq_len=args.seq)
     B, T = args.batch, cfg.max_seq_len
