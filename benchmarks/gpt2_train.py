@@ -33,13 +33,14 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     cfg = get_config(args.preset).replace(
         dtype="bfloat16" if on_tpu else "float32",
-        use_flash=on_tpu, max_seq_len=args.seq)
+        use_flash=on_tpu, max_seq_len=args.seq, remat=args.remat)
     B, T = args.batch, cfg.max_seq_len
 
     key = jax.random.PRNGKey(0)
