@@ -43,6 +43,15 @@ def synthetic_tokens(n: int = 1 << 18, vocab_size: int = 97,
     return out
 
 
+def default_holdout(windows_total: int) -> int:
+    """Batch-independent held-out window count: a quarter of the stream,
+    capped at 64 windows.  Both the training wrap and `evaluate_gpt` derive
+    the split from THIS function of the stream alone, so an eval called with
+    a larger batch than training can never score windows the training wrap
+    consumed (advisor r2 finding on train/loop.py:112)."""
+    return max(1, min(64, windows_total // 4))
+
+
 class TokenLoader:
     """Deterministic, cursor-resumable (B, T) window loader.
 

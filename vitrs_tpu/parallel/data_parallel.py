@@ -125,10 +125,15 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
     needs_rng = cfg.mode == "vit" and (cfg.drop_path > 0.0
                                        or cfg.drop_rate > 0.0)
 
-    def _loss(params, inputs, targets, step):
+    def _loss(params, inputs, targets, step, micro=None):
         if needs_rng:
             key = jax.random.fold_in(jax.random.PRNGKey(0xDA7A), step)
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            if micro is not None:
+                # distinct drop-path/dropout masks per micro-batch — without
+                # this every accumulated micro-batch reuses one mask pattern,
+                # correlating the summed gradients (advisor r2 finding)
+                key = jax.random.fold_in(key, micro)
             return M.loss_fn(params, inputs, targets, cfg, rng=key)
         return M.loss_fn(params, inputs, targets, cfg)
 
@@ -142,12 +147,13 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
         micro = inputs.shape[0] // accum_steps
         xs = (inputs[:micro * accum_steps].reshape(
                   (accum_steps, micro) + inputs.shape[1:]),
-              targets[:micro * accum_steps].reshape(accum_steps, micro))
+              targets[:micro * accum_steps].reshape(accum_steps, micro),
+              jnp.arange(accum_steps))
 
         def acc(carry, xy):
             loss_sum, g_sum = carry
-            x, y = xy
-            loss, g = jax.value_and_grad(_loss)(params, x, y, step)
+            x, y, mi = xy
+            loss, g = jax.value_and_grad(_loss)(params, x, y, step, mi)
             return (loss_sum + loss,
                     jax.tree_util.tree_map(jnp.add, g_sum, g)), None
 

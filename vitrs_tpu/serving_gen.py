@@ -132,6 +132,17 @@ class GenerationEngine:
 
     def submit(self, prompt, max_new: int, temperature: float = 0.0,
                top_k: int = 0, eos_id: Optional[int] = None) -> int:
+        if self.decode_chunk > 1 and top_k != self.top_k:
+            # chunked decode samples on-device with the ONE engine-wide
+            # static top_k baked into the compiled scan; surface the
+            # limitation at the API boundary instead of silently ignoring
+            # the per-request value (advisor r2 finding)
+            import warnings
+            warnings.warn(
+                f"per-request top_k={top_k} is ignored in chunked mode "
+                f"(decode_chunk={self.decode_chunk} uses the engine-wide "
+                f"top_k={self.top_k}); pass top_k to the engine constructor "
+                "or use decode_chunk=1", stacklevel=2)
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         assert len(prompt) + max_new <= self.max_len, "request exceeds max_len"
         assert len(prompt) <= max(self.buckets), "prompt exceeds buckets"

@@ -109,7 +109,10 @@ def evaluate_gpt(cfg: ViTConfig, params, data_dir: Optional[str] = None,
     from ..data import tokens as TOK
     stream = TOK.get_tokens(data_dir, cfg.vocab_size, seed=seed)
     total_w = (len(stream) - 1) // cfg.max_seq_len
-    holdout = min(max(16, batch), total_w // 4)
+    # split size derives from the stream alone (tokens.default_holdout), so
+    # it always matches what training reserved regardless of eval batch
+    holdout = TOK.default_holdout(total_w)
+    batch = min(batch, holdout)
     val = TOK.TokenLoader(stream, batch, cfg.max_seq_len,
                           holdout=holdout, val=True)
     f = jax.jit(M.loss_fn, static_argnums=3)
@@ -223,7 +226,7 @@ def train(tc: TrainConfig) -> dict:
         stream = TOK.get_tokens(tc.data_dir, cfg.vocab_size, seed=tc.seed)
         # reserve a tail of windows as a genuine held-out val split
         total_w = (len(stream) - 1) // cfg.max_seq_len
-        gpt_holdout = min(max(16, tc.batch_size), total_w // 4)
+        gpt_holdout = TOK.default_holdout(total_w)
         loader = TOK.TokenLoader(stream, tc.batch_size, cfg.max_seq_len,
                                  cursor=cursor, holdout=gpt_holdout)
     elif tc.dataset == "imagenet":
