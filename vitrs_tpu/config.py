@@ -41,7 +41,11 @@ class ViTConfig:
     param_dtype: str = "float32"      # storage dtype for params
     quirks: bool = False              # reproduce reference-as-written math (G5/G6/G11)
     use_flash: bool = True            # Pallas flash attention on TPU (fallback: jnp)
-    remat: bool = False               # activation checkpointing over blocks
+    remat: object = False             # activation checkpointing: False |
+                                      # True = selective (save flash out+lse
+                                      # + LN stats; recompute qkv/MLP only —
+                                      # models/selective.py) | "full" =
+                                      # blanket jax.checkpoint incl. attention
     scan_unroll: int = 0              # 0 = fully unroll the layer scan (fastest
                                       # backward: no per-layer dynamic-update-slice
                                       # of the stacked grads); N>0 = unroll factor

@@ -37,10 +37,10 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
     custom-VJP op (ops/fused_qkv_attention.py) so the backward never
     materializes the packed dqkv; otherwise the plain composition."""
     from ..ops.attention import _flash_available
-    from ..ops.flash_attention import supports
+    from ..ops.flash_attention import padded_num_heads
     D = cfg.channels // cfg.num_heads
     if (cfg.use_flash and not cfg.quirks and _flash_available()
-            and supports(cfg.num_heads, D)):
+            and padded_num_heads(cfg.num_heads, D) is not None):
         from ..ops.fused_qkv_attention import qkv_attention
         return qkv_attention(ln1, p["qkvw"], p["qkvb"], cfg.num_heads, causal)
     qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
@@ -94,8 +94,14 @@ def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
         blocks["_dp_rate"] = jnp.linspace(0.0, cfg.drop_path, L)
         blocks["_dp_key"] = jax.random.split(rng, 2 * L).reshape(L, 2, 2)
     body = functools.partial(_block, cfg=cfg, causal=causal)
-    if cfg.remat:
-        body = jax.checkpoint(body)  # trade FLOPs for HBM on deep configs
+    if cfg.remat == "full" or (cfg.remat and cfg.quirks):
+        body = jax.checkpoint(body)  # blanket recompute (incl. attention)
+    elif cfg.remat:
+        # selective policy (models/selective.py): keep the flash out+lse and
+        # LN stats, recompute only the qkv projection / MLP — the
+        # reference's own stash choice (rusty_vit.rs:157-158, 601-602)
+        from .selective import block_selective
+        body = functools.partial(block_selective, cfg=cfg, causal=causal)
 
     def step(carry, p):
         return body(carry, p), None

@@ -1,0 +1,267 @@
+"""Selective activation rematerialization — hand-written per-branch VJPs.
+
+The round-2 big-model path wrapped the whole block in a blanket
+`jax.checkpoint(body)`, which recomputes EVERYTHING in backward — including
+flash attention, the single most expensive thing to redo (GPT-2 774M measured
+44.3% MFU; ViT-L remat cost 24%).  The reference's own stash choice is the
+blueprint for what to keep instead: it saves the attention probabilities and
+the LN statistics (att at rusty_vit.rs:157-158, mean/rstd at
+rusty_vit.rs:601-602) and recomputes nothing else.  The TPU translation of
+that policy is exactly what these two custom-VJP branches implement:
+
+  saved per layer:   block input x, attention out + per-row lse (the flash
+                     stash), LN mean/rstd for both norms, residual2
+  recomputed in bwd: ln1/ln2 normalization (VPU-only, from saved stats),
+                     the qkv projection matmul, fch + GELU
+
+so the backward never reruns the flash kernel, and the per-layer activation
+footprint drops from ~15 (B,T,C)-equivalents (plain path) to ~3 + lse.
+
+A note on WHY this is hand-written rather than `jax.checkpoint` with a
+`save_only_these_names` policy: the flash kernel is a `jax.custom_vjp`, and
+policy-saved values cannot short-circuit a custom_vjp's forward rule during
+the remat replay — the replay must rerun the rule to obtain its residuals,
+i.e. rerun the Pallas forward.  Owning the VJP of each branch lets the
+backward consume the saved (out, lse) directly.
+
+lse is stashed in its compact (B, H, T, 1) form — the kernels' native
+(B, H, T, 128) lane-broadcast layout costs as much HBM as FOUR bf16 (B,T,C)
+tensors at D=64; the backward re-broadcasts before the kernel call (the
+kernels only ever read lane 0).
+
+Fallback: when Pallas is unavailable (CPU tests) or the geometry cannot be
+tiled even with phantom-head padding, the branches fall back to a pure-jnp
+dense implementation whose backward is obtained by replaying `jax.vjp` —
+full recompute, correct everywhere, used only off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ViTConfig
+from ..ops import basic
+from ..ops import flash_attention as FA
+from ..ops.attention import _flash_available
+
+ATTN_KEYS = ("ln1w", "ln1b", "qkvw", "qkvb", "attprojw", "attprojb")
+MLP_KEYS = ("ln2w", "ln2b", "fcw", "fcb", "fcprojw", "fcprojb")
+
+
+def _norm_from_stats(x, w, b, mean, rstd):
+    """Recompute the LN output from saved fp32 statistics (one VPU pass)."""
+    xf = x.astype(jnp.float32)
+    out = (xf - mean[..., None]) * rstd[..., None] * w.astype(jnp.float32) \
+        + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# attention branch: x -> attproj(flash(qkv_proj(ln1(x))))
+# ---------------------------------------------------------------------------
+
+def _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb, num_heads,
+              causal):
+    """Dense pure-jnp branch (fallback path + gradient oracle in tests)."""
+    ln1, _, _ = basic.layernorm(x, ln1w, ln1b)
+    qkv = basic.linear(ln1, qkvw, qkvb)
+    out, _ = basic.attention_dense(qkv, num_heads, causal=causal)
+    return basic.linear(out, attprojw, attprojb)
+
+
+def _use_flash(num_heads, head_dim):
+    return (_flash_available()
+            and FA.padded_num_heads(num_heads, head_dim) is not None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def attn_branch(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
+                num_heads, causal, interpret=False):
+    """The pre-LN attention residual branch with lean saved state."""
+    out, _ = _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
+                              num_heads, causal, interpret)
+    return out
+
+
+def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
+                     num_heads, causal, interpret):
+    C = x.shape[-1]
+    D = C // num_heads
+    if not (interpret or _use_flash(num_heads, D)):
+        branch = _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
+                           num_heads, causal)
+        # ref-path residuals: the 7 inputs (arity distinguishes the two
+        # residual forms in the backward — strings are not JAX types)
+        return branch, (x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb)
+    _, mean, rstd = basic.layernorm(x, ln1w, ln1b)
+    ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
+    H = FA.padded_num_heads(num_heads, D)
+    w_run, b_run = FA.pad_qkv_weight(qkvw, qkvb, num_heads, H, D)
+    qkv = basic.linear(ln1, w_run, b_run)
+    T = qkv.shape[1]
+    sm_scale = 1.0 / (D ** 0.5)
+    qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q, FA.DEFAULT_BLOCK_K)
+    out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret)
+    atty = out[:, :T, :C]
+    branch = basic.linear(atty, attprojw, attprojb)
+    res = (x, ln1w, ln1b, qkvw, qkvb, attprojw, mean, rstd,
+           out, lse[..., :1])
+    return branch, res
+
+
+def _attn_branch_bwd(num_heads, causal, interpret, res, db):
+    if len(res) == 7:
+        _, vjp = jax.vjp(functools.partial(_attn_ref, num_heads=num_heads,
+                                           causal=causal), *res)
+        return vjp(db)
+    x, ln1w, ln1b, qkvw, qkvb, attprojw, mean, rstd, out, lse_c = res
+    # static geometry reconstructed from shapes (T = true length, H = padded
+    # head count, block sizes from the same deterministic prep)
+    T = x.shape[1]
+    C = x.shape[-1]
+    D = C // num_heads
+    H = FA.padded_num_heads(num_heads, D)
+    Cp = H * D
+    T_pad, sm_scale = out.shape[1], 1.0 / (D ** 0.5)
+
+    # recompute ln1 and the (padded) packed qkv — the only matmul redone
+    ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
+    w_run, b_run = FA.pad_qkv_weight(qkvw, qkvb, num_heads, H, D)
+    qkv = basic.linear(ln1, w_run, b_run)
+    qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q,
+                                   FA.DEFAULT_BLOCK_K)
+    assert qkv_k.shape[1] == T_pad, (qkv_k.shape, T_pad)
+
+    # attproj backward (out holds atty: its [:T, :C] view)
+    atty = out[:, :T, :C]
+    df = db.astype(jnp.float32)
+    datty = basic.linear(db, attprojw.T)
+    dattprojw = jax.lax.dot_general(
+        df.reshape(-1, C), atty.reshape(-1, C).astype(jnp.float32),
+        (((0,), (0,)), ((), ()))).astype(attprojw.dtype)
+    dattprojb = jnp.sum(df, axis=tuple(range(db.ndim - 1))
+                        ).astype(attprojw.dtype)
+
+    # flash backward from the saved (out, lse) — no kernel re-run
+    do = datty
+    if Cp != C:
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, Cp - C)))
+    if T_pad != T:
+        do = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0)))
+    lse = jnp.broadcast_to(lse_c, lse_c.shape[:3] + (FA.LANES,))
+    dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do, sm_scale, causal,
+                               T, bq, bk, interpret)
+    dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
+
+    # projection backward (same decomposition as ops/fused_qkv_attention.py)
+    Wq, Wk, Wv = qkvw[:C], qkvw[C:2 * C], qkvw[2 * C:]
+    dln1 = (basic.linear(dq, Wq.T) + basic.linear(dk, Wk.T)
+            + basic.linear(dv, Wv.T))
+
+    def dW(g):
+        return jax.lax.dot_general(
+            g.reshape(-1, C), ln1.reshape(-1, C), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dqkvw = jnp.concatenate([dW(dq), dW(dk), dW(dv)], axis=0
+                            ).astype(qkvw.dtype)
+    red = tuple(range(dq.ndim - 1))
+    dqkvb = jnp.concatenate([
+        jnp.sum(dq.astype(jnp.float32), axis=red),
+        jnp.sum(dk.astype(jnp.float32), axis=red),
+        jnp.sum(dv.astype(jnp.float32), axis=red)]).astype(qkvw.dtype)
+
+    dx, dln1w, dln1b = basic.layernorm_bwd_from_stats(x, ln1w, mean, rstd,
+                                                      dln1)
+    return dx, dln1w, dln1b, dqkvw, dqkvb, dattprojw, dattprojb
+
+
+attn_branch.defvjp(_attn_branch_fwd, _attn_branch_bwd)
+
+
+# ---------------------------------------------------------------------------
+# MLP branch: x -> fcproj(gelu(fc(ln2(x))))
+# ---------------------------------------------------------------------------
+
+def _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb):
+    _, mean, rstd = basic.layernorm(x, ln2w, ln2b)
+    ln2 = _norm_from_stats(x, ln2w, ln2b, mean, rstd)
+    h = basic.linear(ln2, fcw, fcb)
+    out = basic.linear(basic.gelu(h), fcprojw, fcprojb)
+    return out, mean, rstd
+
+
+@jax.custom_vjp
+def mlp_branch(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb):
+    """The pre-LN MLP residual branch; saves only (x, mean, rstd) and
+    recomputes fch/GELU in backward (the reference never stashed GELU
+    intermediates either — gelu_backward recomputes from fch,
+    rusty_vit.rs:793-807)."""
+    out, _, _ = _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb)
+    return out
+
+
+def _mlp_branch_fwd(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb):
+    out, mean, rstd = _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb)
+    return out, (x, ln2w, ln2b, fcw, fcb, fcprojw, mean, rstd)
+
+
+def _mlp_branch_bwd(res, db):
+    x, ln2w, ln2b, fcw, fcb, fcprojw, mean, rstd = res
+    C = x.shape[-1]
+    ln2 = _norm_from_stats(x, ln2w, ln2b, mean, rstd)
+    h = basic.linear(ln2, fcw, fcb)
+    hf = h.astype(jnp.float32)
+    hg = basic.gelu(h)
+
+    df = db.astype(jnp.float32)
+    dhg = basic.linear(db, fcprojw.T)
+    dfcprojw = jax.lax.dot_general(
+        df.reshape(-1, C), hg.reshape(-1, hg.shape[-1]).astype(jnp.float32),
+        (((0,), (0,)), ((), ()))).astype(fcprojw.dtype)
+    dfcprojb = jnp.sum(df, axis=tuple(range(db.ndim - 1))
+                       ).astype(fcprojw.dtype)
+
+    dh = (basic.gelu_grad_local(hf) * dhg.astype(jnp.float32)).astype(h.dtype)
+    dln2 = basic.linear(dh, fcw.T)
+    dfcw = jax.lax.dot_general(
+        dh.reshape(-1, dh.shape[-1]).astype(jnp.float32),
+        ln2.reshape(-1, C).astype(jnp.float32),
+        (((0,), (0,)), ((), ()))).astype(fcw.dtype)
+    dfcb = jnp.sum(dh.astype(jnp.float32), axis=tuple(range(dh.ndim - 1))
+                   ).astype(fcw.dtype)
+
+    dx, dln2w, dln2b = basic.layernorm_bwd_from_stats(x, ln2w, mean, rstd,
+                                                      dln2)
+    return dx, dln2w, dln2b, dfcw, dfcb, dfcprojw, dfcprojb
+
+
+mlp_branch.defvjp(_mlp_branch_fwd, _mlp_branch_bwd)
+
+
+# ---------------------------------------------------------------------------
+# block assembly (drop-path composed OUTSIDE the branches, like models/model)
+# ---------------------------------------------------------------------------
+
+def block_selective(x, p, cfg: ViTConfig, causal: bool):
+    """The 10-op block (rusty_vit.rs:322-331) with lean-residual branches.
+    Semantically identical to model._block; used when cfg.remat is truthy
+    and not 'full'."""
+    from .model import _drop_path
+    dp = "_dp_rate" in p
+    with jax.named_scope("attn"):
+        a = attn_branch(x, p["ln1w"], p["ln1b"], p["qkvw"], p["qkvb"],
+                        p["attprojw"], p["attprojb"], cfg.num_heads, causal,
+                        False)
+        if dp:
+            a = _drop_path(a, p["_dp_key"][0], p["_dp_rate"])
+        x = x + a
+    with jax.named_scope("mlp"):
+        b = mlp_branch(x, p["ln2w"], p["ln2b"], p["fcw"], p["fcb"],
+                       p["fcprojw"], p["fcprojb"])
+        if dp:
+            b = _drop_path(b, p["_dp_key"][1], p["_dp_rate"])
+        return x + b

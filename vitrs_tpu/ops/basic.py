@@ -57,8 +57,11 @@ def _layernorm_cv_fwd(x, w, b):
     return out, (x, w, mean, rstd)
 
 
-def _layernorm_cv_bwd(res, dout):
-    x, w, mean, rstd = res
+def layernorm_bwd_from_stats(x, w, mean, rstd, dout):
+    """LN backward from saved (mean, rstd) — the reference's stash contract
+    (rusty_vit.rs:737-783).  Shared by the custom-VJP LN and the selective
+    remat branches (models/selective.py), which recompute the normalization
+    instead of saving the LN output."""
     xf = x.astype(jnp.float32)
     df = dout.astype(jnp.float32)
     norm = (xf - mean[..., None]) * rstd[..., None]
@@ -70,6 +73,11 @@ def _layernorm_cv_bwd(res, dout):
     dnorm_norm_mean = jnp.mean(dnorm * norm, axis=-1, keepdims=True)
     dx = (dnorm - dnorm_mean - norm * dnorm_norm_mean) * rstd[..., None]
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(w.dtype)
+
+
+def _layernorm_cv_bwd(res, dout):
+    x, w, mean, rstd = res
+    return layernorm_bwd_from_stats(x, w, mean, rstd, dout)
 
 
 layernorm_cv.defvjp(_layernorm_cv_fwd, _layernorm_cv_bwd)
@@ -88,15 +96,22 @@ def _gelu_cv_fwd(x):
     return gelu(x), (x,)
 
 
-def _gelu_cv_bwd(res, dout):
-    (x,) = res
-    xf = x.astype(jnp.float32)
+def gelu_grad_local(xf: jax.Array) -> jax.Array:
+    """d gelu(x)/dx in fp32 (analytic tanh-GELU grad, rusty_vit.rs:793-807
+    with the G15 doubled-argument defect corrected).  Shared by the GELU
+    custom VJP and the selective-remat MLP branch."""
     s = jnp.sqrt(2.0 / jnp.pi).astype(jnp.float32)
     cube = GELU_COEF * xf * xf * xf
     a = s * (xf + cube)
     t = jnp.tanh(a)
     sech2 = 1.0 - t * t
-    local = 0.5 * (1.0 + t) + xf * 0.5 * sech2 * s * (1.0 + 3.0 * GELU_COEF * xf * xf)
+    return 0.5 * (1.0 + t) + xf * 0.5 * sech2 * s * (1.0 + 3.0 * GELU_COEF * xf * xf)
+
+
+def _gelu_cv_bwd(res, dout):
+    (x,) = res
+    xf = x.astype(jnp.float32)
+    local = gelu_grad_local(xf)
     return ((local * dout.astype(jnp.float32)).astype(x.dtype),)
 
 

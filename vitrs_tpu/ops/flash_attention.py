@@ -72,6 +72,44 @@ def supports(num_heads: int, head_dim: int) -> bool:
     return LANES % head_dim == 0 and num_heads % (LANES // head_dim) == 0
 
 
+def padded_num_heads(num_heads: int, head_dim: int) -> Optional[int]:
+    """Smallest head count >= num_heads the packed kernel can tile, or None
+    when no head-count padding helps (head_dim itself not lane-tileable).
+
+    Odd head counts (GPT-2 1.5B has 25 heads of 64 — advisor r2 finding:
+    supports() rejected it and the preset silently fell back to dense
+    O(B·25·T²) attention) are handled by running the kernel with zero-padded
+    phantom heads: zero K rows give uniform softmax over zero V rows, so the
+    phantom outputs are exactly zero, sliced off by the caller, and their
+    gradients vanish — math identical, ~1/25 extra attention FLOPs."""
+    if supports(num_heads, head_dim):
+        return num_heads
+    if head_dim >= LANES or LANES % head_dim != 0:
+        return None
+    g = LANES // head_dim
+    return _ceil_to(num_heads, g)
+
+
+def pad_qkv_weight(qkvw: jax.Array, qkvb: Optional[jax.Array],
+                   num_heads: int, num_heads_pad: int, head_dim: int):
+    """Zero-pad a packed (3C, C) projection weight per Q|K|V third to
+    (3C', C) so the projection emits the phantom-head packed layout
+    directly (no activation relayout on the hot path)."""
+    C = num_heads * head_dim
+    Cp = num_heads_pad * head_dim
+    if Cp == C:
+        return qkvw, qkvb
+    thirds = [qkvw[i * C:(i + 1) * C] for i in range(3)]
+    pad = jnp.zeros((Cp - C, qkvw.shape[1]), qkvw.dtype)
+    w = jnp.concatenate([t for third in thirds for t in (third, pad)], axis=0)
+    b = None
+    if qkvb is not None:
+        bt = [qkvb[i * C:(i + 1) * C] for i in range(3)]
+        bpad = jnp.zeros((Cp - C,), qkvb.dtype)
+        b = jnp.concatenate([t for third in bt for t in (third, bpad)])
+    return w, b
+
+
 def _heads_per_block(head_dim: int) -> int:
     return max(1, LANES // head_dim)
 
@@ -835,9 +873,22 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
     C = C3 // 3
     D = C // num_heads
     if not supports(num_heads, D):
-        from . import basic
-        out, _ = basic.attention_dense(qkv, num_heads, causal=causal)
-        return out
+        Hp = padded_num_heads(num_heads, D)
+        if Hp is None:
+            from . import basic
+            out, _ = basic.attention_dense(qkv, num_heads, causal=causal)
+            return out
+        # phantom-head relayout (odd head counts, e.g. 25): zero-pad each
+        # packed third, run the kernel at Hp heads, slice the real channels
+        Cp = Hp * D
+        pad = jnp.zeros((B, T, Cp - C), qkv.dtype)
+        qkv = jnp.concatenate(
+            [t for i in range(3) for t in (qkv[:, :, i * C:(i + 1) * C], pad)],
+            axis=-1)
+        out = flash_attention_qkv(qkv, Hp, causal=causal, sm_scale=sm_scale,
+                                  block_q=block_q, block_k=block_k,
+                                  interpret=interpret)
+        return out[:, :, :C]
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
     x, block_q, block_k = prep_blocks(qkv, block_q, block_k)

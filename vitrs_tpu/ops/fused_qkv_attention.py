@@ -40,19 +40,26 @@ def qkv_attention(ln1: jax.Array, qkvw: jax.Array, qkvb: jax.Array,
 
 
 def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret):
-    qkv = basic.linear(ln1, qkvw, qkvb)
-    B, T, C3 = qkv.shape
-    D = (C3 // 3) // num_heads
-    assert FA.supports(num_heads, D), (
+    C = ln1.shape[-1]
+    D = C // num_heads
+    # odd head counts run with zero-padded phantom heads (GPT-2 1.5B: 25
+    # heads -> 26); the projection weight is padded per-third so the packed
+    # phantom layout comes straight off the MXU (FA.pad_qkv_weight)
+    H = FA.padded_num_heads(num_heads, D)
+    assert H is not None, (
         f"geometry (heads={num_heads}, head_dim={D}) not tileable by the "
         "packed flash kernel — use the plain composition path")
+    w_run, b_run = FA.pad_qkv_weight(qkvw, qkvb, num_heads, H, D)
+    qkv = basic.linear(ln1, w_run, b_run)
+    B, T, _ = qkv.shape
     sm_scale = 1.0 / (D ** 0.5)
     qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q, FA.DEFAULT_BLOCK_K)
-    out, lse = FA._fwd(qkv_k, num_heads, sm_scale, causal, T, bq, bk,
-                       interpret)
+    out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret)
     T_pad = qkv_k.shape[1]
-    return out[:, :T, :] if T_pad != T else out, (ln1, qkvw, qkv_k, out, lse,
-                                                  sm_scale, T, bq, bk)
+    out_t = out[:, :T, :] if T_pad != T else out
+    if H != num_heads:
+        out_t = out_t[:, :, :C]
+    return out_t, (ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk, H)
 
 
 def _qkv_attention_fwd(ln1, qkvw, qkvb, num_heads, causal, interpret):
@@ -61,14 +68,16 @@ def _qkv_attention_fwd(ln1, qkvw, qkvb, num_heads, causal, interpret):
 
 
 def _qkv_attention_bwd(num_heads, causal, interpret, res, do):
-    ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk = res
-    T_pad = qkv_k.shape[1]
-    do_k = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0))) if T_pad != T else do
-    dq, dk, dv = FA._bwd_parts(qkv_k, num_heads, out, lse, do_k, sm_scale,
-                               causal, T, bq, bk, interpret)
-    if T_pad != T:
-        dq, dk, dv = (g[:, :T, :] for g in (dq, dk, dv))
+    ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk, H = res
     C = ln1.shape[-1]
+    Cp = qkv_k.shape[-1] // 3
+    T_pad = qkv_k.shape[1]
+    if Cp != C:
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, Cp - C)))
+    do_k = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0))) if T_pad != T else do
+    dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do_k, sm_scale,
+                               causal, T, bq, bk, interpret)
+    dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
     Wq, Wk, Wv = qkvw[:C], qkvw[C:2 * C], qkvw[2 * C:]
     # y = x·Wᵀ  =>  dx = Σ dy_part · W_part
     dln1 = (basic.linear(dq, Wq.T) + basic.linear(dk, Wk.T)

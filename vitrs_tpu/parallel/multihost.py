@@ -14,19 +14,27 @@ import jax
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
+               process_id: int | None = None, **kw) -> None:
     """Idempotent jax.distributed bring-up.  With no arguments, relies on the
-    cluster environment (TPU pod metadata / JAX_COORDINATOR_ADDRESS)."""
+    cluster environment (TPU pod metadata / JAX_COORDINATOR_ADDRESS).
+    Extra kwargs (e.g. initialization_timeout=) pass through."""
     if jax.process_count() > 1:
         return  # already initialized
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
-            process_id=process_id)
+            process_id=process_id, **kw)
     except (RuntimeError, ValueError):
-        # single-process run (no cluster env) — that's fine
-        pass
+        if explicit:
+            # the caller described a concrete cluster: silently degrading to
+            # single-process would be the reference's expect/unwrap
+            # anti-pattern INVERTED (SURVEY.md §5.3) — fail loudly instead
+            raise
+        # no cluster described and none found in the environment: a plain
+        # single-process run — that's fine
 
 
 def host_info() -> dict:
