@@ -96,6 +96,16 @@ class AsyncCheckpointer:
 # multi-host range-sharded writes
 # ---------------------------------------------------------------------------
 
+def _barrier(name: str) -> None:
+    """Cross-process sync point; no-op single-process (shared-filesystem
+    multi-host writes need ordering: alloc before pwrite, all pwrites before
+    any reader)."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
 def _native():
     from .native import build
     lib = build.load("ckptio")
@@ -163,6 +173,9 @@ def save_checkpoint_sharded(path: str, cfg: ViTConfig, host_id: int,
         if has_opt:
             _write_range(path, ckpt_io.HEADER_BYTES + n * 12,
                          np.int64([cursor]))
+    _barrier("vitrs_ckpt_alloc")   # nobody pwrites before host 0 sized the
+    #                                file (race found by the executed
+    #                                2-process test, tests/test_multihost.py)
 
     # host's contiguous f32 range of [params | m | v]
     total_f32 = n * (3 if has_opt else 1)
@@ -170,6 +183,7 @@ def save_checkpoint_sharded(path: str, cfg: ViTConfig, host_id: int,
     lo = host_id * per
     hi = min(lo + per, total_f32)
     if lo >= hi:
+        _barrier("vitrs_ckpt_done")     # single exit: match writers' barrier
         return
 
     # assemble the host's range without materializing the full flat vector
@@ -193,3 +207,5 @@ def save_checkpoint_sharded(path: str, cfg: ViTConfig, host_id: int,
         emit(np.asarray(m, np.float32).reshape(-1), n)
         emit(np.asarray(v, np.float32).reshape(-1), 2 * n)
     _write_range(path, ckpt_io.HEADER_BYTES + lo * 4, out)
+    _barrier("vitrs_ckpt_done")   # returning => the file is complete on the
+    #                               shared filesystem for every process

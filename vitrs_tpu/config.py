@@ -49,6 +49,11 @@ class ViTConfig:
     scan_unroll: int = 0              # 0 = fully unroll the layer scan (fastest
                                       # backward: no per-layer dynamic-update-slice
                                       # of the stacked grads); N>0 = unroll factor
+    act: str = "gelu_tanh"            # MLP activation: "gelu_tanh" (the
+                                      # reference's approximation,
+                                      # rusty_vit.rs:614-623) | "gelu_erf"
+                                      # (exact — what HF ViT checkpoints
+                                      # were trained with; import_hf sets it)
     drop_rate: float = 0.0            # head dropout (train-time)
     drop_path: float = 0.0            # stochastic depth: per-layer residual-
                                       # branch drop, linearly 0..drop_path
@@ -76,6 +81,7 @@ class ViTConfig:
     def validate(self) -> "ViTConfig":
         assert self.mode in ("gpt", "vit"), self.mode
         assert self.pool in ("cls", "mean"), self.pool
+        assert self.act in ("gelu_tanh", "gelu_erf"), self.act
         assert self.channels % self.num_heads == 0
         if self.mode == "vit":
             assert self.img_size % self.patch_size == 0

@@ -73,6 +73,110 @@ def config_from_hf(hf_config) -> ViTConfig:
     ).validate()
 
 
+def convert_vit_state_dict(sd: Dict[str, "np.ndarray"], cfg: ViTConfig
+                           ) -> Dict[str, np.ndarray]:
+    """HF `ViTForImageClassification` state_dict -> canonical params pytree.
+
+    Closes the 'pretrained weights' seam of BASELINE.json configs[1]: the
+    reference's checkpoint contract (train_vit.rs:89-186) generalized to the
+    HF ViT family the same way load_gpt2 generalizes it for GPT-2.
+
+    Layout notes:
+      * HF's patch embed is a Conv2d with weight (C, IC, P, P), NCHW; our
+        patchw is the (C, P·P·IC) matmul form consumed against
+        basic.patchify's (P_row, P_col, chan)-flattened patch vectors — so
+        the conv kernel transposes to (C, P, P, IC) then flattens.
+      * q/k/v are three separate torch Linears, already (OC, C) row-major;
+        the packed qkvw is their axis-0 concatenation (head split order is
+        identical: leading D-blocks per head).
+      * position_embeddings is (1, N+1, C) with row 0 the CLS position —
+        exactly our wpe semantics (vit_encode adds wpe[0] to cls).
+      * wte exists in the canonical order but is unused in vit mode
+        (vocab head is the vit `headw`); zero-filled.
+      * HF ViT was trained with exact erf-GELU — config_from_hf_vit sets
+        cfg.act="gelu_erf" so the imported forward matches torch.  (HF's
+        layer_norm_eps default 1e-12 vs our reference-pinned 1e-5 remains;
+        relative effect ~eps/(2σ²) ≈ 5e-6, below bf16 resolution.)
+    """
+    def get(name):
+        t = sd[name]
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                          else t, np.float32)
+
+    L, C = cfg.num_layers, cfg.channels
+    P, IC = cfg.patch_size, cfg.in_chans
+    conv = get("vit.embeddings.patch_embeddings.projection.weight")
+    assert conv.shape == (C, IC, P, P), conv.shape
+    out = {
+        "patchw": conv.transpose(0, 2, 3, 1).reshape(C, P * P * IC),
+        "patchb": get("vit.embeddings.patch_embeddings.projection.bias"),
+        "cls": get("vit.embeddings.cls_token"),
+        "wpe": get("vit.embeddings.position_embeddings")[0],
+        "wte": np.zeros((cfg.vocab_size, C), np.float32),
+        "lnfw": get("vit.layernorm.weight"),
+        "lnfb": get("vit.layernorm.bias"),
+        "headw": get("classifier.weight"),
+        "headb": get("classifier.bias"),
+    }
+    stack = {k: [] for k in ("ln1w", "ln1b", "qkvw", "qkvb", "attprojw",
+                             "attprojb", "ln2w", "ln2b", "fcw", "fcb",
+                             "fcprojw", "fcprojb")}
+    for l in range(L):
+        p = f"vit.encoder.layer.{l}."
+        a = p + "attention.attention."
+        stack["ln1w"].append(get(p + "layernorm_before.weight"))
+        stack["ln1b"].append(get(p + "layernorm_before.bias"))
+        stack["qkvw"].append(np.concatenate(
+            [get(a + "query.weight"), get(a + "key.weight"),
+             get(a + "value.weight")], axis=0))                    # (3C, C)
+        stack["qkvb"].append(np.concatenate(
+            [get(a + "query.bias"), get(a + "key.bias"),
+             get(a + "value.bias")]))
+        stack["attprojw"].append(get(p + "attention.output.dense.weight"))
+        stack["attprojb"].append(get(p + "attention.output.dense.bias"))
+        stack["ln2w"].append(get(p + "layernorm_after.weight"))
+        stack["ln2b"].append(get(p + "layernorm_after.bias"))
+        stack["fcw"].append(get(p + "intermediate.dense.weight"))   # (4C, C)
+        stack["fcb"].append(get(p + "intermediate.dense.bias"))
+        stack["fcprojw"].append(get(p + "output.dense.weight"))     # (C, 4C)
+        stack["fcprojb"].append(get(p + "output.dense.bias"))
+    for k, v in stack.items():
+        out[k] = np.stack(v)
+    assert out["qkvw"].shape == (L, 3 * C, C)
+    assert out["wpe"].shape == (cfg.num_patches + 1, C), out["wpe"].shape
+    return out
+
+
+def config_from_hf_vit(hf_config) -> ViTConfig:
+    assert hf_config.intermediate_size == 4 * hf_config.hidden_size, (
+        "canonical layout pins the 4C MLP (rusty_vit.rs:117-120)")
+    n_tok = (hf_config.image_size // hf_config.patch_size) ** 2 + 1
+    num_classes = int(hf_config.num_labels)
+    return ViTConfig(
+        mode="vit",
+        img_size=hf_config.image_size,
+        patch_size=hf_config.patch_size,
+        in_chans=hf_config.num_channels,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        channels=hf_config.hidden_size,
+        num_classes=num_classes,
+        pool="cls",
+        max_seq_len=n_tok,
+        vocab_size=num_classes,
+        act="gelu_erf" if hf_config.hidden_act == "gelu" else "gelu_tanh",
+    ).validate()
+
+
+def load_vit(model_name_or_path: str = "google/vit-base-patch16-224"):
+    """Load a HF ViT classifier (local cache/dir only in zero-egress builds)
+    and convert.  Returns (params, config)."""
+    from transformers import ViTForImageClassification
+    model = ViTForImageClassification.from_pretrained(model_name_or_path)
+    cfg = config_from_hf_vit(model.config)
+    return convert_vit_state_dict(model.state_dict(), cfg), cfg
+
+
 def load_gpt2(model_name_or_path: str = "gpt2"):
     """Load a HF GPT-2 (local cache/dir only in zero-egress builds) and
     convert.  Returns (params, config)."""

@@ -74,7 +74,8 @@ def _block(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
     with jax.named_scope("mlp"):
         ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
         fch = basic.linear(ln2, p["fcw"], p["fcb"])
-        fch_gelu = basic.gelu_cv(fch)
+        act = basic.gelu_erf_cv if cfg.act == "gelu_erf" else basic.gelu_cv
+        fch_gelu = act(fch)
         fcproj = basic.linear(fch_gelu, p["fcprojw"], p["fcprojb"])
         if dp:
             fcproj = _drop_path(fcproj, p["_dp_key"][1], p["_dp_rate"])

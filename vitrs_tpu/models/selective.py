@@ -186,36 +186,37 @@ attn_branch.defvjp(_attn_branch_fwd, _attn_branch_bwd)
 # MLP branch: x -> fcproj(gelu(fc(ln2(x))))
 # ---------------------------------------------------------------------------
 
-def _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb):
+def _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb, erf):
     _, mean, rstd = basic.layernorm(x, ln2w, ln2b)
     ln2 = _norm_from_stats(x, ln2w, ln2b, mean, rstd)
     h = basic.linear(ln2, fcw, fcb)
-    out = basic.linear(basic.gelu(h), fcprojw, fcprojb)
+    hg = basic.gelu_erf(h) if erf else basic.gelu(h)
+    out = basic.linear(hg, fcprojw, fcprojb)
     return out, mean, rstd
 
 
-@jax.custom_vjp
-def mlp_branch(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def mlp_branch(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb, erf=False):
     """The pre-LN MLP residual branch; saves only (x, mean, rstd) and
     recomputes fch/GELU in backward (the reference never stashed GELU
     intermediates either — gelu_backward recomputes from fch,
-    rusty_vit.rs:793-807)."""
-    out, _, _ = _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb)
+    rusty_vit.rs:793-807).  erf selects exact GELU (cfg.act="gelu_erf")."""
+    out, _, _ = _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb, erf)
     return out
 
 
-def _mlp_branch_fwd(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb):
-    out, mean, rstd = _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb)
+def _mlp_branch_fwd(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb, erf):
+    out, mean, rstd = _mlp_impl(x, ln2w, ln2b, fcw, fcb, fcprojw, fcprojb, erf)
     return out, (x, ln2w, ln2b, fcw, fcb, fcprojw, mean, rstd)
 
 
-def _mlp_branch_bwd(res, db):
+def _mlp_branch_bwd(erf, res, db):
     x, ln2w, ln2b, fcw, fcb, fcprojw, mean, rstd = res
     C = x.shape[-1]
     ln2 = _norm_from_stats(x, ln2w, ln2b, mean, rstd)
     h = basic.linear(ln2, fcw, fcb)
     hf = h.astype(jnp.float32)
-    hg = basic.gelu(h)
+    hg = basic.gelu_erf(h) if erf else basic.gelu(h)
 
     df = db.astype(jnp.float32)
     dhg = basic.linear(db, fcprojw.T)
@@ -225,7 +226,9 @@ def _mlp_branch_bwd(res, db):
     dfcprojb = jnp.sum(df, axis=tuple(range(db.ndim - 1))
                        ).astype(fcprojw.dtype)
 
-    dh = (basic.gelu_grad_local(hf) * dhg.astype(jnp.float32)).astype(h.dtype)
+    grad_local = (basic.gelu_erf_grad_local if erf
+                  else basic.gelu_grad_local)
+    dh = (grad_local(hf) * dhg.astype(jnp.float32)).astype(h.dtype)
     dln2 = basic.linear(dh, fcw.T)
     dfcw = jax.lax.dot_general(
         dh.reshape(-1, dh.shape[-1]).astype(jnp.float32),
@@ -261,7 +264,7 @@ def block_selective(x, p, cfg: ViTConfig, causal: bool):
         x = x + a
     with jax.named_scope("mlp"):
         b = mlp_branch(x, p["ln2w"], p["ln2b"], p["fcw"], p["fcb"],
-                       p["fcprojw"], p["fcprojb"])
+                       p["fcprojw"], p["fcprojb"], cfg.act == "gelu_erf")
         if dp:
             b = _drop_path(b, p["_dp_key"][1], p["_dp_rate"])
         return x + b

@@ -118,6 +118,49 @@ def _gelu_cv_bwd(res, dout):
 gelu_cv.defvjp(_gelu_cv_fwd, _gelu_cv_bwd)
 
 
+INV_SQRT2 = 0.7071067811865476
+INV_SQRT_2PI = 0.3989422804014327
+
+
+def gelu_erf(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU: 0.5·x·(1 + erf(x/√2)).
+
+    The reference only ever uses the tanh approximation
+    (rusty_vit.rs:614-623); this variant exists for cross-framework weight
+    import — HF ViT checkpoints (hidden_act="gelu") were trained with the
+    erf form, and the ~1e-3 pointwise difference is systematic across 4C·L
+    activations.  Selected via ViTConfig.act = "gelu_erf"."""
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + jax.lax.erf(xf * INV_SQRT2))).astype(x.dtype)
+
+
+def gelu_erf_grad_local(xf: jax.Array) -> jax.Array:
+    """d gelu_erf(x)/dx in fp32: Φ(x) + x·φ(x)."""
+    cdf = 0.5 * (1.0 + jax.lax.erf(xf * INV_SQRT2))
+    pdf = INV_SQRT_2PI * jnp.exp(-0.5 * xf * xf)
+    return cdf + xf * pdf
+
+
+@jax.custom_vjp
+def gelu_erf_cv(x: jax.Array) -> jax.Array:
+    """erf-GELU with the same lean-stash VJP contract as gelu_cv: saves only
+    x (own dtype), recomputes the analytic gradient in fp32."""
+    return gelu_erf(x)
+
+
+def _gelu_erf_cv_fwd(x):
+    return gelu_erf(x), (x,)
+
+
+def _gelu_erf_cv_bwd(res, dout):
+    (x,) = res
+    local = gelu_erf_grad_local(x.astype(jnp.float32))
+    return ((local * dout.astype(jnp.float32)).astype(x.dtype),)
+
+
+gelu_erf_cv.defvjp(_gelu_erf_cv_fwd, _gelu_erf_cv_bwd)
+
+
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
     """y = x @ W.T (+ b), W stored (OC, C) row-major — the reference matmul
     convention (rusty_vit.rs:484-498).  dot_general keeps the contraction on

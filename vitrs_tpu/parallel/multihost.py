@@ -18,8 +18,11 @@ def initialize(coordinator_address: str | None = None,
     """Idempotent jax.distributed bring-up.  With no arguments, relies on the
     cluster environment (TPU pod metadata / JAX_COORDINATOR_ADDRESS).
     Extra kwargs (e.g. initialization_timeout=) pass through."""
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return  # already initialized
+    # NOTE: deliberately NOT jax.process_count() here — that would
+    # initialize the local backend first, and jax.distributed.initialize
+    # must run before any JAX computation/device query.
     explicit = (coordinator_address is not None or num_processes is not None
                 or process_id is not None)
     try:
