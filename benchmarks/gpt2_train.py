@@ -34,19 +34,25 @@ def main():
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--param-dtype", default=None,
+                    help="bfloat16 fits GPT-2 1.5B on one 16 GB chip")
+    ap.add_argument("--state-dtype", default="float32",
+                    help="AdamW m/v dtype (bfloat16 for the 1.5B mode)")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     cfg = get_config(args.preset).replace(
         dtype="bfloat16" if on_tpu else "float32",
-        use_flash=on_tpu, max_seq_len=args.seq, remat=args.remat)
+        use_flash=on_tpu, max_seq_len=args.seq, remat=args.remat,
+        **({"param_dtype": args.param_dtype} if args.param_dtype else {}))
     B, T = args.batch, cfg.max_seq_len
 
     key = jax.random.PRNGKey(0)
     params = PRM.init_params(cfg, key)
+    state_dtype = jnp.dtype(args.state_dtype)
     zeros = lambda: jax.tree_util.tree_map(
-        lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        lambda p: jnp.zeros(p.shape, state_dtype), params)
     m, v = zeros(), zeros()
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T + 1)))

@@ -48,8 +48,12 @@ def main():
     eng = GenerationEngine(params, cfg, max_slots=args.slots,
                            max_len=args.max_len, paged=args.paged,
                            decode_chunk=args.chunk, top_k=0)
-    # warmup: compile prefill buckets + decode once
-    eng.submit(prompts[0], max_new=2)
+    # warmup: run the full request mix once so every (bucket, group-size)
+    # prefill program and the decode scan are compiled before timing —
+    # a server compiles each shape once in its lifetime; steady-state
+    # throughput is the number that matters
+    for p in prompts:
+        eng.submit(p, max_new=2)
     eng.run()
 
     t0 = time.perf_counter()

@@ -146,3 +146,31 @@ def test_chunked_sampled_smoke():
     outs = dict(eng.run())
     assert len(outs[0]) == 11
     assert (np.asarray(outs[0]) < CFG.vocab_size).all()
+
+
+def test_text_engine_end_to_end():
+    """Text in, text out: tokenizer -> engine -> detokenizer; greedy output
+    must equal the raw-id reference path on the same encoded prompt."""
+    from vitrs_tpu.data.tokenizer import ByteBPETokenizer
+    from vitrs_tpu.serving_gen import TextEngine
+
+    corpus = "the quick brown fox jumps over the lazy dog " * 20
+    tok = ByteBPETokenizer.train(corpus, vocab_size=280)
+    cfg = CFG.replace(vocab_size=tok.vocab_size)
+    params = P.init_params(cfg, jax.random.PRNGKey(3))
+    te = TextEngine(params, cfg, tok, max_slots=2, max_len=32,
+                    prompt_buckets=(16,))
+    prompts = ["the quick", "lazy dog"]
+    outs = te.generate(prompts, max_new=5)
+    assert len(outs) == 2
+    for text, out in zip(prompts, outs):
+        ids = tok.encode(text)
+        ref = G.generate(params, jnp.asarray(ids)[None], cfg, max_new=5,
+                         key=jax.random.PRNGKey(0), temperature=0.0)
+        ref_gen = [int(t) for t in np.asarray(ref)[0][len(ids):]]
+        if tok.eot_id in ref_gen:
+            ref_gen = ref_gen[:ref_gen.index(tok.eot_id)]
+        assert out == tok.decode(ref_gen)
+    # echo mode prefixes the original prompt text verbatim
+    outs_echo = te.generate(["the quick"], max_new=3, echo_prompt=True)
+    assert outs_echo[0].startswith("the quick")

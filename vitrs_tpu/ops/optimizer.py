@@ -73,13 +73,17 @@ def adamw_tree(params, grads, m, v, step, lr, beta1=0.9, beta2=0.999,
     bc2 = 1.0 - beta2 ** t
 
     def upd(p, g, m_, v_):
+        # state dtype is preserved: fp32 state is exact AdamW; bf16 state
+        # (the 1.5B-on-one-chip memory mode) computes in fp32 and rounds
+        # back — update math itself never runs below fp32
+        sd = m_.dtype
         g = g.astype(jnp.float32)
-        m_ = beta1 * m_ + (1.0 - beta1) * g
-        v_ = beta2 * v_ + (1.0 - beta2) * g * g
+        mf = beta1 * m_.astype(jnp.float32) + (1.0 - beta1) * g
+        vf = beta2 * v_.astype(jnp.float32) + (1.0 - beta2) * g * g
         pf = p.astype(jnp.float32)
-        pf = pf - lr * ((m_ / bc1) / (jnp.sqrt(v_ / bc2) + eps)
+        pf = pf - lr * ((mf / bc1) / (jnp.sqrt(vf / bc2) + eps)
                         + weight_decay * pf)
-        return pf.astype(p.dtype), m_, v_
+        return pf.astype(p.dtype), mf.astype(sd), vf.astype(sd)
 
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_g = treedef.flatten_up_to(grads)
