@@ -117,6 +117,10 @@ PRESETS = {
                            channels=1280).validate(),
     "gpt2-1558m": ViTConfig(num_layers=48, num_heads=25,
                             channels=1600).validate(),
+    # long-context GPT-2: wpe sized to 4096 (the reference's cap is
+    # wpe = max_seq_len, rusty_vit.rs:107 — same table, 4x the length);
+    # selective remat recommended at this activation footprint
+    "gpt2-124m-4k": ViTConfig(max_seq_len=4096, remat=True).validate(),
     # tiny GPT config for parity/gradient tests
     "gpt-nano": ViTConfig(max_seq_len=16, vocab_size=97, num_layers=2,
                           num_heads=2, channels=16).validate(),

@@ -31,7 +31,9 @@ Backward is recompute-based (standard flash decomposition):
   dKV kernel:  for each KV tile, sweep Q tiles:  p = exp(s·scale - lse),
                dv += pᵀ·do,  ds = p∘(do·vᵀ - di)·scale,  dk += dsᵀ·q
   dQ kernel:   for each Q tile, sweep KV tiles:  dq += ds·k
-  with di = Σ_d(out ∘ dout) per head, precomputed once.
+  with di = Σ_d(out ∘ dout) per head, recomputed per tile from the out/do
+  blocks already in VMEM (a precomputed di would have to stream in the
+  (B, H, T, 128) lane-broadcast layout — ~400 MB/layer at GPT-2 B=32).
 
 Causal mode skips tiles strictly above the diagonal at the grid level; padded
 key columns (T padded to a block multiple) are masked with a finite -1e30 so
@@ -476,7 +478,7 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, n_q, seq_len, T,
                     G, D):
@@ -492,6 +494,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     @pl.when(run)
     def _compute():
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        of = o_ref[0]
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -511,8 +514,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     preferred_element_type=jnp.float32))
             ps, dss = [], []
             for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
                 lse = lse_ref[0, g][:, :1]               # (block_q, 1)
-                di = di_ref[0, g][:, :1]
+                # di recomputed per tile from the out/do tiles already in
+                # VMEM — the (B, H, T, 128) lane-broadcast di tensor this
+                # replaces cost ~400 MB/layer of HBM write+read at
+                # GPT-2 B=32 (the single-tile kernel always did it this way)
+                di = jnp.sum(of[:, sl].astype(jnp.float32)
+                             * dof[:, sl].astype(jnp.float32),
+                             axis=1, keepdims=True)
                 p = jnp.exp(ss[g] - lse)
                 if masked:
                     p = jnp.where(msk, p, 0.0)
@@ -554,7 +564,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                                     axis=-1).astype(dv_ref.dtype)
 
 
-def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                          dq_ref, dk_ref, dv_ref,
                          dq_scr, dk_scr, dv_scr,
                          *, sm_scale, causal, block_q, block_k, n_kv, n_q,
@@ -582,6 +592,7 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     @pl.when(run)
     def _compute():
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        of = o_ref[0]
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -601,8 +612,11 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     preferred_element_type=jnp.float32))
             ps, dss = [], []
             for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
                 lse = lse_ref[0, g][:, :1]
-                di = di_ref[0, g][:, :1]
+                di = jnp.sum(of[:, sl].astype(jnp.float32)       # in-tile di
+                             * dof[:, sl].astype(jnp.float32),
+                             axis=1, keepdims=True)
                 p = jnp.exp(ss[g] - lse)
                 if masked:
                     p = jnp.where(msk, p, 0.0)
@@ -653,7 +667,7 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                                     axis=-1).astype(dq_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                    dq_ref, dq_scr,
                    *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
                    G, D):
@@ -668,6 +682,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     @pl.when(run)
     def _compute():
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        of = o_ref[0]
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -686,8 +701,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     preferred_element_type=jnp.float32))
             dss = []
             for g in range(G):
+                sl = slice(g * D, (g + 1) * D)
                 lse = lse_ref[0, g][:, :1]
-                di = di_ref[0, g][:, :1]
+                di = jnp.sum(of[:, sl].astype(jnp.float32)       # in-tile di
+                             * dof[:, sl].astype(jnp.float32),
+                             axis=1, keepdims=True)
                 p = jnp.exp(ss[g] - lse)
                 if masked:
                     p = jnp.where(msk, p, 0.0)
@@ -739,10 +757,11 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     W = G * D
     n_hblk = num_heads // G
     n_q, n_kv = T // block_q, T // block_k
-    # di[b,h,t] = Σ_d out[b,t,h,d]·do[b,t,h,d] — per head
-    prod = out.astype(jnp.float32) * do.astype(jnp.float32)
-    di = prod.reshape(B, T, num_heads, D).sum(-1).transpose(0, 2, 1)
-    di = jnp.broadcast_to(di[..., None], (B, num_heads, T, LANES))
+    # di[b,h,t] = Σ_d out[b,t,h,d]·do[b,t,h,d] is recomputed inside each
+    # kernel from the out/do tiles (one VPU rowsum per tile) — the
+    # alternative, materializing di in the (B, H, T, 128) lane-broadcast
+    # layout the row specs require, cost ~400 MB of HBM write+read per
+    # layer at GPT-2 B=32
 
     semantics = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"))
@@ -778,7 +797,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                               block_k=block_k, n_kv=n_kv, n_q=n_q,
                               seq_len=seq_len, T=T, G=G, D=D),
             grid=(B, n_hblk, n_kv, n_q),
-            in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, row_spec],
+            in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
             out_specs=(dq_out_spec, kv_out_spec, kv_out_spec),
             out_shape=tuple(jax.ShapeDtypeStruct((B, T, C), qkv.dtype)
                             for _ in range(3)),
@@ -787,7 +806,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                             pltpu.VMEM((G, block_k, D), jnp.float32)],
             compiler_params=combined_semantics,
             interpret=interpret,
-        )(qkv, qkv, qkv, do, lse, di)
+        )(qkv, qkv, qkv, do, lse, out)
         return dq, dk, dv
 
     dk, dv = pl.pallas_call(
@@ -795,7 +814,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                           block_q=block_q, block_k=block_k, n_q=n_q,
                           seq_len=seq_len, T=T, G=G, D=D),
         grid=(B, n_hblk, n_kv, n_q),
-        in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, row_spec],
+        in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
         out_specs=(kv_out_spec, kv_out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
                    jax.ShapeDtypeStruct((B, T, C), qkv.dtype)),
@@ -803,7 +822,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                         pltpu.VMEM((G, block_k, D), jnp.float32)],
         compiler_params=semantics,
         interpret=interpret,
-    )(qkv, qkv, qkv, do, lse, di)
+    )(qkv, qkv, qkv, do, lse, out)
 
     # dQ pass: grid (B, hblk, q, kv) — kv is the sequential axis
     q_spec2, k_spec2, v_spec2 = _qkv_specs(n_hblk, block_q, block_k, W,
@@ -818,13 +837,13 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                           block_q=block_q, block_k=block_k, n_kv=n_kv,
                           seq_len=seq_len, T=T, G=G, D=D),
         grid=(B, n_hblk, n_q, n_kv),
-        in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, row_spec2],
+        in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, do_spec2],
         out_specs=do_spec2,
         out_shape=jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((G, block_q, D), jnp.float32)],
         compiler_params=semantics,
         interpret=interpret,
-    )(qkv, qkv, qkv, do, lse, di)
+    )(qkv, qkv, qkv, do, lse, out)
     return dq, dk, dv
 
 

@@ -67,8 +67,9 @@ class GenerationEngine:
         self.cfg = cfg
         self.max_slots = max_slots
         self.max_len = max_len
-        self.buckets = tuple(sorted(b for b in prompt_buckets
-                                    if b <= max_len))
+        self.buckets = (tuple(sorted(b for b in prompt_buckets
+                                     if b <= max_len))
+                        or (max_len,))   # tiny configs: one bucket
         self.paged = paged
         self.free: List[int] = list(range(max_slots))
         self.active: Dict[int, _Request] = {}      # slot -> request
