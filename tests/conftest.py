@@ -23,6 +23,19 @@ assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.default_backend())
 assert jax.device_count() == 8, jax.device_count()
 
+# Persistent compilation cache: the full tier is dominated by big XLA:CPU
+# compiles (parallelism meshes, fuzz geometries, train loops).  Caching them
+# under .pytest_jax_cache makes every rerun of an unchanged test skip its
+# compile entirely, and dedups identical compiles WITHIN a cold run too (the
+# kill-and-resume tests each jit the same train step 3x from fresh function
+# objects).  Only compiles >0.5 s are written.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".pytest_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 # ---------------------------------------------------------------------------
 # Two-tier test suite: the quick tier (`pytest -m "not slow"`) runs in

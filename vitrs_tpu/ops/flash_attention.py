@@ -58,9 +58,14 @@ DEFAULT_BLOCK_K = 512
 MASK_VALUE = -1e30
 LANES = 128
 # Combined single-pass multi-tile backward holds a whole-sequence (G, T, D)
-# fp32 dq scratch in VMEM; above this byte budget fall back to the two-kernel
-# (dKV + dQ) decomposition.  Module-level so tests can force either path.
-COMBINED_BWD_VMEM_LIMIT = 2 << 20
+# fp32 dq scratch PLUS the (T, G*D) bf16 dq output block it flushes into in
+# VMEM (6 bytes/element total); above this byte budget fall back to the
+# two-kernel (dKV + dQ) decomposition.  2.5 MB admits T<=2048 at GPT-2
+# shape (1.57 MB) and rejects T=4096 (3.14 MB — which blew the 16 MB
+# scoped-vmem stack by 424 KB when forced; note 3.14 MB == 3<<20 exactly,
+# so a 3 MB budget would re-admit it).  Module-level so tests can force
+# either path.
+COMBINED_BWD_VMEM_LIMIT = 5 << 19
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -777,7 +782,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     kv_out_spec = pl.BlockSpec((1, block_k, W), lambda b, h, i, j: (b, i, h),
                                memory_space=pltpu.VMEM)
 
-    if G * T * D * 4 <= COMBINED_BWD_VMEM_LIMIT:
+    if G * T * D * 6 <= COMBINED_BWD_VMEM_LIMIT:
         # combined single-pass backward: dq accumulates in a whole-sequence
         # VMEM scratch; p computed once per tile instead of twice
         dq_out_spec = pl.BlockSpec((1, T, W), lambda b, h, i, j: (b, 0, h),
