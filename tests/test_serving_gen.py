@@ -174,3 +174,18 @@ def test_text_engine_end_to_end():
     # echo mode prefixes the original prompt text verbatim
     outs_echo = te.generate(["the quick"], max_new=3, echo_prompt=True)
     assert outs_echo[0].startswith("the quick")
+
+
+def test_engine_tiny_max_len_gets_fallback_bucket():
+    """max_len below every default prompt bucket (32/64/128) must still
+    serve: the engine falls back to a single max_len-sized bucket instead
+    of an empty bucket list (vitrs-generate with gpt-nano hit max() on an
+    empty sequence here)."""
+    params = P.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    p1 = rng.integers(0, CFG.vocab_size, 5)
+    eng = GenerationEngine(params, CFG, max_slots=2, max_len=16)
+    assert eng.buckets == (16,)
+    eng.submit(p1, max_new=4)
+    outs = dict(eng.run())
+    np.testing.assert_array_equal(outs[0], _ref_greedy(params, p1, 4))

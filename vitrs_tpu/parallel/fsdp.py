@@ -1,0 +1,117 @@
+"""Fully-sharded data parallelism (FSDP / ZeRO-3) — GSPMD-native.
+
+The reference has no distributed story at all (SURVEY.md §2 rows 26-27);
+this module is the TPU-native form of the FSDP family: parameters AND
+optimizer state live sharded across the mesh at rest, and XLA's GSPMD
+partitioner inserts the all-gathers (param use), reduce-scatters (gradient
+combine) and the sharded optimizer update from sharding annotations alone —
+no hand-written collectives, unlike the shard_map modules (data_parallel /
+tensor_parallel), because here the whole point is the *storage* layout, and
+`jit(in_shardings=..., out_shardings=...)` is the canonical way to pin one.
+
+Memory at rest per device: (params + m + v) / mesh.size + activations —
+the configuration that puts GPT-2 1.5B's 9.3 GB of state onto 8 chips at
+1.2 GB each.  Compute math is IDENTICAL to plain DP (batch sharded on the
+same axis): verified vs single device in tests/test_fsdp.py.
+
+Sharding rule: each canonical tensor (params.py's 16-tensor order) shards
+its LARGEST axis divisible by the mesh size (ties → later axis, which is
+usually the contraction axis and gathers straight into the matmul); tensors
+with no divisible axis stay replicated.  wte (50304, 768) and the stacked-L
+weight blocks (L, 3C, C) etc. all shard on an 8-divisible axis at every
+real config.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ViTConfig
+from ..models import model as M
+from ..ops import optimizer as opt
+
+AXIS = "fsdp"
+
+
+def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=(AXIS,))
+
+
+def spec_for(shape, n: int) -> P:
+    """Largest axis divisible by n (ties → later axis); else replicate."""
+    best, best_dim = None, -1
+    for i, d in enumerate(shape):
+        if d % n == 0 and d >= best_dim:
+            best, best_dim = i, d
+    if best is None:
+        return P()
+    return P(*(AXIS if i == best else None for i in range(len(shape))))
+
+
+def param_specs(params, mesh: Mesh):
+    return {k: spec_for(v.shape, mesh.size) for k, v in params.items()}
+
+
+def place_params(params, mesh: Mesh):
+    """Move a (host or single-device) param tree to its sharded-at-rest
+    layout."""
+    specs = param_specs(params, mesh)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in params.items()}
+
+
+def init_opt_state(params, mesh: Mesh, dtype=jnp.float32):
+    """AdamW m/v with the SAME shardings as their parameters (ZeRO-3: the
+    optimizer state never exists unsharded anywhere)."""
+    specs = param_specs(params, mesh)
+    zeros = {k: functools.partial(jnp.zeros, v.shape, dtype)
+             for k, v in params.items()}
+    return tuple(
+        {k: jax.jit(z, out_shardings=NamedSharding(mesh, specs[k]))()
+         for k, z in zeros.items()}
+        for _ in range(2))
+
+
+def make_fsdp_train_step(cfg: ViTConfig, mesh: Mesh, params,
+                         weight_decay: float = 0.1):
+    """Jitted FSDP step: (params, m, v, inputs, targets, step, lr)
+    -> (params, m, v, loss).
+
+    `params` is only inspected for shapes (to fix the shardings).  params/
+    m/v arrive and leave in the sharded-at-rest layout (donated: the update
+    is in-place per shard); inputs/targets are batch-sharded on the same
+    axis.  Everything between — gather for use, reduce-scatter of grads,
+    sharded elementwise AdamW — is GSPMD's from the in/out shardings.
+    """
+    specs = param_specs(params, mesh)
+    psh = {k: NamedSharding(mesh, s) for k, s in specs.items()}
+    batch_sh = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def step_fn(params, m, v, inputs, targets, step, lr):
+        loss, grads = jax.value_and_grad(M.loss_fn)(params, inputs, targets,
+                                                    cfg)
+        # pin gradient layout to the param layout: GSPMD lowers the grad
+        # combine to reduce-scatter instead of all-reduce
+        grads = {k: jax.lax.with_sharding_constraint(
+                     g, NamedSharding(mesh, specs[k]))
+                 for k, g in grads.items()}
+        params, m, v = opt.adamw_tree(params, grads, m, v, step, lr,
+                                      weight_decay=weight_decay)
+        return params, m, v, loss
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(psh, psh, psh, batch_sh, batch_sh, repl, repl),
+        out_shardings=(psh, psh, psh, repl),
+        donate_argnums=(0, 1, 2),
+    )
