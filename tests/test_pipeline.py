@@ -238,3 +238,70 @@ def test_pp_training_decreases_loss():
                                jnp.asarray(0.0, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def _grads_via_interleaved(cfg, inputs, labels, params, pp_size=2, V=2,
+                           mb=4):
+    mesh = pp.make_mesh_dp_pp(dp=2, pp=pp_size)
+    specs = pp.pp_param_specs(cfg)
+
+    def spmd(p, x, y):
+        loss, g = pp._pp_1f1b_interleaved(p, x, y, cfg, pp_size, V, mb)
+        g = {k: (jax.lax.psum(t, "pipe") if specs[k] == P() else t)
+             for k, t in g.items()}
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    fn = jax.jit(shard_map(spmd, mesh=mesh,
+                           in_specs=(dict(specs), P("data"), P("data")),
+                           out_specs=(P(), dict(specs)), check_rep=False))
+    ppp = pp.place_pp_params_interleaved(params, cfg, mesh, V)
+    dsh = NamedSharding(mesh, P("data"))
+    loss, got = fn(ppp, jax.device_put(inputs, dsh),
+                   jax.device_put(labels, dsh))
+    got = pp.uninterleave_tree(jax.device_get(got), cfg, pp_size, V)
+    return float(loss), got
+
+
+def test_pp_interleaved_vit_matches_single_device():
+    """Interleaved 1F1B (V=2 virtual chunks per device): loss and all grads
+    vs the single-device model — the wrap-around slot routing must
+    reconstruct the exact layer order."""
+    params = PRM.init_params(CFG, jax.random.PRNGKey(5))
+    images, labels = _data(seed=5)
+    want, grads_ref = jax.value_and_grad(M.loss_fn)(params, images, labels,
+                                                    CFG)
+    loss, got = _grads_via_interleaved(CFG, images, labels, params)
+    np.testing.assert_allclose(loss, float(want), rtol=2e-5)
+    _assert_grads_match(got, grads_ref)
+
+
+def test_pp_interleaved_gpt_matches_single_device():
+    params = PRM.init_params(GPT_CFG, jax.random.PRNGKey(6))
+    toks, targets = _gpt_data(seed=6)
+    want, grads_ref = jax.value_and_grad(M.loss_fn)(params, toks, targets,
+                                                    GPT_CFG)
+    loss, got = _grads_via_interleaved(GPT_CFG, toks, targets, params)
+    np.testing.assert_allclose(loss, float(want), rtol=2e-5)
+    _assert_grads_match(got, grads_ref)
+
+
+def test_pp_interleaved_train_step_decreases_loss():
+    mesh = pp.make_mesh_dp_pp(dp=2, pp=2)
+    params = PRM.init_params(GPT_CFG, jax.random.PRNGKey(7))
+    step = pp.make_pp_train_step(GPT_CFG, mesh, microbatches=2,
+                                 schedule="1f1b-interleaved",
+                                 virtual_stages=2)
+    ppp = pp.place_pp_params_interleaved(params, GPT_CFG, mesh, 2)
+    m, v = pp.init_pp_opt_state(ppp, mesh, GPT_CFG)
+    toks, targets = _gpt_data(seed=8)
+    dsh = NamedSharding(mesh, P("data"))
+    toks, targets = jax.device_put(toks, dsh), jax.device_put(targets, dsh)
+    losses = []
+    for i in range(1, 4):
+        ppp, m, v, loss = step(ppp, m, v, toks, targets,
+                               jnp.asarray(i, jnp.int32),
+                               jnp.asarray(1e-3, jnp.float32),
+                               jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

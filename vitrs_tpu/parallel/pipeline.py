@@ -26,6 +26,11 @@ Schedules:
     stage forward from a stashed input activation (jax.vjp per microbatch),
     so activation memory is bounded by the pipeline depth (a (2S, Bm, T, C)
     circular buffer), NOT by the microbatch count — the reason 1F1B exists.
+  * Interleaved 1F1B (`schedule="1f1b-interleaved"`, `virtual_stages=V`):
+    Megatron-style virtual pipeline — each device holds V non-contiguous
+    layer chunks, fill/drain ticks cost 1/V of a stage, bubble shrinks ~V×.
+    Needs `place_pp_params_interleaved` (the L axis is permuted so the
+    contiguous pipe-axis slices hold the right chunks).
 
 Collective-transpose care (same class of bug as tensor_parallel.reduce_out):
 the final loss combine uses psum-forward/identity-backward, and replicated
@@ -261,21 +266,157 @@ def _pp_1f1b(p, inputs, labels, cfg: ViTConfig, n_stages: int,
     return reduce_out(loss_sum, "pipe") * inv, grads
 
 
+def _pp_1f1b_interleaved(p, inputs, labels, cfg: ViTConfig, n_stages: int,
+                         virtual: int, microbatches: int):
+    """Interleaved 1F1B (Megatron virtual pipeline stages): device d holds
+    `virtual` NON-contiguous layer chunks — virtual stage sv = vi·S + d for
+    local slot vi — so the pipeline has Sv = S·V stages whose fill/drain
+    ticks each cost only 1/V of a device's layers: the bubble shrinks ~V×
+    at equal microbatch count.
+
+    Routing is the 1F1B ring run V times around: every tick all V activation
+    slots hop to the next device; the wrap (device S-1 → device 0) advances
+    the slot index, which in SPMD form is a jnp.roll of the slot axis on
+    device 0 only (and the mirror-image roll for gradients on device S-1).
+    Chunk slicing happens INSIDE the vjp closure, so each backward
+    micro-step scatters its chunk's gradient straight into the full local
+    stacked-block gradient."""
+    S, V, Mb = n_stages, virtual, microbatches
+    Sv = S * V
+    stage = jax.lax.axis_index("pipe")
+    B = inputs.shape[0]
+    Bm = B // Mb
+    micro_x = inputs.reshape((Mb, Bm) + inputs.shape[1:])
+    micro_y = labels.reshape((Mb, Bm) + labels.shape[1:])
+    Lc = cfg.num_layers // Sv           # layers per chunk
+    chunk_cfg = cfg.replace(num_layers=Lc)
+    dtype = jnp.dtype(cfg.dtype)
+    T = _act_seq_len(cfg, inputs)
+    C = cfg.channels
+    fwd_perm = [(i, (i + 1) % S) for i in range(S)]
+    bwd_perm = [(i, (i - 1) % S) for i in range(S)]
+    encode, apply, head_loss = _mode_fns(p, cfg, chunk_cfg)
+    DEPTH = 2 * Sv
+
+    def chunk_params(pp_full, vi: int):
+        return {k: (v[vi * Lc:(vi + 1) * Lc] if k in M.BLOCK_KEYS else v)
+                for k, v in pp_full.items()}
+
+    def stage_out(pp_full, a, idx, vi: int, with_head=True):
+        pc = chunk_params(pp_full, vi)
+        sv = vi * S + stage
+        x_in = jax.lax.cond(
+            sv == 0,
+            lambda aa: encode(pc, jax.lax.dynamic_index_in_dim(
+                micro_x, idx, 0, keepdims=False)),
+            lambda aa: aa, a)
+        y = apply(pc, x_in)
+        if not with_head:
+            return y, jnp.zeros((), jnp.float32)
+        lbl = jax.lax.dynamic_index_in_dim(micro_y, idx, 0, keepdims=False)
+        ml = jax.lax.cond(sv == Sv - 1,
+                          lambda yy: head_loss(pc, yy, lbl),
+                          lambda yy: jnp.zeros((), jnp.float32), y)
+        return y, ml
+
+    zero_grads = jax.tree_util.tree_map(
+        lambda v: jnp.zeros(v.shape, jnp.float32), p)
+
+    def tick(carry, t):
+        act_recv, g_recv, bufs, dp_acc, loss_sum = carry
+
+        ys = []
+        bufs = list(bufs)
+        for vi in range(V):
+            sv = vi * S + stage
+            f = t - sv
+            valid_f = jnp.logical_and(f >= 0, f < Mb)
+            fc = jnp.clip(f, 0, Mb - 1)
+            a_in = act_recv[vi]
+            y = jax.lax.cond(
+                valid_f,
+                lambda a, vi=vi, fc=fc: stage_out(p, a, fc, vi,
+                                                  with_head=False)[0],
+                lambda a: jnp.zeros((Bm, T, C), dtype), a_in)
+            bufs[vi] = jax.lax.cond(
+                valid_f,
+                lambda bf, a=a_in, fc=fc: jax.lax.dynamic_update_index_in_dim(
+                    bf, a, fc % DEPTH, 0),
+                lambda bf: bf, bufs[vi])
+            ys.append(y)
+        y_all = jnp.stack(ys)
+
+        das = []
+        for vi in range(V):
+            sv = vi * S + stage
+            b = t - (2 * Sv - 1 - sv)
+            valid_b = jnp.logical_and(b >= 0, b < Mb)
+            bc = jnp.clip(b, 0, Mb - 1)
+
+            def do_bwd(args, vi=vi, bc=bc, sv=sv):
+                g_in, bf = args
+                a_saved = jax.lax.dynamic_index_in_dim(bf, bc % DEPTH, 0,
+                                                       keepdims=False)
+                (y_r, ml), vjp = jax.vjp(
+                    lambda pp_, aa: stage_out(pp_, aa, bc, vi), p, a_saved)
+                is_last = sv == Sv - 1
+                g_y = jnp.where(is_last, jnp.zeros_like(g_in), g_in)
+                g_ml = jnp.where(is_last, 1.0, 0.0).astype(jnp.float32)
+                dp, da = vjp((g_y.astype(y_r.dtype), g_ml))
+                return dp, da, ml
+
+            def skip_bwd(args):
+                g_in, _ = args
+                return (zero_grads, jnp.zeros_like(g_in),
+                        jnp.zeros((), jnp.float32))
+
+            dp, da, ml = jax.lax.cond(valid_b, do_bwd, skip_bwd,
+                                      (g_recv[vi], bufs[vi]))
+            dp_acc = jax.tree_util.tree_map(jnp.add, dp_acc, dp)
+            loss_sum = loss_sum + ml
+            das.append(da)
+        da_all = jnp.stack(das).astype(dtype)
+
+        act_ring = jax.lax.ppermute(y_all, "pipe", fwd_perm)
+        # wrap dev S-1 -> dev 0 advances the virtual chunk: slot vi -> vi+1
+        act_next = jnp.where(stage == 0, jnp.roll(act_ring, 1, axis=0),
+                             act_ring)
+        g_ring = jax.lax.ppermute(da_all, "pipe", bwd_perm)
+        g_next = jnp.where(stage == S - 1, jnp.roll(g_ring, -1, axis=0),
+                           g_ring)
+        return (act_next, g_next, tuple(bufs), dp_acc, loss_sum), None
+
+    act0 = jnp.zeros((V, Bm, T, C), dtype)
+    g0 = jnp.zeros((V, Bm, T, C), dtype)
+    bufs0 = tuple(jnp.zeros((DEPTH, Bm, T, C), dtype) for _ in range(V))
+    carry0 = (act0, g0, bufs0, zero_grads, jnp.zeros((), jnp.float32))
+    (_, _, _, dp_acc, loss_sum), _ = jax.lax.scan(
+        tick, carry0, jnp.arange(Mb + 2 * Sv - 1))
+    inv = 1.0 / Mb
+    grads = jax.tree_util.tree_map(lambda g: g * inv, dp_acc)
+    return reduce_out(loss_sum, "pipe") * inv, grads
+
+
 def make_pp_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
-                       schedule: str = "gpipe"):
+                       schedule: str = "gpipe", virtual_stages: int = 1):
     """(pp_params, m, v, inputs, labels, step, lr, wd) -> (..., loss) on a
     (data, pipe) mesh; batch sharded over data, layers over pipe.
     schedule: "gpipe" (autodiff through the forward scan) or "1f1b"
     (explicit fwd/bwd interleave, depth-bounded activation memory)."""
     S = mesh.shape["pipe"]
-    assert cfg.num_layers % S == 0, (cfg.num_layers, S)
-    assert schedule in ("gpipe", "1f1b"), schedule
+    assert cfg.num_layers % (S * virtual_stages) == 0, (
+        cfg.num_layers, S, virtual_stages)
+    assert schedule in ("gpipe", "1f1b", "1f1b-interleaved"), schedule
+    assert virtual_stages == 1 or schedule == "1f1b-interleaved"
     specs = pp_param_specs(cfg)
 
     def spmd(p, m, v, inputs, labels, step, lr, wd):
         if schedule == "gpipe":
             loss, grads = jax.value_and_grad(_pp_loss)(
                 p, inputs, labels, cfg, S, microbatches)
+        elif schedule == "1f1b-interleaved":
+            loss, grads = _pp_1f1b_interleaved(
+                p, inputs, labels, cfg, S, virtual_stages, microbatches)
         else:
             loss, grads = _pp_1f1b(p, inputs, labels, cfg, S, microbatches)
         # replicated leaves: true grad = sum of per-stage partials
@@ -299,6 +440,38 @@ def place_pp_params(params, cfg: ViTConfig, mesh: Mesh):
     specs = pp_param_specs(cfg)
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
             for k, v in params.items()}
+
+
+def interleave_layer_order(L: int, S: int, V: int):
+    """Stacked-L permutation for the interleaved schedule: device d must
+    hold the layers of virtual stages {v·S + d} in slot order, but
+    P("pipe") slices the L axis contiguously — so permute layers so that
+    position (d·V + vi)·Lc .. holds global chunk vi·S + d."""
+    Lc = L // (S * V)
+    order = []
+    for d in range(S):
+        for vi in range(V):
+            c = vi * S + d
+            order.extend(range(c * Lc, (c + 1) * Lc))
+    return order
+
+
+def place_pp_params_interleaved(params, cfg: ViTConfig, mesh: Mesh, V: int):
+    S = mesh.shape["pipe"]
+    order = jnp.asarray(interleave_layer_order(cfg.num_layers, S, V))
+    specs = pp_param_specs(cfg)
+    return {k: jax.device_put(v[order] if k in M.BLOCK_KEYS else v,
+                              NamedSharding(mesh, specs[k]))
+            for k, v in params.items()}
+
+
+def uninterleave_tree(tree, cfg: ViTConfig, S: int, V: int):
+    """Undo the interleaved layer permutation (e.g. on gathered gradients
+    or before writing a canonical-order checkpoint)."""
+    order = np.asarray(interleave_layer_order(cfg.num_layers, S, V))
+    inv = np.argsort(order)
+    return {k: (np.asarray(v)[inv] if k in M.BLOCK_KEYS else v)
+            for k, v in tree.items()}
 
 
 def init_pp_opt_state(pp_params, mesh: Mesh, cfg: ViTConfig):
