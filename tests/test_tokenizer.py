@@ -116,3 +116,14 @@ def test_ids_feed_the_model():
     x = jnp.asarray(np.asarray(ids)[None, :])
     logits = M.gpt_forward(params, x, cfg)
     assert logits.shape == (1, len(ids), tok.vocab_size)
+
+
+def test_presplit_is_lossless_on_word_chars():
+    """The pre-split must cover the FULL complement {letter, digit, other,
+    space}: the naive [^\\s\\w] 'other' class silently dropped '_' (and any
+    word char that is neither letter nor digit) — code review r3 finding;
+    this repo's own source is underscore-heavy."""
+    t = ByteBPETokenizer()
+    for s in ("snake_case foo _bar_", "a__b", "x² + ½",
+              "def pp_param_specs(cfg):", "mix_17 ⅡⅢ"):
+        assert t.decode(t.encode(s)) == s, s

@@ -82,6 +82,10 @@ class ViTConfig:
         assert self.mode in ("gpt", "vit"), self.mode
         assert self.pool in ("cls", "mean"), self.pool
         assert self.act in ("gelu_tanh", "gelu_erf"), self.act
+        # tri-state knob: False = off, True = selective policy, "full" =
+        # blanket jax.checkpoint — anything else (a typo'd string is truthy)
+        # would silently select the selective path
+        assert self.remat in (False, True, "full"), self.remat
         assert self.channels % self.num_heads == 0
         if self.mode == "vit":
             assert self.img_size % self.patch_size == 0

@@ -55,12 +55,17 @@ _U2B = {u: b for b, u in _B2U.items()}
 
 # GPT-2's pre-split pattern with stdlib-re substitutes for \p{L}/\p{N}:
 # letters = word chars minus digits/underscore, numbers = \d (unicode).
+# The "other" class must be the exact complement {not space, not letter,
+# not digit} — GPT-2's [^\s\p{L}\p{N}] — expressed with lookaheads; the
+# naive [^\s\w] silently DROPPED '_' and any \w char that is neither
+# letter nor digit, making encode/decode lossy on e.g. snake_case source.
 _L = r"[^\W\d_]"
 _N = r"\d"
+_OTHER = rf"(?:(?!{_L})(?!{_N})\S)"
 _PRESPLIT = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d"
     rf"| ?{_L}+| ?{_N}+"
-    rf"| ?[^\s\w]+|\s+(?!\S)|\s+",
+    rf"| ?{_OTHER}+|\s+(?!\S)|\s+",
     re.UNICODE)
 
 

@@ -77,20 +77,23 @@ def _use_flash(num_heads, head_dim):
             and FA.padded_num_heads(num_heads, head_dim) is not None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def attn_branch(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                num_heads, causal, interpret=False):
-    """The pre-LN attention residual branch with lean saved state."""
+                num_heads, causal, interpret=False, allow_flash=True):
+    """The pre-LN attention residual branch with lean saved state.
+    allow_flash=False (cfg.use_flash) forces the dense-jnp path even where
+    the Pallas kernels are available — the same contract as
+    model._project_and_attend."""
     out, _ = _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                              num_heads, causal, interpret)
+                              num_heads, causal, interpret, allow_flash)
     return out
 
 
 def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                     num_heads, causal, interpret):
+                     num_heads, causal, interpret, allow_flash=True):
     C = x.shape[-1]
     D = C // num_heads
-    if not (interpret or _use_flash(num_heads, D)):
+    if not (interpret or (allow_flash and _use_flash(num_heads, D))):
         branch = _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
                            num_heads, causal)
         # ref-path residuals: the 7 inputs (arity distinguishes the two
@@ -112,7 +115,7 @@ def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
     return branch, res
 
 
-def _attn_branch_bwd(num_heads, causal, interpret, res, db):
+def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, res, db):
     if len(res) == 7:
         _, vjp = jax.vjp(functools.partial(_attn_ref, num_heads=num_heads,
                                            causal=causal), *res)
@@ -156,23 +159,9 @@ def _attn_branch_bwd(num_heads, causal, interpret, res, db):
                                T, bq, bk, interpret)
     dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
 
-    # projection backward (same decomposition as ops/fused_qkv_attention.py)
-    Wq, Wk, Wv = qkvw[:C], qkvw[C:2 * C], qkvw[2 * C:]
-    dln1 = (basic.linear(dq, Wq.T) + basic.linear(dk, Wk.T)
-            + basic.linear(dv, Wv.T))
-
-    def dW(g):
-        return jax.lax.dot_general(
-            g.reshape(-1, C), ln1.reshape(-1, C), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    dqkvw = jnp.concatenate([dW(dq), dW(dk), dW(dv)], axis=0
-                            ).astype(qkvw.dtype)
-    red = tuple(range(dq.ndim - 1))
-    dqkvb = jnp.concatenate([
-        jnp.sum(dq.astype(jnp.float32), axis=red),
-        jnp.sum(dk.astype(jnp.float32), axis=red),
-        jnp.sum(dv.astype(jnp.float32), axis=red)]).astype(qkvw.dtype)
+    # projection backward: shared decomposition with the fused op
+    from ..ops.fused_qkv_attention import qkv_projection_bwd
+    dln1, dqkvw, dqkvb = qkv_projection_bwd(dq, dk, dv, ln1, qkvw)
 
     dx, dln1w, dln1b = basic.layernorm_bwd_from_stats(x, ln1w, mean, rstd,
                                                       dln1)
@@ -258,7 +247,7 @@ def block_selective(x, p, cfg: ViTConfig, causal: bool):
     with jax.named_scope("attn"):
         a = attn_branch(x, p["ln1w"], p["ln1b"], p["qkvw"], p["qkvb"],
                         p["attprojw"], p["attprojb"], cfg.num_heads, causal,
-                        False)
+                        False, cfg.use_flash)
         if dp:
             a = _drop_path(a, p["_dp_key"][0], p["_dp_rate"])
         x = x + a

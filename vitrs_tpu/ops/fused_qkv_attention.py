@@ -67,17 +67,12 @@ def _qkv_attention_fwd(ln1, qkvw, qkvb, num_heads, causal, interpret):
     return out, res
 
 
-def _qkv_attention_bwd(num_heads, causal, interpret, res, do):
-    ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk, H = res
+def qkv_projection_bwd(dq, dk, dv, ln1, qkvw):
+    """Backward of the packed qkv projection y = ln1·[Wq|Wk|Wv]ᵀ + b given
+    per-part output grads: returns (dln1, dqkvw, dqkvb).  Shared by this
+    fused op's VJP and the selective-remat attention branch
+    (models/selective._attn_branch_bwd) — one decomposition, two callers."""
     C = ln1.shape[-1]
-    Cp = qkv_k.shape[-1] // 3
-    T_pad = qkv_k.shape[1]
-    if Cp != C:
-        do = jnp.pad(do, ((0, 0), (0, 0), (0, Cp - C)))
-    do_k = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0))) if T_pad != T else do
-    dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do_k, sm_scale,
-                               causal, T, bq, bk, interpret)
-    dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
     Wq, Wk, Wv = qkvw[:C], qkvw[C:2 * C], qkvw[2 * C:]
     # y = x·Wᵀ  =>  dx = Σ dy_part · W_part
     dln1 = (basic.linear(dq, Wq.T) + basic.linear(dk, Wk.T)
@@ -95,6 +90,21 @@ def _qkv_attention_bwd(num_heads, causal, interpret, res, do):
         jnp.sum(dq.astype(jnp.float32), axis=red),
         jnp.sum(dk.astype(jnp.float32), axis=red),
         jnp.sum(dv.astype(jnp.float32), axis=red)]).astype(qkvw.dtype)
+    return dln1, dqkvw, dqkvb
+
+
+def _qkv_attention_bwd(num_heads, causal, interpret, res, do):
+    ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk, H = res
+    C = ln1.shape[-1]
+    Cp = qkv_k.shape[-1] // 3
+    T_pad = qkv_k.shape[1]
+    if Cp != C:
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, Cp - C)))
+    do_k = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0))) if T_pad != T else do
+    dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do_k, sm_scale,
+                               causal, T, bq, bk, interpret)
+    dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
+    dln1, dqkvw, dqkvb = qkv_projection_bwd(dq, dk, dv, ln1, qkvw)
     return dln1.astype(ln1.dtype), dqkvw, dqkvb
 
 

@@ -145,6 +145,10 @@ class GenerationEngine:
                 f"top_k={self.top_k}); pass top_k to the engine constructor "
                 "or use decode_chunk=1", stacklevel=2)
         prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if len(prompt) == 0:
+            # _admit seeds decode with prompt[-1]; an empty prompt would
+            # IndexError there mid-flight, killing the whole serving loop
+            raise ValueError("empty prompt (use a BOS/<|endoftext|> id)")
         assert len(prompt) + max_new <= self.max_len, "request exceeds max_len"
         assert len(prompt) <= max(self.buckets), "prompt exceeds buckets"
         rid = self._next_rid
@@ -388,6 +392,9 @@ class TextEngine:
         reqs = []
         for text in prompts:
             ids = self.tokenizer.encode(text)
+            if not ids:                       # "" -> generate from BOS
+                assert self.eos_id is not None, "empty prompt needs an eot id"
+                ids = [self.eos_id]
             rid = self.engine.submit(np.asarray(ids, np.int32), max_new,
                                      temperature=temperature, top_k=top_k,
                                      eos_id=self.eos_id)
