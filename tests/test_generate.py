@@ -106,3 +106,47 @@ def test_int8_weight_only_generation_tracks_float():
     assert out.shape == (2, 9)
     assert (np.asarray(out) >= 0).all()
     assert (np.asarray(out) < CFG.vocab_size).all()
+
+
+def test_top_p_filter_keeps_nucleus_only():
+    """_filter_logits(top_p): keeps exactly the smallest descending-prob
+    prefix reaching mass p; the argmax always survives."""
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    kept = G._filter_logits(logits, 0, 0.75)
+    # cum-exclusive: 0 (keep), 0.5 (keep), 0.8 (drop), 0.95 (drop)
+    assert np.isfinite(np.asarray(kept)[0, :2]).all()
+    assert np.isneginf(np.asarray(kept)[0, 2:]).all()
+    # extreme p -> only the argmax survives
+    kept1 = np.asarray(G._filter_logits(logits, 0, 1e-6))
+    assert np.isfinite(kept1[0, 0]) and np.isneginf(kept1[0, 1:]).all()
+    # p=1.0 and p=0 (off) are no-ops
+    for p in (0.0, 1.0):
+        np.testing.assert_array_equal(np.asarray(
+            G._filter_logits(logits, 0, p)), np.asarray(logits))
+
+
+def test_sampled_generation_top_p_stays_in_nucleus():
+    """With a tiny top_p every sampled token must equal greedy."""
+    params, prompt = _setup(6)
+    greedy = np.asarray(G.generate(params, prompt, CFG, max_new=6,
+                                   key=jax.random.PRNGKey(2),
+                                   temperature=0.0))
+    nucleus = np.asarray(G.generate(params, prompt, CFG, max_new=6,
+                                    key=jax.random.PRNGKey(3),
+                                    temperature=1.0, top_p=1e-9))
+    np.testing.assert_array_equal(nucleus, greedy)
+
+
+def test_engine_per_request_top_p_tick_mode():
+    from vitrs_tpu.serving_gen import GenerationEngine
+    params, prompt = _setup(7)
+    eng = GenerationEngine(params, CFG, max_slots=2,
+                           max_len=CFG.max_seq_len,
+                           prompt_buckets=(CFG.max_seq_len // 2,))
+    eng.submit(np.asarray(prompt)[0], max_new=5, temperature=1.0,
+               top_p=1e-9)
+    outs = dict(eng.run())
+    want = np.asarray(G.generate(params, np.asarray(prompt)[:1], CFG,
+                                 max_new=5, key=jax.random.PRNGKey(0),
+                                 temperature=0.0))[0]
+    np.testing.assert_array_equal(outs[0], want)

@@ -58,7 +58,7 @@ def test_chunked_submit_warns_on_topk_mismatch():
     params = PRM.init_params(cfg, jax.random.PRNGKey(0))
     eng = GenerationEngine(params, cfg, max_slots=2, max_len=16,
                            prompt_buckets=(4,), decode_chunk=2, top_k=5)
-    with pytest.warns(UserWarning, match="top_k=3 is ignored"):
+    with pytest.warns(UserWarning, match="top_k=3/top_p=0.0 is ignored"):
         eng.submit(np.arange(4), max_new=2, top_k=3)
     # matching top_k stays silent
     with warnings.catch_warnings():

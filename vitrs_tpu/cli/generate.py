@@ -34,6 +34,8 @@ def main():
     p.add_argument("--max-new", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=0.0,
+                   help="nucleus sampling cutoff (0 = off)")
     p.add_argument("--max-len", type=int, default=256)
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--chunk", type=int, default=16,
@@ -74,11 +76,12 @@ def main():
     prompts = args.prompt or ["Once upon a time"]
     te = TextEngine(model.params, cfg, tok, max_slots=args.slots,
                     max_len=min(args.max_len, cfg.max_seq_len),
-                    decode_chunk=args.chunk, top_k=args.top_k)
+                    decode_chunk=args.chunk, top_k=args.top_k,
+                    top_p=args.top_p)
     t0 = time.perf_counter()
     outs = te.generate(prompts, max_new=args.max_new,
                        temperature=args.temperature, top_k=args.top_k,
-                       echo_prompt=args.echo)
+                       top_p=args.top_p, echo_prompt=args.echo)
     dt = time.perf_counter() - t0
     for text in outs:
         print(text)

@@ -38,6 +38,8 @@ def main():
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="e.g. 0.9999; 0 disables EMA")
     p.add_argument("--log-grad-norm", action="store_true")
+    p.add_argument("--decay-2d-only", action="store_true",
+                   help="weight-decay matrix tensors only (llm.c policy)")
     p.add_argument("--clip-norm", type=float, default=0.0,
                    help="global grad-norm clip (1.0 = standard GPT recipe)")
     p.add_argument("--drop-path", type=float, default=0.0,
@@ -86,6 +88,7 @@ def main():
         n_devices=args.n_devices, label_smoothing=args.label_smoothing,
         ema_decay=args.ema_decay, init_ckpt=args.init_ckpt,
         log_grad_norm=args.log_grad_norm, clip_norm=args.clip_norm,
+        decay_2d_only=args.decay_2d_only,
         accum_steps=args.accum_steps,
         ra_ops=args.ra_ops,
         ra_mag=args.ra_mag, mixup_alpha=args.mixup_alpha,

@@ -159,21 +159,37 @@ def forward_with_cache(params: Dict, tokens: jax.Array, caches, pos,
     return logits.astype(jnp.float32), (k_caches, v_caches)
 
 
-def _sample(logits, key, temperature, top_k):
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1)
-    logits = logits / temperature
+def _filter_logits(logits, top_k: int, top_p: float):
+    """Static top-k and/or nucleus (top-p) filtering, XLA-shape-static:
+    top-p keeps the smallest set of tokens whose probability mass reaches p
+    (the argmax always survives).  Shared by generate() and the chunked
+    engine ticks."""
     if top_k:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p and top_p < 1.0:
+        srt = jnp.sort(logits, axis=-1)[..., ::-1]          # descending
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p          # exclusive-prefix < p
+        kth = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return logits
+
+
+def _sample(logits, key, temperature, top_k, top_p=0.0):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = _filter_logits(logits / temperature, top_k, top_p)
     return jax.random.categorical(key, logits, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new", "temperature",
-                                             "top_k", "kv_int8"))
+                                             "top_k", "top_p", "kv_int8"))
 def generate(params: Dict, prompt: jax.Array, cfg: ViTConfig, max_new: int,
              key: jax.Array, temperature: float = 1.0,
-             top_k: int = 0, kv_int8: bool = False) -> jax.Array:
+             top_k: int = 0, top_p: float = 0.0,
+             kv_int8: bool = False) -> jax.Array:
     """prompt (B, T0) -> (B, T0 + max_new).  Prefill once, then scan decode.
     kv_int8=True stores the KV cache quantized (per-token-per-head absmax
     int8) — half the decode HBM traffic vs bf16 at ~1e-2 logit error."""
@@ -183,14 +199,14 @@ def generate(params: Dict, prompt: jax.Array, cfg: ViTConfig, max_new: int,
     caches = init_kv_cache(cfg, B, Tmax, int8=kv_int8)
     key, first_key = jax.random.split(key)
     logits, caches = forward_with_cache(params, prompt, caches, 0, cfg)
-    first = _sample(logits[:, -1, :], first_key, temperature, top_k)
+    first = _sample(logits[:, -1, :], first_key, temperature, top_k, top_p)
     if max_new == 1:
         return jnp.concatenate([prompt, first[:, None]], axis=1)
 
     def decode(carry, step_key):
         tok, pos, caches = carry
         lg, caches = forward_with_cache(params, tok[:, None], caches, pos, cfg)
-        nxt = _sample(lg[:, -1, :], step_key, temperature, top_k)
+        nxt = _sample(lg[:, -1, :], step_key, temperature, top_k, top_p)
         return (nxt, pos + 1, caches), tok
 
     keys = jax.random.split(key, max_new - 1)
@@ -433,7 +449,7 @@ def prefill_into_pages_multi(params: Dict, prompts: jax.Array, caches,
 
 def decode_ticks_multi(params: Dict, tokens: jax.Array, caches, pos,
                        keys: jax.Array, temps: jax.Array, cfg: ViTConfig,
-                       top_k: int):
+                       top_k: int, top_p: float = 0.0):
     """N decode ticks for all slots in ONE device program (lax.scan), with
     on-device sampling — one host sync per chunk instead of per token,
     which is the difference between ~80 and ~4000 tok/s on a
@@ -446,10 +462,8 @@ def decode_ticks_multi(params: Dict, tokens: jax.Array, caches, pos,
         tok, p, cs = carry
         logits, cs = decode_step_multi(params, tok, cs, p, cfg)
         greedy = jnp.argmax(logits, axis=-1)
-        lg = logits / jnp.maximum(temps, 1e-6)[:, None]
-        if top_k:
-            kth = jnp.sort(lg, axis=-1)[..., -top_k][..., None]
-            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        lg = _filter_logits(logits / jnp.maximum(temps, 1e-6)[:, None],
+                            top_k, top_p)
         sampled = jax.random.categorical(key, lg, axis=-1)
         nxt = jnp.where(temps == 0.0, greedy, sampled).astype(jnp.int32)
         return (nxt, p + 1, cs), nxt
@@ -461,7 +475,7 @@ def decode_ticks_multi(params: Dict, tokens: jax.Array, caches, pos,
 
 def decode_ticks_paged(params: Dict, tokens: jax.Array, caches, table, pos,
                        keys: jax.Array, temps: jax.Array, cfg: ViTConfig,
-                       top_k: int):
+                       top_k: int, top_p: float = 0.0):
     """Paged twin of decode_ticks_multi; pages for all N ticks must be
     pre-allocated in `table` (the engine grows allocations before the
     dispatch — allocation cannot happen mid-scan)."""
@@ -469,10 +483,8 @@ def decode_ticks_paged(params: Dict, tokens: jax.Array, caches, table, pos,
         tok, p, cs = carry
         logits, cs = decode_step_paged(params, tok, cs, table, p, cfg)
         greedy = jnp.argmax(logits, axis=-1)
-        lg = logits / jnp.maximum(temps, 1e-6)[:, None]
-        if top_k:
-            kth = jnp.sort(lg, axis=-1)[..., -top_k][..., None]
-            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        lg = _filter_logits(logits / jnp.maximum(temps, 1e-6)[:, None],
+                            top_k, top_p)
         sampled = jax.random.categorical(key, lg, axis=-1)
         nxt = jnp.where(temps == 0.0, greedy, sampled).astype(jnp.int32)
         return (nxt, p + 1, cs), nxt

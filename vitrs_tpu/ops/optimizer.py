@@ -61,18 +61,28 @@ def adamw_step(p, g, m, v, step, lr, beta1=0.9, beta2=0.999, eps=1e-8,
                           eps=eps, weight_decay=weight_decay)
 
 
+def decay_mask_2d(params):
+    """llm.c's decay policy: weight-decay only matrix-shaped tensors
+    (llm.c gpt2_update counterpart) — biases, LN gains/shifts and other
+    1-D vectors are not pulled toward zero."""
+    return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
+
+
 def adamw_tree(params, grads, m, v, step, lr, beta1=0.9, beta2=0.999,
-               eps=1e-8, weight_decay=0.0):
+               eps=1e-8, weight_decay=0.0, decay_mask=None):
     """AdamW over pytrees (m/v mirror the param tree).  On a single chip this
     avoids the flatten/concat round trips of the flat-vector form (~2 GB of
     pure data movement at ViT-B scale); XLA fuses each leaf's update into one
     HBM pass.  The flat Pallas kernel remains the ZeRO-1/reduce-scatter and
-    checkpoint layout (params.flatten_params maps between the two)."""
+    checkpoint layout (params.flatten_params maps between the two).
+
+    decay_mask: optional pytree of bools — leaves marked False get
+    weight_decay 0 (see decay_mask_2d for the llm.c policy)."""
     t = step.astype(jnp.float32)
     bc1 = 1.0 - beta1 ** t
     bc2 = 1.0 - beta2 ** t
 
-    def upd(p, g, m_, v_):
+    def upd(p, g, m_, v_, wd=weight_decay):
         # state dtype is preserved: fp32 state is exact AdamW; bf16 state
         # (the 1.5B-on-one-chip memory mode) computes in fp32 and rounds
         # back — update math itself never runs below fp32
@@ -82,15 +92,17 @@ def adamw_tree(params, grads, m, v, step, lr, beta1=0.9, beta2=0.999,
         vf = beta2 * v_.astype(jnp.float32) + (1.0 - beta2) * g * g
         pf = p.astype(jnp.float32)
         pf = pf - lr * ((mf / bc1) / (jnp.sqrt(vf / bc2) + eps)
-                        + weight_decay * pf)
+                        + wd * pf)
         return pf.astype(p.dtype), mf.astype(sd), vf.astype(sd)
 
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_g = treedef.flatten_up_to(grads)
     flat_m = treedef.flatten_up_to(m)
     flat_v = treedef.flatten_up_to(v)
-    out = [upd(p, g, m_, v_) for p, g, m_, v_ in
-           zip(flat_p, flat_g, flat_m, flat_v)]
+    flat_w = (treedef.flatten_up_to(decay_mask) if decay_mask is not None
+              else [True] * len(flat_p))
+    out = [upd(p, g, m_, v_, weight_decay if w else 0.0)
+           for p, g, m_, v_, w in zip(flat_p, flat_g, flat_m, flat_v, flat_w)]
     new_p = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
     new_m = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
     new_v = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])

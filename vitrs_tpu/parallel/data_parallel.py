@@ -65,7 +65,8 @@ def init_sharded_opt_state(cfg: ViTConfig, mesh: Mesh):
 def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
                        return_grad_norm: bool = False,
                        mixup_alpha: float = 0.0,
-                       normalize=None, clip_norm: float = 0.0):
+                       normalize=None, clip_norm: float = 0.0,
+                       decay_2d_only: bool = False):
     """Build the jitted SPMD training step.
 
     Signature: (params, m, v, inputs, targets, step, lr, wd)
@@ -187,8 +188,23 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
             flat_p = jnp.pad(flat_p, (0, n_pad - n))
         idx = jax.lax.axis_index("data")
         p_shard = jax.lax.dynamic_slice(flat_p, (idx * shard,), (shard,))
-        p_shard, m_shard, v_shard = opt.adamw_step(
-            p_shard, g_shard, m_shard, v_shard, step, lr, weight_decay=wd)
+        if decay_2d_only:
+            # llm.c's decay policy (matrix tensors only) in the flat form:
+            # run the fused kernel with wd=0 and apply the masked decoupled
+            # term from the pre-update shard — exact, since the kernel's own
+            # wd term is decoupled (reads the OLD p)
+            p_old = p_shard
+            mask_shard = jax.lax.dynamic_slice(
+                _decay_mask_flat(cfg, n_pad), (idx * shard,), (shard,))
+            p_shard, m_shard, v_shard = opt.adamw_step(
+                p_shard, g_shard, m_shard, v_shard, step, lr,
+                weight_decay=0.0)
+            p_shard = (p_shard - lr * wd * mask_shard * p_old
+                       ).astype(p_shard.dtype)
+        else:
+            p_shard, m_shard, v_shard = opt.adamw_step(
+                p_shard, g_shard, m_shard, v_shard, step, lr,
+                weight_decay=wd)
         flat_p_new = jax.lax.all_gather(p_shard, "data", tiled=True)
         new_params = PRM.unflatten_params(flat_p_new[:n], cfg)
         loss = jax.lax.pmean(loss, "data")
@@ -205,6 +221,22 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
                    (P(), P("data"), P("data"), P())),
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _decay_mask_flat(cfg: ViTConfig, n_pad: int):
+    """Flat 0/1 mask over the canonical parameter vector: 1 where the
+    tensor is matrix-shaped (decayed), 0 for 1-D vectors (biases, LN) —
+    zero-padded to the ZeRO shard multiple (pad elements never decay)."""
+    import numpy as _np
+    shapes = PRM.param_shapes(cfg)
+    mask = {k: _np.full(shp, 1.0 if len(shp) >= 2 else 0.0, _np.float32)
+            for k, shp in shapes.items()}
+    flat = PRM.flatten_params({k: jnp.asarray(v) for k, v in mask.items()},
+                              cfg)
+    if n_pad != flat.shape[0]:
+        flat = jnp.pad(flat, (0, n_pad - flat.shape[0]))
+    return flat
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -44,6 +44,7 @@ class _Request:
     max_new: int
     temperature: float
     top_k: int
+    top_p: float
     eos_id: Optional[int]
     out: List[int] = field(default_factory=list)
     slot: int = -1
@@ -61,7 +62,8 @@ class GenerationEngine:
                  max_len: int, seed: int = 0,
                  prompt_buckets: tuple = (32, 64, 128),
                  paged: bool = False, n_pages: int = 0,
-                 decode_chunk: int = 1, top_k: int = 0):
+                 decode_chunk: int = 1, top_k: int = 0,
+                 top_p: float = 0.0):
         assert max_len <= cfg.max_seq_len
         self.params = params
         self.cfg = cfg
@@ -87,10 +89,11 @@ class GenerationEngine:
         # honored only by the tick-at-a-time path.
         self.decode_chunk = decode_chunk
         self.top_k = top_k
+        self.top_p = top_p            # engine-wide nucleus cutoff (chunked)
         if decode_chunk > 1:
             scan = (G.decode_ticks_paged if paged else G.decode_ticks_multi)
             self._decode_scan = jax.jit(
-                functools.partial(scan, cfg=cfg, top_k=top_k),
+                functools.partial(scan, cfg=cfg, top_k=top_k, top_p=top_p),
                 donate_argnums=(2,))
 
         if paged:
@@ -132,18 +135,21 @@ class GenerationEngine:
     # ------------------------------------------------------------- intake
 
     def submit(self, prompt, max_new: int, temperature: float = 0.0,
-               top_k: int = 0, eos_id: Optional[int] = None) -> int:
-        if self.decode_chunk > 1 and top_k != self.top_k:
+               top_k: int = 0, top_p: float = 0.0,
+               eos_id: Optional[int] = None) -> int:
+        if self.decode_chunk > 1 and (top_k != self.top_k
+                                      or top_p != self.top_p):
             # chunked decode samples on-device with the ONE engine-wide
             # static top_k baked into the compiled scan; surface the
             # limitation at the API boundary instead of silently ignoring
             # the per-request value (advisor r2 finding)
             import warnings
             warnings.warn(
-                f"per-request top_k={top_k} is ignored in chunked mode "
-                f"(decode_chunk={self.decode_chunk} uses the engine-wide "
-                f"top_k={self.top_k}); pass top_k to the engine constructor "
-                "or use decode_chunk=1", stacklevel=2)
+                f"per-request top_k={top_k}/top_p={top_p} is ignored in "
+                f"chunked mode (decode_chunk={self.decode_chunk} uses the "
+                f"engine-wide top_k={self.top_k}/top_p={self.top_p}); pass "
+                "them to the engine constructor or use decode_chunk=1",
+                stacklevel=2)
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) == 0:
             # _admit seeds decode with prompt[-1]; an empty prompt would
@@ -154,7 +160,7 @@ class GenerationEngine:
         rid = self._next_rid
         self._next_rid += 1
         self.pending.append(_Request(rid, prompt, max_new, temperature,
-                                     top_k, eos_id))
+                                     top_k, top_p, eos_id))
         return rid
 
     def _bucket(self, n: int) -> int:
@@ -246,6 +252,12 @@ class GenerationEngine:
         lg = logits / req.temperature
         if req.top_k:
             kth = np.sort(lg)[-req.top_k]
+            lg = np.where(lg < kth, -np.inf, lg)
+        if req.top_p and req.top_p < 1.0:
+            srt = np.sort(lg)[::-1]
+            e = np.exp(srt - srt[0])
+            cum = np.cumsum(e / e.sum())
+            kth = srt[np.searchsorted(cum, req.top_p)]  # first idx with cum>=p
             lg = np.where(lg < kth, -np.inf, lg)
         return int(jax.random.categorical(k, jnp.asarray(lg)))
 
@@ -386,7 +398,7 @@ class TextEngine:
 
     def generate(self, prompts: List[str], max_new: int = 64,
                  temperature: float = 0.0, top_k: int = 0,
-                 echo_prompt: bool = False) -> List[str]:
+                 top_p: float = 0.0, echo_prompt: bool = False) -> List[str]:
         """Continuously-batched generation for a list of string prompts;
         returns the completions in submission order."""
         reqs = []
@@ -397,7 +409,7 @@ class TextEngine:
                 ids = [self.eos_id]
             rid = self.engine.submit(np.asarray(ids, np.int32), max_new,
                                      temperature=temperature, top_k=top_k,
-                                     eos_id=self.eos_id)
+                                     top_p=top_p, eos_id=self.eos_id)
             reqs.append((rid, text, len(ids)))
         finished = dict(self.engine.run())
         outs = []

@@ -66,6 +66,7 @@ class TrainConfig:
     ema_decay: float = 0.0         # 0 = off; e.g. 0.9999 for ViT recipes
     log_grad_norm: bool = False    # SURVEY §5.5 metric (one extra psum)
     clip_norm: float = 0.0         # 0 = off; 1.0 = the standard GPT recipe
+    decay_2d_only: bool = False    # llm.c decay policy: matrices only
     accum_steps: int = 1           # micro-batches per step (grad accumulation)
     ra_ops: int = 0                # RandAugment ops per image (imagenet path)
     ra_mag: float = 0.0            # RandAugment magnitude in [0, 1]
@@ -198,7 +199,8 @@ def train(tc: TrainConfig) -> dict:
                                     return_grad_norm=tc.log_grad_norm,
                                     mixup_alpha=tc.mixup_alpha,
                                     normalize=norm_stats,
-                                    clip_norm=tc.clip_norm)
+                                    clip_norm=tc.clip_norm,
+                                    decay_2d_only=tc.decay_2d_only)
     ema = None
     ema_update = None
     if tc.ema_decay > 0.0:
