@@ -25,6 +25,8 @@ Header layout (i32 little-endian, 256 entries = 1024 bytes):
   h[13] step          (training step for resume)
   h[14] has_opt_state 0|1   (AdamW m and v follow the params, same length each)
   h[15] rng_seed      (PRNG key seed for deterministic resume)
+  h[16] num_kv_heads  0=MHA | k = GQA/MQA K/V head count (qkvw is
+                      (L, C+2·k·D, C) instead of (L, 3C, C))
 
 Payload: all parameter tensors as contiguous f32 in canonical order — the 16
 reference tensors first, then (v2, vit mode) the VIT_EXT tensors.  If
@@ -100,6 +102,7 @@ def _header(cfg: ViTConfig, version: int, step: int, has_opt: bool, seed: int) -
         h[13] = step
         h[14] = 1 if has_opt else 0
         h[15] = seed
+        h[16] = cfg.num_kv_heads
     return h
 
 
@@ -111,6 +114,8 @@ def config_from_header(h: np.ndarray) -> ViTConfig:
         kw.update(mode="vit", img_size=int(h[8]), patch_size=int(h[9]),
                   in_chans=int(h[10]), num_classes=int(h[11]),
                   pool="mean" if int(h[12]) == 1 else "cls")
+    if version >= 2 and int(h[16]):
+        kw.update(num_kv_heads=int(h[16]))
     return ViTConfig(**kw).validate()
 
 
@@ -125,7 +130,8 @@ def save_checkpoint(path: str,
     """Full round-trip writer — completes the reference's wte-only stub (G8,
     train_vit.rs:715-735 'Save other parameters similarly')."""
     has_opt = m is not None and v is not None
-    version = 2 if (cfg.mode == "vit" or has_opt or step or seed) else 1
+    version = 2 if (cfg.mode == "vit" or has_opt or step or seed
+                    or cfg.num_kv_heads) else 1
     h = _header(cfg, version, step, has_opt, seed)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

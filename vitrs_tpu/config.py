@@ -28,6 +28,13 @@ class ViTConfig:
     num_heads: int = 12
     channels: int = 768
 
+    # --- grouped-query attention (beyond-reference: the reference is MHA-only,
+    # rusty_vit.rs:512-563 always walks num_heads K/V heads) ---
+    num_kv_heads: int = 0             # 0 = MHA (num_heads K/V heads);
+                                      # k>0 = GQA with k K/V heads shared by
+                                      # num_heads/k query heads each; 1 = MQA.
+                                      # KV cache memory scales with this.
+
     # --- vision front-end (the undefined-encoder seam, rusty_vit.rs:282) ---
     mode: str = "gpt"                 # "gpt" | "vit"
     img_size: int = 224
@@ -67,6 +74,26 @@ class ViTConfig:
         return self.channels // self.num_heads
 
     @property
+    def kv_heads(self) -> int:
+        """Effective K/V head count (== num_heads for standard MHA)."""
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def kv_dim(self) -> int:
+        """Channels of ONE of K or V after the qkv projection."""
+        return self.kv_heads * self.head_size
+
+    @property
+    def qkv_dim(self) -> int:
+        """Output channels of the packed qkv projection: C + 2*kv_dim
+        (== 3C for MHA — the reference layout, rusty_vit.rs:112)."""
+        return self.channels + 2 * self.kv_dim
+
+    @property
+    def is_gqa(self) -> bool:
+        return self.kv_heads != self.num_heads
+
+    @property
     def num_patches(self) -> int:
         assert self.img_size % self.patch_size == 0
         return (self.img_size // self.patch_size) ** 2
@@ -87,6 +114,11 @@ class ViTConfig:
         # would silently select the selective path
         assert self.remat in (False, True, "full"), self.remat
         assert self.channels % self.num_heads == 0
+        if self.num_kv_heads:
+            assert self.num_heads % self.num_kv_heads == 0, (
+                f"num_heads {self.num_heads} must be a multiple of "
+                f"num_kv_heads {self.num_kv_heads}")
+            assert not self.quirks, "quirks mode is MHA-only (reference parity)"
         if self.mode == "vit":
             assert self.img_size % self.patch_size == 0
             assert self.seq_len <= self.max_seq_len, (

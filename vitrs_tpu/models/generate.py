@@ -7,9 +7,12 @@ populates per-layer K/V caches in one batched sweep, then a jit-compiled
 `lax.scan` decode loop touching only one token per step — O(T) per token
 instead of the O(T²) full recompute.
 
-Cache layout: (L, B, Tmax, C) for K and V — the packed-C convention of the
-qkv activations (head h at channels [h·D,(h+1)·D)), so decode attention
-reads it with the same head slicing as the reference layout.
+Cache layout: (L, B, Tmax, kv_dim) for K and V — the packed convention of
+the qkv activations (KV head g at channels [g·D,(g+1)·D)), so decode
+attention reads it with the same head slicing as the reference layout.
+kv_dim == C for MHA; under GQA/MQA (config.num_kv_heads) the cache holds
+only kv_heads·D channels per token — the cache memory and decode HBM
+traffic shrink by num_heads/kv_heads, which is the point of GQA serving.
 """
 
 from __future__ import annotations
@@ -46,6 +49,37 @@ def _dequant(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
     return x.transpose(0, 2, 1, 3).astype(dtype)
 
 
+def _split_qkv(qkv: jax.Array, cfg: ViTConfig):
+    """(B, S, C + 2*kv_dim) -> q (B,S,C), k/v (B,S,kv_dim).  kv_dim == C
+    (thirds — the reference layout) for MHA; smaller under GQA/MQA."""
+    C, kvd = cfg.channels, cfg.kv_dim
+    return qkv[..., :C], qkv[..., C:C + kvd], qkv[..., C + kvd:]
+
+
+def _cache_attention(qh: jax.Array, kh: jax.Array, vh: jax.Array,
+                     mask_bst: jax.Array, out_dtype) -> jax.Array:
+    """Grouped cache attention: qh (B, NH, S, D) against kh/vh
+    (B, KH, T, D) with KH | NH; mask broadcastable to (B, S, T).
+
+    The query heads are folded to (B, KH, G, S, D) so each KV head is read
+    ONCE from HBM and contracted against its whole group on-chip — under
+    GQA the decode cache traffic stays proportional to KH, never
+    materializing a repeated (B, NH, T, D) buffer.  KH == NH (G=1) reduces
+    to standard MHA decode."""
+    B, NH, S, D = qh.shape
+    KH = kh.shape[1]
+    G = NH // KH
+    qg = qh.reshape(B, KH, G, S, D)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    s = jnp.einsum("bkgsd,bktd->bkgst", qg, kh,
+                   preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_bst[:, None, None], s, -jnp.inf)
+    att = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bkgst,bktd->bkgsd", att, vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, NH, S, D).astype(out_dtype)
+
+
 def _plin(p: Dict, wkey: str, bkey, x: jax.Array) -> jax.Array:
     """Linear that transparently takes int8 weight-only quantized params
     (ops/quant.py layout: `wkey` int8 + `wkey + '_scale'` per-OC f32).
@@ -70,16 +104,16 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     ((B, Tmax, NH, D) int8, (B, Tmax, NH, 1) f32 scale).
     """
     B, S, C = x.shape
-    NH = cfg.num_heads
+    NH, KH = cfg.num_heads, cfg.kv_heads
     D = C // NH
     int8_cache = isinstance(k_cache, tuple)
     Tmax = k_cache[0].shape[1] if int8_cache else k_cache.shape[1]
     ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
     qkv = _plin(p, "qkvw", "qkvb", ln1)
-    q, k, v = jnp.split(qkv, 3, axis=-1)                    # (B, S, C)
+    q, k, v = _split_qkv(qkv, cfg)              # (B,S,C) / (B,S,kv_dim) x2
     if int8_cache:
-        kq, ks = quantize_kv(k, NH)
-        vq, vs = quantize_kv(v, NH)
+        kq, ks = quantize_kv(k, KH)
+        vq, vs = quantize_kv(v, KH)
         k_cache = (jax.lax.dynamic_update_slice(k_cache[0], kq, (0, pos, 0, 0)),
                    jax.lax.dynamic_update_slice(k_cache[1], ks, (0, pos, 0, 0)))
         v_cache = (jax.lax.dynamic_update_slice(v_cache[0], vq, (0, pos, 0, 0)),
@@ -89,21 +123,15 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     else:
         k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, pos, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, pos, 0))
-        kh = k_cache.reshape(B, Tmax, NH, D).transpose(0, 2, 1, 3)
-        vh = v_cache.reshape(B, Tmax, NH, D).transpose(0, 2, 1, 3)
+        kh = k_cache.reshape(B, Tmax, KH, D).transpose(0, 2, 1, 3)
+        vh = v_cache.reshape(B, Tmax, KH, D).transpose(0, 2, 1, 3)
 
     # attention of q against the cache, causal w.r.t. absolute positions
     qh = q.reshape(B, S, NH, D).transpose(0, 2, 1, 3)       # (B, NH, S, D)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    s = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
-                   preferred_element_type=jnp.float32) * scale
     q_pos = pos + jnp.arange(S)[:, None]                    # (S, 1)
     t_pos = jnp.arange(Tmax)[None, :]                       # (1, Tmax)
     mask = t_pos <= q_pos                                   # causal + unfilled
-    s = jnp.where(mask[None, None], s, -jnp.inf)
-    att = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
-    atty = jnp.einsum("bhst,bhtd->bhsd", att, vh,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+    atty = _cache_attention(qh, kh, vh, mask[None], x.dtype)
     atty = atty.transpose(0, 2, 1, 3).reshape(B, S, C)
 
     x = x + _plin(p, "attprojw", "attprojb", atty)
@@ -115,13 +143,13 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
 
 def init_kv_cache(cfg: ViTConfig, B: int, Tmax: int, int8: bool = False):
     if int8:
-        NH, D = cfg.num_heads, cfg.channels // cfg.num_heads
-        q = (cfg.num_layers, B, Tmax, NH, D)
-        s = (cfg.num_layers, B, Tmax, NH, 1)
+        KH, D = cfg.kv_heads, cfg.head_size
+        q = (cfg.num_layers, B, Tmax, KH, D)
+        s = (cfg.num_layers, B, Tmax, KH, 1)
         return ((jnp.zeros(q, jnp.int8), jnp.ones(s, jnp.float32)),
                 (jnp.zeros(q, jnp.int8), jnp.ones(s, jnp.float32)))
     dtype = jnp.dtype(cfg.dtype)
-    shape = (cfg.num_layers, B, Tmax, cfg.channels)
+    shape = (cfg.num_layers, B, Tmax, cfg.kv_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -228,26 +256,20 @@ def _block_decode_multi(x, p, cfg, k_cache, v_cache, pos):
     (B, Tmax, C) (int8 cache is a whole-batch layout; per-slot decode keeps
     the simpler form and quantized *weights* instead, see _plin)."""
     B, _, C = x.shape
-    NH = cfg.num_heads
+    NH, KH = cfg.num_heads, cfg.kv_heads
     D = C // NH
     Tmax = k_cache.shape[1]
     ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
     qkv = _plin(p, "qkvw", "qkvb", ln1)
-    q, k, v = jnp.split(qkv, 3, axis=-1)                    # (B, 1, C)
+    q, k, v = _split_qkv(qkv, cfg)                          # (B, 1, ·)
     bidx = jnp.arange(B)
     k_cache = k_cache.at[bidx, pos].set(k[:, 0])
     v_cache = v_cache.at[bidx, pos].set(v[:, 0])
-    kh = k_cache.reshape(B, Tmax, NH, D).transpose(0, 2, 1, 3)
-    vh = v_cache.reshape(B, Tmax, NH, D).transpose(0, 2, 1, 3)
+    kh = k_cache.reshape(B, Tmax, KH, D).transpose(0, 2, 1, 3)
+    vh = v_cache.reshape(B, Tmax, KH, D).transpose(0, 2, 1, 3)
     qh = q.reshape(B, 1, NH, D).transpose(0, 2, 1, 3)       # (B, NH, 1, D)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    s = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
-                   preferred_element_type=jnp.float32) * scale
     mask = jnp.arange(Tmax)[None, :] <= pos[:, None]        # (B, Tmax)
-    s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
-    att = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
-    atty = jnp.einsum("bhst,bhtd->bhsd", att, vh,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+    atty = _cache_attention(qh, kh, vh, mask[:, None, :], x.dtype)
     atty = atty.transpose(0, 2, 1, 3).reshape(B, 1, C)
     x = x + _plin(p, "attprojw", "attprojb", atty)
     ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
@@ -342,36 +364,30 @@ PAGE = 16                   # tokens per page (multiple of 8 for sublanes)
 
 def init_paged_kv(cfg: ViTConfig, n_pages: int):
     dtype = jnp.dtype(cfg.dtype)
-    shape = (cfg.num_layers, n_pages, PAGE, cfg.channels)
+    shape = (cfg.num_layers, n_pages, PAGE, cfg.kv_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
 def _block_decode_paged(x, p, cfg, kp, vp, table, pos):
-    """kp/vp (N_PAGES, PAGE, C); table (B, MAX_PP) page ids; pos (B,)."""
+    """kp/vp (N_PAGES, PAGE, kv_dim); table (B, MAX_PP) page ids; pos (B,)."""
     B, _, C = x.shape
-    NH = cfg.num_heads
+    NH, KH = cfg.num_heads, cfg.kv_heads
     D = C // NH
     max_pp = table.shape[1]
     Tv = max_pp * PAGE                                  # virtual max length
     ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
     qkv = _plin(p, "qkvw", "qkvb", ln1)
-    q, k, v = jnp.split(qkv, 3, axis=-1)                # (B, 1, C)
+    q, k, v = _split_qkv(qkv, cfg)                      # (B, 1, ·)
     page_id = jnp.take_along_axis(table, (pos // PAGE)[:, None],
                                   axis=1)[:, 0]         # (B,)
     off = pos % PAGE
     kp = kp.at[page_id, off].set(k[:, 0])
     vp = vp.at[page_id, off].set(v[:, 0])
-    kh = kp[table].reshape(B, Tv, NH, D).transpose(0, 2, 1, 3)
-    vh = vp[table].reshape(B, Tv, NH, D).transpose(0, 2, 1, 3)
+    kh = kp[table].reshape(B, Tv, KH, D).transpose(0, 2, 1, 3)
+    vh = vp[table].reshape(B, Tv, KH, D).transpose(0, 2, 1, 3)
     qh = q.reshape(B, 1, NH, D).transpose(0, 2, 1, 3)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    s = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
-                   preferred_element_type=jnp.float32) * scale
     mask = jnp.arange(Tv)[None, :] <= pos[:, None]
-    s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
-    att = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
-    atty = jnp.einsum("bhst,bhtd->bhsd", att, vh,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+    atty = _cache_attention(qh, kh, vh, mask[:, None, :], x.dtype)
     atty = atty.transpose(0, 2, 1, 3).reshape(B, 1, C)
     x = x + _plin(p, "attprojw", "attprojb", atty)
     ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])

@@ -36,9 +36,17 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
     """qkv projection + attention.  On the flash path the two are one fused
     custom-VJP op (ops/fused_qkv_attention.py) so the backward never
     materializes the packed dqkv; otherwise the plain composition."""
-    from ..ops.attention import _flash_available
+    from ..ops.attention import _flash_available, attention_gqa
     from ..ops.flash_attention import padded_num_heads
     D = cfg.channels // cfg.num_heads
+    if cfg.is_gqa:
+        # GQA/MQA (beyond-reference): project to C + 2*kv_dim, expand K/V to
+        # the full head count, ride the standard packed attention.  The fused
+        # qkv-projection+attention op is MHA-packed-only; the expansion's
+        # autodiff (per-group segment sum) supplies the GQA dk/dv reduction.
+        qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
+        return attention_gqa(qkv, cfg.num_heads, cfg.kv_heads, causal=causal,
+                             use_flash=cfg.use_flash)
     if (cfg.use_flash and not cfg.quirks and _flash_available()
             and padded_num_heads(cfg.num_heads, D) is not None):
         from ..ops.fused_qkv_attention import qkv_attention

@@ -63,11 +63,21 @@ def _norm_from_stats(x, w, b, mean, rstd):
 # attention branch: x -> attproj(flash(qkv_proj(ln1(x))))
 # ---------------------------------------------------------------------------
 
+def _expand_packed(qkv, num_heads, kv_heads):
+    """(B, T, C + 2*kv_dim) GQA projection -> packed MHA (B, T, 3C)."""
+    from ..ops.attention import expand_kv_heads, split_gqa
+    q, k, v = split_gqa(qkv, num_heads, kv_heads)
+    return jnp.concatenate([q, expand_kv_heads(k, kv_heads, num_heads),
+                            expand_kv_heads(v, kv_heads, num_heads)], axis=-1)
+
+
 def _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb, num_heads,
-              causal):
+              causal, kv_heads=0):
     """Dense pure-jnp branch (fallback path + gradient oracle in tests)."""
     ln1, _, _ = basic.layernorm(x, ln1w, ln1b)
     qkv = basic.linear(ln1, qkvw, qkvb)
+    if kv_heads and kv_heads != num_heads:
+        qkv = _expand_packed(qkv, num_heads, kv_heads)
     out, _ = basic.attention_dense(qkv, num_heads, causal=causal)
     return basic.linear(out, attprojw, attprojb)
 
@@ -77,33 +87,58 @@ def _use_flash(num_heads, head_dim):
             and FA.padded_num_heads(num_heads, head_dim) is not None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def attn_branch(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                num_heads, causal, interpret=False, allow_flash=True):
+                num_heads, causal, interpret=False, allow_flash=True,
+                kv_heads=0):
     """The pre-LN attention residual branch with lean saved state.
     allow_flash=False (cfg.use_flash) forces the dense-jnp path even where
     the Pallas kernels are available — the same contract as
-    model._project_and_attend."""
+    model._project_and_attend.  kv_heads (0 = MHA) selects GQA/MQA: the
+    projection is C + 2*kv_dim wide and K/V are expanded to the full head
+    count before the kernel (the expansion is recomputed in backward — it
+    is free relative to the matmuls, and the saved out+lse stay (B,T,C))."""
     out, _ = _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                              num_heads, causal, interpret, allow_flash)
+                              num_heads, causal, interpret, allow_flash,
+                              kv_heads)
     return out
 
 
+def _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D):
+    """Recomputable projection: returns padded packed (B, T, 3·H·D).
+    MHA pads at the WEIGHT level (phantom rows come straight off the MXU);
+    GQA projects with the raw (C+2kv_dim, C) weight, expands K/V on the
+    activations, then pads each third (flash_attention_qkv's own trick)."""
+    C = num_heads * D
+    Cp = H * D
+    if not kv_heads or kv_heads == num_heads:
+        w_run, b_run = FA.pad_qkv_weight(qkvw, qkvb, num_heads, H, D)
+        return basic.linear(ln1, w_run, b_run)
+    qkv = _expand_packed(basic.linear(ln1, qkvw, qkvb), num_heads, kv_heads)
+    if Cp != C:
+        B, T = qkv.shape[:2]
+        pad = jnp.zeros((B, T, Cp - C), qkv.dtype)
+        qkv = jnp.concatenate(
+            [t for i in range(3) for t in (qkv[:, :, i * C:(i + 1) * C], pad)],
+            axis=-1)
+    return qkv
+
+
 def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                     num_heads, causal, interpret, allow_flash=True):
+                     num_heads, causal, interpret, allow_flash=True,
+                     kv_heads=0):
     C = x.shape[-1]
     D = C // num_heads
     if not (interpret or (allow_flash and _use_flash(num_heads, D))):
         branch = _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                           num_heads, causal)
+                           num_heads, causal, kv_heads)
         # ref-path residuals: the 7 inputs (arity distinguishes the two
         # residual forms in the backward — strings are not JAX types)
         return branch, (x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb)
     _, mean, rstd = basic.layernorm(x, ln1w, ln1b)
     ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
     H = FA.padded_num_heads(num_heads, D)
-    w_run, b_run = FA.pad_qkv_weight(qkvw, qkvb, num_heads, H, D)
-    qkv = basic.linear(ln1, w_run, b_run)
+    qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D)
     T = qkv.shape[1]
     sm_scale = 1.0 / (D ** 0.5)
     qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q, FA.DEFAULT_BLOCK_K)
@@ -115,10 +150,12 @@ def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
     return branch, res
 
 
-def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, res, db):
+def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
+                     res, db):
     if len(res) == 7:
         _, vjp = jax.vjp(functools.partial(_attn_ref, num_heads=num_heads,
-                                           causal=causal), *res)
+                                           causal=causal,
+                                           kv_heads=kv_heads), *res)
         return vjp(db)
     x, ln1w, ln1b, qkvw, qkvb, attprojw, mean, rstd, out, lse_c = res
     # static geometry reconstructed from shapes (T = true length, H = padded
@@ -132,8 +169,7 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, res, db):
 
     # recompute ln1 and the (padded) packed qkv — the only matmul redone
     ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
-    w_run, b_run = FA.pad_qkv_weight(qkvw, qkvb, num_heads, H, D)
-    qkv = basic.linear(ln1, w_run, b_run)
+    qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D)
     qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q,
                                    FA.DEFAULT_BLOCK_K)
     assert qkv_k.shape[1] == T_pad, (qkv_k.shape, T_pad)
@@ -158,6 +194,15 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, res, db):
     dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do, sm_scale, causal,
                                T, bq, bk, interpret)
     dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
+    if kv_heads and kv_heads != num_heads:
+        # GQA: the expansion's transpose — sum each query group's dk/dv
+        # back onto its shared KV head
+        B = x.shape[0]
+        G = num_heads // kv_heads
+        dk = dk.reshape(B, T, kv_heads, G, D).sum(axis=3).reshape(
+            B, T, kv_heads * D)
+        dv = dv.reshape(B, T, kv_heads, G, D).sum(axis=3).reshape(
+            B, T, kv_heads * D)
 
     # projection backward: shared decomposition with the fused op
     from ..ops.fused_qkv_attention import qkv_projection_bwd
@@ -247,7 +292,7 @@ def block_selective(x, p, cfg: ViTConfig, causal: bool):
     with jax.named_scope("attn"):
         a = attn_branch(x, p["ln1w"], p["ln1b"], p["qkvw"], p["qkvb"],
                         p["attprojw"], p["attprojb"], cfg.num_heads, causal,
-                        False, cfg.use_flash)
+                        False, cfg.use_flash, cfg.kv_heads)
         if dp:
             a = _drop_path(a, p["_dp_key"][0], p["_dp_rate"])
         x = x + a

@@ -12,6 +12,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from . import basic
 
@@ -33,3 +34,42 @@ def attention(qkv: jax.Array, num_heads: int, causal: bool = True,
         return out
     from .flash_attention import flash_attention_qkv
     return flash_attention_qkv(qkv, num_heads, causal=causal)
+
+
+def expand_kv_heads(kv: jax.Array, kv_heads: int, num_heads: int) -> jax.Array:
+    """GQA/MQA K-or-V expansion: (B, T, kv_heads*D) -> (B, T, num_heads*D).
+
+    KV head g is shared by the G = num_heads//kv_heads consecutive query
+    heads [g*G, (g+1)*G) (the Llama/GQA convention).  jnp.repeat on the head
+    axis; its autodiff transpose is the per-group segment sum, which is
+    exactly the GQA dk/dv reduction — so the packed flash kernel (an MHA
+    kernel) serves GQA with correct gradients for free."""
+    if kv_heads == num_heads:
+        return kv
+    B, T, kvd = kv.shape
+    D = kvd // kv_heads
+    G = num_heads // kv_heads
+    return jnp.repeat(kv.reshape(B, T, kv_heads, D), G,
+                      axis=2).reshape(B, T, num_heads * D)
+
+
+def split_gqa(qkv: jax.Array, num_heads: int, kv_heads: int):
+    """Split a packed GQA projection (B, T, C + 2*kv_dim) into q/k/v parts.
+    C = num_heads*D, kv_dim = kv_heads*D — solved from the static packed
+    width W = (num_heads + 2*kv_heads)*D."""
+    W = qkv.shape[-1]
+    C = W * num_heads // (num_heads + 2 * kv_heads)
+    kvd = (W - C) // 2
+    return qkv[..., :C], qkv[..., C:C + kvd], qkv[..., C + kvd:]
+
+
+def attention_gqa(qkv: jax.Array, num_heads: int, kv_heads: int,
+                  causal: bool = True, use_flash: bool = True) -> jax.Array:
+    """Grouped-query attention over a packed GQA projection
+    (B, T, C + 2*kv_dim) -> (B, T, C): expand K/V to the full head count
+    and ride the standard packed path (flash on TPU, dense elsewhere)."""
+    q, k, v = split_gqa(qkv, num_heads, kv_heads)
+    k = expand_kv_heads(k, kv_heads, num_heads)
+    v = expand_kv_heads(v, kv_heads, num_heads)
+    packed = jnp.concatenate([q, k, v], axis=-1)
+    return attention(packed, num_heads, causal=causal, use_flash=use_flash)

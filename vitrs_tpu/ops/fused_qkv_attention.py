@@ -71,16 +71,19 @@ def qkv_projection_bwd(dq, dk, dv, ln1, qkvw):
     """Backward of the packed qkv projection y = ln1·[Wq|Wk|Wv]ᵀ + b given
     per-part output grads: returns (dln1, dqkvw, dqkvb).  Shared by this
     fused op's VJP and the selective-remat attention branch
-    (models/selective._attn_branch_bwd) — one decomposition, two callers."""
+    (models/selective._attn_branch_bwd) — one decomposition, two callers.
+    Part widths come from the grads themselves (dk/dv are kv_dim < C wide
+    under GQA), so the same decomposition serves MHA and GQA weights."""
     C = ln1.shape[-1]
-    Wq, Wk, Wv = qkvw[:C], qkvw[C:2 * C], qkvw[2 * C:]
+    Cq, Ck = dq.shape[-1], dk.shape[-1]
+    Wq, Wk, Wv = qkvw[:Cq], qkvw[Cq:Cq + Ck], qkvw[Cq + Ck:]
     # y = x·Wᵀ  =>  dx = Σ dy_part · W_part
     dln1 = (basic.linear(dq, Wq.T) + basic.linear(dk, Wk.T)
             + basic.linear(dv, Wv.T))
     # dW_part = dy_partᵀ · x
     def dW(g):
         return jax.lax.dot_general(
-            g.reshape(-1, C), ln1.reshape(-1, C),
+            g.reshape(-1, g.shape[-1]), ln1.reshape(-1, C),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 

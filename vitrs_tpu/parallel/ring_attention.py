@@ -205,9 +205,14 @@ def _gpt_cp_loss_local(params, tokens, targets, cfg: ViTConfig, n_ctx: int):
     def body(x, p):
         ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
         qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
-        q, k, v = (qkv[..., i * C:(i + 1) * C]
-                   .reshape(B, T_loc, H, D).transpose(0, 2, 1, 3)
-                   for i in range(3))
+        # GQA expands K/V to the full head count before the ring (correct
+        # but rotates full-width K/V; rotating kv_dim and expanding per ring
+        # step is a future traffic lever).  MHA: plain thirds.
+        from ..ops.attention import expand_kv_heads, split_gqa
+        qp, kp, vp = split_gqa(qkv, H, cfg.kv_heads)
+        q, k, v = (t.reshape(B, T_loc, H, D).transpose(0, 2, 1, 3)
+                   for t in (qp, expand_kv_heads(kp, cfg.kv_heads, H),
+                             expand_kv_heads(vp, cfg.kv_heads, H)))
         o = ring_attention_local(q, k, v, "ctx", n_ctx, True)
         atty = o.transpose(0, 2, 1, 3).reshape(B, T_loc, C)
         x = x + basic.linear(atty, p["attprojw"], p["attprojb"])

@@ -271,6 +271,9 @@ TP_BLOCK_SPECS = {
 def to_tp_params(params, cfg: ViTConfig):
     """Canonical pytree -> TP pytree: qkvw/qkvb reshaped so the model axis
     slices head-aligned (3, C, C) parts instead of raw packed rows."""
+    assert not cfg.is_gqa, (
+        "tensor parallelism currently requires MHA (the (L,3,C,C) head-"
+        "aligned reshape); GQA runs under dp/fsdp/pp/cp")
     out = dict(params)
     L, C = cfg.num_layers, cfg.channels
     out["qkv3w"] = params["qkvw"].reshape(L, 3, C, C)

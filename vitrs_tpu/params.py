@@ -47,7 +47,9 @@ def param_shapes(cfg: ViTConfig) -> Dict[str, Tuple[int, ...]]:
         "wte": (V, C),
         "wpe": (T, C),
         "ln1w": (L, C), "ln1b": (L, C),
-        "qkvw": (L, 3 * C, C), "qkvb": (L, 3 * C),
+        # qkv_dim == 3C for MHA (the reference layout); C + 2*kv_dim under
+        # GQA/MQA (beyond-reference; config.num_kv_heads)
+        "qkvw": (L, cfg.qkv_dim, C), "qkvb": (L, cfg.qkv_dim),
         "attprojw": (L, C, C), "attprojb": (L, C),
         "ln2w": (L, C), "ln2b": (L, C),
         "fcw": (L, 4 * C, C), "fcb": (L, 4 * C),

@@ -26,7 +26,8 @@ def forward_flops_per_example(cfg: ViTConfig) -> float:
     """Matmul FLOPs for one example's forward pass (2·MACs)."""
     C, L = cfg.channels, cfg.num_layers
     T = cfg.seq_len
-    per_tok_layer = 2 * (3 * C * C + C * C + 4 * C * C + 4 * C * C)  # qkv,proj,fc,fcproj
+    # qkv (C+2*kv_dim wide under GQA; 3C for MHA), proj, fc, fcproj
+    per_tok_layer = 2 * (cfg.qkv_dim * C + C * C + 4 * C * C + 4 * C * C)
     attn_layer = 4 * T * T * C            # QK^T + PV: 2 matmuls x 2 flops
     if cfg.mode == "vit":
         embed = 2 * T * (cfg.patch_size ** 2 * cfg.in_chans) * C
