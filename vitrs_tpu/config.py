@@ -56,6 +56,12 @@ class ViTConfig:
     scan_unroll: int = 0              # 0 = fully unroll the layer scan (fastest
                                       # backward: no per-layer dynamic-update-slice
                                       # of the stacked grads); N>0 = unroll factor
+    pos_emb: str = "learned"          # positional scheme: "learned" (the
+                                      # reference's wpe table, rusty_vit.rs:107)
+                                      # | "rope" (rotary — relative positions,
+                                      # no table read; ops/rope.py).  With
+                                      # rope the wpe tensor stays in the
+                                      # canonical layout but is unused.
     act: str = "gelu_tanh"            # MLP activation: "gelu_tanh" (the
                                       # reference's approximation,
                                       # rusty_vit.rs:614-623) | "gelu_erf"
@@ -119,6 +125,11 @@ class ViTConfig:
                 f"num_heads {self.num_heads} must be a multiple of "
                 f"num_kv_heads {self.num_kv_heads}")
             assert not self.quirks, "quirks mode is MHA-only (reference parity)"
+        assert self.pos_emb in ("learned", "rope"), self.pos_emb
+        if self.pos_emb == "rope":
+            assert self.mode == "gpt", "rope is a gpt-mode option"
+            assert not self.quirks, "quirks mode uses the reference's wpe"
+            assert self.head_size % 2 == 0, "rope needs an even head_size"
         if self.mode == "vit":
             assert self.img_size % self.patch_size == 0
             assert self.seq_len <= self.max_seq_len, (

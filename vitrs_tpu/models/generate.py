@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..config import ViTConfig
 from ..ops import basic
+from ..ops.rope import rope_qk
 from . import model as M
 
 
@@ -111,6 +112,11 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
     qkv = _plin(p, "qkvw", "qkvb", ln1)
     q, k, v = _split_qkv(qkv, cfg)              # (B,S,C) / (B,S,kv_dim) x2
+    if cfg.pos_emb == "rope":
+        # rotate with absolute positions; the cache stores rotated K, so
+        # decode attention needs no re-rotation of history
+        q, k = rope_qk(q, k, pos + jnp.arange(S), cfg.num_heads,
+                       cfg.kv_heads)
     if int8_cache:
         kq, ks = quantize_kv(k, KH)
         vq, vs = quantize_kv(v, KH)
@@ -164,8 +170,11 @@ def forward_with_cache(params: Dict, tokens: jax.Array, caches, pos,
     emb = params["wte"][tokens].astype(dtype)
     if int8_w:
         emb = emb * params["wte_scale"][tokens][..., None].astype(dtype)
-    x = emb + jax.lax.dynamic_slice_in_dim(
-        params["wpe"], pos, S, 0)[None].astype(dtype)
+    if cfg.pos_emb == "rope":
+        x = emb
+    else:
+        x = emb + jax.lax.dynamic_slice_in_dim(
+            params["wpe"], pos, S, 0)[None].astype(dtype)
     bkeys = M.BLOCK_KEYS + tuple(
         k + "_scale" for k in M.BLOCK_KEYS
         if k + "_scale" in params)
@@ -262,6 +271,8 @@ def _block_decode_multi(x, p, cfg, k_cache, v_cache, pos):
     ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
     qkv = _plin(p, "qkvw", "qkvb", ln1)
     q, k, v = _split_qkv(qkv, cfg)                          # (B, 1, ·)
+    if cfg.pos_emb == "rope":
+        q, k = rope_qk(q, k, pos[:, None], cfg.num_heads, cfg.kv_heads)
     bidx = jnp.arange(B)
     k_cache = k_cache.at[bidx, pos].set(k[:, 0])
     v_cache = v_cache.at[bidx, pos].set(v[:, 0])
@@ -292,7 +303,8 @@ def decode_step_multi(params: Dict, tokens: jax.Array, caches, pos,
     emb = params["wte"][tokens].astype(dtype)
     if int8_w:
         emb = emb * params["wte_scale"][tokens][..., None].astype(dtype)
-    x = (emb + params["wpe"][pos].astype(dtype))[:, None, :]   # (B, 1, C)
+    x = (emb if cfg.pos_emb == "rope"
+         else emb + params["wpe"][pos].astype(dtype))[:, None, :]
     bkeys = M.BLOCK_KEYS + tuple(
         k + "_scale" for k in M.BLOCK_KEYS if k + "_scale" in params)
     blocks = {k: params[k] for k in bkeys}
@@ -378,6 +390,8 @@ def _block_decode_paged(x, p, cfg, kp, vp, table, pos):
     ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
     qkv = _plin(p, "qkvw", "qkvb", ln1)
     q, k, v = _split_qkv(qkv, cfg)                      # (B, 1, ·)
+    if cfg.pos_emb == "rope":
+        q, k = rope_qk(q, k, pos[:, None], cfg.num_heads, cfg.kv_heads)
     page_id = jnp.take_along_axis(table, (pos // PAGE)[:, None],
                                   axis=1)[:, 0]         # (B,)
     off = pos % PAGE
@@ -405,7 +419,8 @@ def decode_step_paged(params: Dict, tokens: jax.Array, caches, table,
     emb = params["wte"][tokens].astype(dtype)
     if int8_w:
         emb = emb * params["wte_scale"][tokens][..., None].astype(dtype)
-    x = (emb + params["wpe"][pos].astype(dtype))[:, None, :]
+    x = (emb if cfg.pos_emb == "rope"
+         else emb + params["wpe"][pos].astype(dtype))[:, None, :]
     bkeys = M.BLOCK_KEYS + tuple(
         k + "_scale" for k in M.BLOCK_KEYS if k + "_scale" in params)
     blocks = {k: params[k] for k in bkeys}

@@ -39,6 +39,23 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
     from ..ops.attention import _flash_available, attention_gqa
     from ..ops.flash_attention import padded_num_heads
     D = cfg.channels // cfg.num_heads
+    if cfg.pos_emb == "rope":
+        # rotary positions: rotate q/k between the projection and the kernel
+        # (a fused VPU epilogue), then ride the standard packed path.  The
+        # fused projection+attention op has no such seam, so rope uses the
+        # plain composition; GQA expansion composes after the rotation.
+        from ..ops.attention import attention as _attn
+        from ..ops.attention import expand_kv_heads, split_gqa
+        from ..ops.rope import rope_qk
+        qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
+        q, k, v = split_gqa(qkv, cfg.num_heads, cfg.kv_heads)
+        q, k = rope_qk(q, k, jnp.arange(ln1.shape[1]), cfg.num_heads,
+                       cfg.kv_heads)
+        packed = jnp.concatenate(
+            [q, expand_kv_heads(k, cfg.kv_heads, cfg.num_heads),
+             expand_kv_heads(v, cfg.kv_heads, cfg.num_heads)], axis=-1)
+        return _attn(packed, cfg.num_heads, causal=causal,
+                     use_flash=cfg.use_flash)
     if cfg.is_gqa:
         # GQA/MQA (beyond-reference): project to C + 2*kv_dim, expand K/V to
         # the full head count, ride the standard packed attention.  The fused
@@ -125,9 +142,12 @@ def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
 # ---------------------------------------------------------------------------
 
 def gpt_encode(tokens: jax.Array, params: Dict[str, jax.Array],
-               dtype: jnp.dtype) -> jax.Array:
+               dtype: jnp.dtype, rope: bool = False) -> jax.Array:
     """llm.c encoder semantics for the undefined `encoder_forward` (gap G2):
-    wte lookup + learned positional embedding."""
+    wte lookup + learned positional embedding.  rope=True skips the wpe add
+    (positions enter attention via the rotary path, ops/rope.py)."""
+    if rope:
+        return params["wte"][tokens].astype(dtype)
     T = tokens.shape[-1]
     return (params["wte"][tokens] + params["wpe"][None, :T, :]).astype(dtype)
 
@@ -136,7 +156,7 @@ def gpt_trunk(params: Dict[str, jax.Array], tokens: jax.Array,
               cfg: ViTConfig) -> jax.Array:
     """Everything up to (and including) the final layernorm; (B, T, C)."""
     dtype = jnp.dtype(cfg.dtype)
-    x = gpt_encode(tokens, params, dtype)
+    x = gpt_encode(tokens, params, dtype, rope=cfg.pos_emb == "rope")
     x = transformer(x, params, cfg, causal=True)
     return basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
 

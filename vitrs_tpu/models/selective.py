@@ -72,10 +72,16 @@ def _expand_packed(qkv, num_heads, kv_heads):
 
 
 def _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb, num_heads,
-              causal, kv_heads=0):
+              causal, kv_heads=0, rope=False):
     """Dense pure-jnp branch (fallback path + gradient oracle in tests)."""
     ln1, _, _ = basic.layernorm(x, ln1w, ln1b)
     qkv = basic.linear(ln1, qkvw, qkvb)
+    if rope:
+        from ..ops.attention import split_gqa
+        from ..ops.rope import rope_qk
+        q, k, v = split_gqa(qkv, num_heads, kv_heads or num_heads)
+        q, k = rope_qk(q, k, jnp.arange(x.shape[1]), num_heads, kv_heads)
+        qkv = jnp.concatenate([q, k, v], axis=-1)
     if kv_heads and kv_heads != num_heads:
         qkv = _expand_packed(qkv, num_heads, kv_heads)
     out, _ = basic.attention_dense(qkv, num_heads, causal=causal)
@@ -87,58 +93,71 @@ def _use_flash(num_heads, head_dim):
             and FA.padded_num_heads(num_heads, head_dim) is not None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def attn_branch(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
                 num_heads, causal, interpret=False, allow_flash=True,
-                kv_heads=0):
+                kv_heads=0, rope=False):
     """The pre-LN attention residual branch with lean saved state.
     allow_flash=False (cfg.use_flash) forces the dense-jnp path even where
     the Pallas kernels are available — the same contract as
     model._project_and_attend.  kv_heads (0 = MHA) selects GQA/MQA: the
     projection is C + 2*kv_dim wide and K/V are expanded to the full head
     count before the kernel (the expansion is recomputed in backward — it
-    is free relative to the matmuls, and the saved out+lse stay (B,T,C))."""
+    is free relative to the matmuls, and the saved out+lse stay (B,T,C)).
+    rope=True rotates q/k post-projection (recomputed in backward; the VJP
+    transpose is the inverse rotation — R is orthogonal)."""
     out, _ = _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
                               num_heads, causal, interpret, allow_flash,
-                              kv_heads)
+                              kv_heads, rope)
     return out
 
 
-def _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D):
+def _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope=False):
     """Recomputable projection: returns padded packed (B, T, 3·H·D).
     MHA pads at the WEIGHT level (phantom rows come straight off the MXU);
     GQA projects with the raw (C+2kv_dim, C) weight, expands K/V on the
-    activations, then pads each third (flash_attention_qkv's own trick)."""
+    activations, then pads each third (flash_attention_qkv's own trick).
+    rope rotates the q/k thirds at the padded width (phantom zeros rotate
+    to zeros; rotate-then-repeat == repeat-then-rotate for shared KV)."""
     C = num_heads * D
     Cp = H * D
     if not kv_heads or kv_heads == num_heads:
         w_run, b_run = FA.pad_qkv_weight(qkvw, qkvb, num_heads, H, D)
-        return basic.linear(ln1, w_run, b_run)
-    qkv = _expand_packed(basic.linear(ln1, qkvw, qkvb), num_heads, kv_heads)
-    if Cp != C:
-        B, T = qkv.shape[:2]
-        pad = jnp.zeros((B, T, Cp - C), qkv.dtype)
+        qkv = basic.linear(ln1, w_run, b_run)
+    else:
+        qkv = _expand_packed(basic.linear(ln1, qkvw, qkvb), num_heads,
+                             kv_heads)
+        if Cp != C:
+            B, T = qkv.shape[:2]
+            pad = jnp.zeros((B, T, Cp - C), qkv.dtype)
+            qkv = jnp.concatenate(
+                [t for i in range(3)
+                 for t in (qkv[:, :, i * C:(i + 1) * C], pad)], axis=-1)
+    if rope:
+        from ..ops.rope import apply_rope
+        pos = jnp.arange(qkv.shape[1])
         qkv = jnp.concatenate(
-            [t for i in range(3) for t in (qkv[:, :, i * C:(i + 1) * C], pad)],
-            axis=-1)
+            [apply_rope(qkv[..., :Cp], pos, H),
+             apply_rope(qkv[..., Cp:2 * Cp], pos, H),
+             qkv[..., 2 * Cp:]], axis=-1)
     return qkv
 
 
 def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
                      num_heads, causal, interpret, allow_flash=True,
-                     kv_heads=0):
+                     kv_heads=0, rope=False):
     C = x.shape[-1]
     D = C // num_heads
     if not (interpret or (allow_flash and _use_flash(num_heads, D))):
         branch = _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                           num_heads, causal, kv_heads)
+                           num_heads, causal, kv_heads, rope)
         # ref-path residuals: the 7 inputs (arity distinguishes the two
         # residual forms in the backward — strings are not JAX types)
         return branch, (x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb)
     _, mean, rstd = basic.layernorm(x, ln1w, ln1b)
     ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
     H = FA.padded_num_heads(num_heads, D)
-    qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D)
+    qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope)
     T = qkv.shape[1]
     sm_scale = 1.0 / (D ** 0.5)
     qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q, FA.DEFAULT_BLOCK_K)
@@ -151,11 +170,11 @@ def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
 
 
 def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
-                     res, db):
+                     rope, res, db):
     if len(res) == 7:
         _, vjp = jax.vjp(functools.partial(_attn_ref, num_heads=num_heads,
-                                           causal=causal,
-                                           kv_heads=kv_heads), *res)
+                                           causal=causal, kv_heads=kv_heads,
+                                           rope=rope), *res)
         return vjp(db)
     x, ln1w, ln1b, qkvw, qkvb, attprojw, mean, rstd, out, lse_c = res
     # static geometry reconstructed from shapes (T = true length, H = padded
@@ -169,7 +188,7 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
 
     # recompute ln1 and the (padded) packed qkv — the only matmul redone
     ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
-    qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D)
+    qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope)
     qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q,
                                    FA.DEFAULT_BLOCK_K)
     assert qkv_k.shape[1] == T_pad, (qkv_k.shape, T_pad)
@@ -194,6 +213,12 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
     dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do, sm_scale, causal,
                                T, bq, bk, interpret)
     dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
+    if rope:
+        # pull dq/dk back through the rotation (R orthogonal: VJP = R(−θ))
+        from ..ops.rope import apply_rope
+        pos = jnp.arange(T)
+        dq = apply_rope(dq, pos, num_heads, inverse=True)
+        dk = apply_rope(dk, pos, num_heads, inverse=True)
     if kv_heads and kv_heads != num_heads:
         # GQA: the expansion's transpose — sum each query group's dk/dv
         # back onto its shared KV head
@@ -292,7 +317,8 @@ def block_selective(x, p, cfg: ViTConfig, causal: bool):
     with jax.named_scope("attn"):
         a = attn_branch(x, p["ln1w"], p["ln1b"], p["qkvw"], p["qkvb"],
                         p["attprojw"], p["attprojb"], cfg.num_heads, causal,
-                        False, cfg.use_flash, cfg.kv_heads)
+                        False, cfg.use_flash, cfg.kv_heads,
+                        cfg.pos_emb == "rope")
         if dp:
             a = _drop_path(a, p["_dp_key"][0], p["_dp_rate"])
         x = x + a
