@@ -28,6 +28,7 @@ Header layout (i32 little-endian, 256 entries = 1024 bytes):
   h[16] num_kv_heads  0=MHA | k = GQA/MQA K/V head count (qkvw is
                       (L, C+2·k·D, C) instead of (L, 3C, C))
   h[17] pos_emb       0=learned wpe | 1=rope (wpe tensor present but unused)
+  h[18] window        0=full attention | W = sliding-window width
 
 Payload: all parameter tensors as contiguous f32 in canonical order — the 16
 reference tensors first, then (v2, vit mode) the VIT_EXT tensors.  If
@@ -105,6 +106,7 @@ def _header(cfg: ViTConfig, version: int, step: int, has_opt: bool, seed: int) -
         h[15] = seed
         h[16] = cfg.num_kv_heads
         h[17] = 1 if cfg.pos_emb == "rope" else 0
+        h[18] = cfg.window
     return h
 
 
@@ -120,6 +122,8 @@ def config_from_header(h: np.ndarray) -> ViTConfig:
         kw.update(num_kv_heads=int(h[16]))
     if version >= 2 and int(h[17]) == 1:
         kw.update(pos_emb="rope")
+    if version >= 2 and int(h[18]):
+        kw.update(window=int(h[18]))
     return ViTConfig(**kw).validate()
 
 
@@ -135,7 +139,8 @@ def save_checkpoint(path: str,
     train_vit.rs:715-735 'Save other parameters similarly')."""
     has_opt = m is not None and v is not None
     version = 2 if (cfg.mode == "vit" or has_opt or step or seed
-                    or cfg.num_kv_heads or cfg.pos_emb == "rope") else 1
+                    or cfg.num_kv_heads or cfg.pos_emb == "rope"
+                    or cfg.window) else 1
     h = _header(cfg, version, step, has_opt, seed)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

@@ -56,6 +56,12 @@ class ViTConfig:
     scan_unroll: int = 0              # 0 = fully unroll the layer scan (fastest
                                       # backward: no per-layer dynamic-update-slice
                                       # of the stacked grads); N>0 = unroll factor
+    window: int = 0                   # sliding-window attention (gpt mode,
+                                      # causal): query t attends keys in
+                                      # (t-window, t].  0 = full attention.
+                                      # Tiles outside the band are skipped in
+                                      # the flash kernels fwd AND bwd, so
+                                      # attention compute is O(T·window).
     pos_emb: str = "learned"          # positional scheme: "learned" (the
                                       # reference's wpe table, rusty_vit.rs:107)
                                       # | "rope" (rotary — relative positions,
@@ -125,6 +131,10 @@ class ViTConfig:
                 f"num_heads {self.num_heads} must be a multiple of "
                 f"num_kv_heads {self.num_kv_heads}")
             assert not self.quirks, "quirks mode is MHA-only (reference parity)"
+        if self.window:
+            assert self.mode == "gpt", "window attention is causal-only"
+            assert not self.quirks, "quirks mode uses full attention"
+            assert self.window > 0
         assert self.pos_emb in ("learned", "rope"), self.pos_emb
         if self.pos_emb == "rope":
             assert self.mode == "gpt", "rope is a gpt-mode option"

@@ -137,6 +137,8 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     q_pos = pos + jnp.arange(S)[:, None]                    # (S, 1)
     t_pos = jnp.arange(Tmax)[None, :]                       # (1, Tmax)
     mask = t_pos <= q_pos                                   # causal + unfilled
+    if cfg.window:
+        mask = jnp.logical_and(mask, t_pos > q_pos - cfg.window)
     atty = _cache_attention(qh, kh, vh, mask[None], x.dtype)
     atty = atty.transpose(0, 2, 1, 3).reshape(B, S, C)
 
@@ -280,6 +282,9 @@ def _block_decode_multi(x, p, cfg, k_cache, v_cache, pos):
     vh = v_cache.reshape(B, Tmax, KH, D).transpose(0, 2, 1, 3)
     qh = q.reshape(B, 1, NH, D).transpose(0, 2, 1, 3)       # (B, NH, 1, D)
     mask = jnp.arange(Tmax)[None, :] <= pos[:, None]        # (B, Tmax)
+    if cfg.window:
+        mask = jnp.logical_and(
+            mask, jnp.arange(Tmax)[None, :] > pos[:, None] - cfg.window)
     atty = _cache_attention(qh, kh, vh, mask[:, None, :], x.dtype)
     atty = atty.transpose(0, 2, 1, 3).reshape(B, 1, C)
     x = x + _plin(p, "attprojw", "attprojb", atty)
@@ -401,6 +406,9 @@ def _block_decode_paged(x, p, cfg, kp, vp, table, pos):
     vh = vp[table].reshape(B, Tv, KH, D).transpose(0, 2, 1, 3)
     qh = q.reshape(B, 1, NH, D).transpose(0, 2, 1, 3)
     mask = jnp.arange(Tv)[None, :] <= pos[:, None]
+    if cfg.window:
+        mask = jnp.logical_and(
+            mask, jnp.arange(Tv)[None, :] > pos[:, None] - cfg.window)
     atty = _cache_attention(qh, kh, vh, mask[:, None, :], x.dtype)
     atty = atty.transpose(0, 2, 1, 3).reshape(B, 1, C)
     x = x + _plin(p, "attprojw", "attprojb", atty)

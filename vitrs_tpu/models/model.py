@@ -55,7 +55,7 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
             [q, expand_kv_heads(k, cfg.kv_heads, cfg.num_heads),
              expand_kv_heads(v, cfg.kv_heads, cfg.num_heads)], axis=-1)
         return _attn(packed, cfg.num_heads, causal=causal,
-                     use_flash=cfg.use_flash)
+                     use_flash=cfg.use_flash, window=cfg.window)
     if cfg.is_gqa:
         # GQA/MQA (beyond-reference): project to C + 2*kv_dim, expand K/V to
         # the full head count, ride the standard packed attention.  The fused
@@ -63,14 +63,15 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
         # autodiff (per-group segment sum) supplies the GQA dk/dv reduction.
         qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
         return attention_gqa(qkv, cfg.num_heads, cfg.kv_heads, causal=causal,
-                             use_flash=cfg.use_flash)
+                             use_flash=cfg.use_flash, window=cfg.window)
     if (cfg.use_flash and not cfg.quirks and _flash_available()
             and padded_num_heads(cfg.num_heads, D) is not None):
         from ..ops.fused_qkv_attention import qkv_attention
-        return qkv_attention(ln1, p["qkvw"], p["qkvb"], cfg.num_heads, causal)
+        return qkv_attention(ln1, p["qkvw"], p["qkvb"], cfg.num_heads, causal,
+                             False, cfg.window)
     qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
     return attention(qkv, cfg.num_heads, causal=causal, quirks=cfg.quirks,
-                     use_flash=cfg.use_flash)
+                     use_flash=cfg.use_flash, window=cfg.window)
 
 
 def _drop_path(branch: jax.Array, key: jax.Array, rate: jax.Array

@@ -72,7 +72,7 @@ def _expand_packed(qkv, num_heads, kv_heads):
 
 
 def _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb, num_heads,
-              causal, kv_heads=0, rope=False):
+              causal, kv_heads=0, rope=False, window=0):
     """Dense pure-jnp branch (fallback path + gradient oracle in tests)."""
     ln1, _, _ = basic.layernorm(x, ln1w, ln1b)
     qkv = basic.linear(ln1, qkvw, qkvb)
@@ -84,7 +84,8 @@ def _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb, num_heads,
         qkv = jnp.concatenate([q, k, v], axis=-1)
     if kv_heads and kv_heads != num_heads:
         qkv = _expand_packed(qkv, num_heads, kv_heads)
-    out, _ = basic.attention_dense(qkv, num_heads, causal=causal)
+    out, _ = basic.attention_dense(qkv, num_heads, causal=causal,
+                                   window=window)
     return basic.linear(out, attprojw, attprojb)
 
 
@@ -93,10 +94,11 @@ def _use_flash(num_heads, head_dim):
             and FA.padded_num_heads(num_heads, head_dim) is not None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def attn_branch(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
                 num_heads, causal, interpret=False, allow_flash=True,
-                kv_heads=0, rope=False):
+                kv_heads=0, rope=False, window=0):
     """The pre-LN attention residual branch with lean saved state.
     allow_flash=False (cfg.use_flash) forces the dense-jnp path even where
     the Pallas kernels are available — the same contract as
@@ -108,7 +110,7 @@ def attn_branch(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
     transpose is the inverse rotation — R is orthogonal)."""
     out, _ = _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
                               num_heads, causal, interpret, allow_flash,
-                              kv_heads, rope)
+                              kv_heads, rope, window)
     return out
 
 
@@ -145,12 +147,12 @@ def _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope=False):
 
 def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
                      num_heads, causal, interpret, allow_flash=True,
-                     kv_heads=0, rope=False):
+                     kv_heads=0, rope=False, window=0):
     C = x.shape[-1]
     D = C // num_heads
     if not (interpret or (allow_flash and _use_flash(num_heads, D))):
         branch = _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
-                           num_heads, causal, kv_heads, rope)
+                           num_heads, causal, kv_heads, rope, window)
         # ref-path residuals: the 7 inputs (arity distinguishes the two
         # residual forms in the backward — strings are not JAX types)
         return branch, (x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb)
@@ -161,7 +163,8 @@ def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
     T = qkv.shape[1]
     sm_scale = 1.0 / (D ** 0.5)
     qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q, FA.DEFAULT_BLOCK_K)
-    out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret)
+    out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret,
+                       window)
     atty = out[:, :T, :C]
     branch = basic.linear(atty, attprojw, attprojb)
     res = (x, ln1w, ln1b, qkvw, qkvb, attprojw, mean, rstd,
@@ -170,11 +173,11 @@ def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
 
 
 def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
-                     rope, res, db):
+                     rope, window, res, db):
     if len(res) == 7:
         _, vjp = jax.vjp(functools.partial(_attn_ref, num_heads=num_heads,
                                            causal=causal, kv_heads=kv_heads,
-                                           rope=rope), *res)
+                                           rope=rope, window=window), *res)
         return vjp(db)
     x, ln1w, ln1b, qkvw, qkvb, attprojw, mean, rstd, out, lse_c = res
     # static geometry reconstructed from shapes (T = true length, H = padded
@@ -211,7 +214,7 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
         do = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0)))
     lse = jnp.broadcast_to(lse_c, lse_c.shape[:3] + (FA.LANES,))
     dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do, sm_scale, causal,
-                               T, bq, bk, interpret)
+                               T, bq, bk, interpret, window)
     dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
     if rope:
         # pull dq/dk back through the rotation (R orthogonal: VJP = R(−θ))
@@ -318,7 +321,7 @@ def block_selective(x, p, cfg: ViTConfig, causal: bool):
         a = attn_branch(x, p["ln1w"], p["ln1b"], p["qkvw"], p["qkvb"],
                         p["attprojw"], p["attprojb"], cfg.num_heads, causal,
                         False, cfg.use_flash, cfg.kv_heads,
-                        cfg.pos_emb == "rope")
+                        cfg.pos_emb == "rope", cfg.window)
         if dp:
             a = _drop_path(a, p["_dp_key"][0], p["_dp_rate"])
         x = x + a

@@ -26,14 +26,16 @@ def _flash_available() -> bool:
 
 
 def attention(qkv: jax.Array, num_heads: int, causal: bool = True,
-              quirks: bool = False, use_flash: bool = True) -> jax.Array:
-    """Multi-head attention over packed qkv (B, T, 3C) -> (B, T, C)."""
+              quirks: bool = False, use_flash: bool = True,
+              window: int = 0) -> jax.Array:
+    """Multi-head attention over packed qkv (B, T, 3C) -> (B, T, C).
+    window > 0 (causal only) = sliding-window attention."""
     if quirks or not use_flash or not _flash_available():
         out, _ = basic.attention_dense(qkv, num_heads, causal=causal,
-                                       quirks=quirks)
+                                       quirks=quirks, window=window)
         return out
     from .flash_attention import flash_attention_qkv
-    return flash_attention_qkv(qkv, num_heads, causal=causal)
+    return flash_attention_qkv(qkv, num_heads, causal=causal, window=window)
 
 
 def expand_kv_heads(kv: jax.Array, kv_heads: int, num_heads: int) -> jax.Array:
@@ -64,7 +66,8 @@ def split_gqa(qkv: jax.Array, num_heads: int, kv_heads: int):
 
 
 def attention_gqa(qkv: jax.Array, num_heads: int, kv_heads: int,
-                  causal: bool = True, use_flash: bool = True) -> jax.Array:
+                  causal: bool = True, use_flash: bool = True,
+                  window: int = 0) -> jax.Array:
     """Grouped-query attention over a packed GQA projection
     (B, T, C + 2*kv_dim) -> (B, T, C): expand K/V to the full head count
     and ride the standard packed path (flash on TPU, dense elsewhere)."""
@@ -72,4 +75,5 @@ def attention_gqa(qkv: jax.Array, num_heads: int, kv_heads: int,
     k = expand_kv_heads(k, kv_heads, num_heads)
     v = expand_kv_heads(v, kv_heads, num_heads)
     packed = jnp.concatenate([q, k, v], axis=-1)
-    return attention(packed, num_heads, causal=causal, use_flash=use_flash)
+    return attention(packed, num_heads, causal=causal, use_flash=use_flash,
+                     window=window)

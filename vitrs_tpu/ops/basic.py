@@ -183,7 +183,7 @@ def gelu(x: jax.Array) -> jax.Array:
 
 
 def attention_dense(qkv: jax.Array, num_heads: int, causal: bool = True,
-                    quirks: bool = False,
+                    quirks: bool = False, window: int = 0,
                     ) -> Tuple[jax.Array, jax.Array]:
     """Materialized multi-head attention over packed qkv (B,T,3C).
 
@@ -208,6 +208,10 @@ def attention_dense(qkv: jax.Array, num_heads: int, causal: bool = True,
                         preferred_element_type=jnp.float32) * scale
     if causal:
         mask = jnp.tril(jnp.ones((T, T), bool))
+        if window:
+            # sliding window: query t sees keys in (t-window, t]
+            mask = jnp.logical_and(mask, ~jnp.tril(
+                jnp.ones((T, T), bool), k=-window))
         scores = jnp.where(mask, scores, -jnp.inf)
     m = jnp.max(scores, axis=-1, keepdims=True)
     if quirks:

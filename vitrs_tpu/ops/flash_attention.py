@@ -149,13 +149,29 @@ def _heads_per_block_single(head_dim: int, num_heads: int) -> int:
     return base
 
 
-def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len):
+def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len, window=0):
     col = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1) + i_kv * block_k
     m = col < seq_len
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0) + i_q * block_q
         m = jnp.logical_and(m, col <= row)
+        if window:
+            # sliding window: query t attends keys in (t-window, t]
+            m = jnp.logical_and(m, col > row - window)
     return m
+
+
+def _tile_overlaps_band(i_q, i_kv, block_q, block_k, window):
+    """Whether tile (i_q, i_kv) contains ANY in-window element: its largest
+    column must exceed its smallest row minus the window."""
+    return (i_kv + 1) * block_k - 1 > i_q * block_q - window
+
+
+def _band_crosses_tile(i_q, i_kv, block_q, block_k, window):
+    """Whether the window's LOWER boundary cuts through tile (i_q, i_kv)
+    (some element falls below the band): smallest column <= largest row −
+    window."""
+    return i_kv * block_k <= (i_q + 1) * block_q - 1 - window
 
 
 # ---------------------------------------------------------------------------
@@ -170,15 +186,11 @@ def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len):
 # ---------------------------------------------------------------------------
 
 def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       *, sm_scale, causal, seq_len, T, G, D):
+                       *, sm_scale, causal, seq_len, T, G, D, window=0):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
     need_mask = causal or seq_len != T
     if need_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        msk = col < seq_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-            msk = jnp.logical_and(msk, col <= row)
+        msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
     # phase-split over the G independent heads (all QKᵀ dots, then all
     # softmaxes, then all PV dots): the per-phase streams have no cross-g
     # deps, so Mosaic overlaps head g's VPU exp with head g±1's MXU dots —
@@ -211,16 +223,12 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                        dq_ref, dk_ref, dv_ref,
-                       *, sm_scale, causal, seq_len, T, G, D):
+                       *, sm_scale, causal, seq_len, T, G, D, window=0):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
     of, dof = o_ref[0], do_ref[0]
     need_mask = causal or seq_len != T
     if need_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        msk = col < seq_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-            msk = jnp.logical_and(msk, col <= row)
+        msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
     # same phase-split as the forward (see _fwd_single_kernel): the per-g
     # chains are independent, so batching each op class across heads gives
     # Mosaic MXU/VPU overlap between heads
@@ -264,7 +272,8 @@ def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
-def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret):
+def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret,
+                window=0):
     B, T, C3 = qkv.shape
     C = C3 // 3
     D = C // num_heads
@@ -275,7 +284,7 @@ def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret):
                                     memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_single_kernel, sm_scale=sm_scale, causal=causal,
-                          seq_len=seq_len, T=T, G=G, D=D),
+                          seq_len=seq_len, T=T, G=G, D=D, window=window),
         grid=(B, n_hblk),
         in_specs=[spec(0), spec(n_hblk), spec(2 * n_hblk)],
         out_specs=(
@@ -297,7 +306,7 @@ def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret):
 
 
 def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
-                interpret):
+                interpret, window=0):
     B, T, C3 = qkv.shape
     C = C3 // 3
     D = C // num_heads
@@ -312,7 +321,7 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                             memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_single_kernel, sm_scale=sm_scale, causal=causal,
-                          seq_len=seq_len, T=T, G=G, D=D),
+                          seq_len=seq_len, T=T, G=G, D=D, window=window),
         grid=(B, n_hblk),
         in_specs=[spec(0), spec(n_hblk), spec(2 * n_hblk), c_spec, c_spec,
                   lse_spec],
@@ -332,7 +341,8 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
-                *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T, G, D):
+                *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T, G, D,
+                window=0):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -342,6 +352,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+    if window:
+        run = jnp.logical_and(
+            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
 
     @pl.when(run)
     def _compute():
@@ -357,7 +370,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
             # between heads
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len)
+                            causal, seq_len, window)
             ss = []
             for g in range(G):
                 sl = slice(g * D, (g + 1) * D)
@@ -392,6 +405,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
             edge = False
             if causal:
                 edge = i_q * block_q < (i_kv + 1) * block_k  # diagonal crosses
+            if window:
+                edge = jnp.logical_or(edge, _band_crosses_tile(
+                    i_q, i_kv, block_q, block_k, window))
             if has_pad:
                 edge = jnp.logical_or(edge, i_kv == n_kv - 1)
 
@@ -436,11 +452,11 @@ def _qkv_specs(n_hblk, block_q, block_k, W, q_grid_dim, kv_grid_dim):
 
 
 def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
-         interpret):
+         interpret, window=0):
     B, T, C3 = qkv.shape
     if T <= block_q and T <= block_k:
         return _fwd_single(qkv, num_heads, sm_scale, causal, seq_len,
-                           interpret)
+                           interpret, window)
     C = C3 // 3
     D = C // num_heads
     G = _heads_per_block_multi_fwd(D, num_heads)
@@ -450,7 +466,7 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
     grid = (B, n_hblk, n_q, n_kv)
     kern = functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
                              block_q=block_q, block_k=block_k, n_kv=n_kv,
-                             seq_len=seq_len, T=T, G=G, D=D)
+                             seq_len=seq_len, T=T, G=G, D=D, window=window)
     q_spec, k_spec, v_spec = _qkv_specs(n_hblk, block_q, block_k, W, 0, 1)
     out, lse = pl.pallas_call(
         kern,
@@ -486,7 +502,7 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, n_q, seq_len, T,
-                    G, D):
+                    G, D, window=0):
     i_kv, i_q = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_q == 0)
@@ -495,6 +511,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+    if window:
+        run = jnp.logical_and(
+            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
 
     @pl.when(run)
     def _compute():
@@ -507,7 +526,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
             # then VPU p/ds, then the accumulate dots
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len)
+                            causal, seq_len, window)
             ss, dps = [], []
             for g in range(G):
                 sl = slice(g * D, (g + 1) * D)
@@ -550,6 +569,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
             edge = False
             if causal:
                 edge = i_q * block_q < (i_kv + 1) * block_k
+            if window:
+                edge = jnp.logical_or(edge, _band_crosses_tile(
+                    i_q, i_kv, block_q, block_k, window))
             if has_pad:
                 edge = jnp.logical_or(edge, i_kv == pl.num_programs(2) - 1)
 
@@ -573,7 +595,7 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                          dq_ref, dk_ref, dv_ref,
                          dq_scr, dk_scr, dv_scr,
                          *, sm_scale, causal, block_q, block_k, n_kv, n_q,
-                         seq_len, T, G, D):
+                         seq_len, T, G, D, window=0):
     """Single-kernel multi-tile backward: grid (B, hblk, kv, q).
 
     p is computed ONCE per (kv, q) tile and feeds dv/dk (accumulated per-kv
@@ -593,6 +615,9 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+    if window:
+        run = jnp.logical_and(
+            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
 
     @pl.when(run)
     def _compute():
@@ -605,7 +630,7 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
             # then VPU p/ds, then the accumulate dots
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len)
+                            causal, seq_len, window)
             ss, dps = [], []
             for g in range(G):
                 sl = slice(g * D, (g + 1) * D)
@@ -648,6 +673,9 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
             edge = False
             if causal:
                 edge = i_q * block_q < (i_kv + 1) * block_k
+            if window:
+                edge = jnp.logical_or(edge, _band_crosses_tile(
+                    i_q, i_kv, block_q, block_k, window))
             if has_pad:
                 edge = jnp.logical_or(edge, i_kv == n_kv - 1)
 
@@ -675,7 +703,7 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                    dq_ref, dq_scr,
                    *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                   G, D):
+                   G, D, window=0):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -683,6 +711,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+    if window:
+        run = jnp.logical_and(
+            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
 
     @pl.when(run)
     def _compute():
@@ -694,7 +725,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
             # phase-split over G (see _fwd_single_kernel)
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len)
+                            causal, seq_len, window)
             ss, dps = [], []
             for g in range(G):
                 sl = slice(g * D, (g + 1) * D)
@@ -729,6 +760,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
             edge = False
             if causal:
                 edge = i_q * block_q < (i_kv + 1) * block_k
+            if window:
+                edge = jnp.logical_or(edge, _band_crosses_tile(
+                    i_q, i_kv, block_q, block_k, window))
             if has_pad:
                 edge = jnp.logical_or(edge, i_kv == n_kv - 1)
 
@@ -747,7 +781,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
 
 
 def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
-               block_q, block_k, interpret):
+               block_q, block_k, interpret, window=0):
     """Backward returning (dq, dk, dv) as separate (B, T, C) arrays — callers
     that consume the packed layout concatenate; the fused qkv+attention op
     (ops/fused_qkv_attention.py) feeds them straight into the projection
@@ -755,7 +789,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     B, T, C3 = qkv.shape
     if T <= block_q and T <= block_k:
         return _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal,
-                           seq_len, interpret)
+                           seq_len, interpret, window)
     C = C3 // 3
     D = C // num_heads
     G = _heads_per_block(D)
@@ -800,7 +834,8 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
             functools.partial(_bwd_combined_kernel, sm_scale=sm_scale,
                               causal=causal, block_q=block_q,
                               block_k=block_k, n_kv=n_kv, n_q=n_q,
-                              seq_len=seq_len, T=T, G=G, D=D),
+                              seq_len=seq_len, T=T, G=G, D=D,
+                              window=window),
             grid=(B, n_hblk, n_kv, n_q),
             in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
             out_specs=(dq_out_spec, kv_out_spec, kv_out_spec),
@@ -817,7 +852,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k, n_q=n_q,
-                          seq_len=seq_len, T=T, G=G, D=D),
+                          seq_len=seq_len, T=T, G=G, D=D, window=window),
         grid=(B, n_hblk, n_kv, n_q),
         in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
         out_specs=(kv_out_spec, kv_out_spec),
@@ -840,7 +875,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k, n_kv=n_kv,
-                          seq_len=seq_len, T=T, G=G, D=D),
+                          seq_len=seq_len, T=T, G=G, D=D, window=window),
         grid=(B, n_hblk, n_q, n_kv),
         in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, do_spec2],
         out_specs=do_spec2,
@@ -856,26 +891,27 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
 # public entry points
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def _flash_packed(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
-                  interpret):
+                  interpret, window=0):
     out, _ = _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
-                  interpret)
+                  interpret, window)
     return out
 
 
 def _flash_packed_fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q,
-                      block_k, interpret):
+                      block_k, interpret, window=0):
     out, lse = _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q,
-                    block_k, interpret)
+                    block_k, interpret, window)
     return out, (qkv, out, lse)
 
 
 def _flash_packed_bwd(num_heads, sm_scale, causal, seq_len, block_q, block_k,
-                      interpret, res, do):
+                      interpret, window, res, do):
     qkv, out, lse = res
     dq, dk, dv = _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal,
-                            seq_len, block_q, block_k, interpret)
+                            seq_len, block_q, block_k, interpret, window)
     return (jnp.concatenate([dq, dk, dv], axis=-1),)
 
 
@@ -886,13 +922,19 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
                         sm_scale: Optional[float] = None,
                         block_q: int = DEFAULT_BLOCK_Q,
                         block_k: int = DEFAULT_BLOCK_K,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        window: int = 0) -> jax.Array:
     """Flash attention over packed qkv (B, T, 3C) -> (B, T, C).
 
     Zero-copy head slicing straight from the packed buffer; T padded to a
     block multiple internally (padded key columns masked, padded query rows
     sliced off).  Falls back to the dense XLA path for geometries the packed
-    kernel can't tile (see `supports`)."""
+    kernel can't tile (see `supports`).
+
+    window > 0 (requires causal) restricts each query t to keys in
+    (t-window, t] — sliding-window attention.  Tiles wholly outside the band
+    are skipped at the predicate level in forward AND backward, so attention
+    compute scales with T·window instead of T²."""
     B, T, C3 = qkv.shape
     C = C3 // 3
     D = C // num_heads
@@ -900,7 +942,8 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
         Hp = padded_num_heads(num_heads, D)
         if Hp is None:
             from . import basic
-            out, _ = basic.attention_dense(qkv, num_heads, causal=causal)
+            out, _ = basic.attention_dense(qkv, num_heads, causal=causal,
+                                           window=window)
             return out
         # phantom-head relayout (odd head counts, e.g. 25): zero-pad each
         # packed third, run the kernel at Hp heads, slice the real channels
@@ -911,13 +954,13 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
             axis=-1)
         out = flash_attention_qkv(qkv, Hp, causal=causal, sm_scale=sm_scale,
                                   block_q=block_q, block_k=block_k,
-                                  interpret=interpret)
+                                  interpret=interpret, window=window)
         return out[:, :, :C]
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
     x, block_q, block_k = prep_blocks(qkv, block_q, block_k)
     out = _flash_packed(x, num_heads, float(sm_scale), causal, T, block_q,
-                        block_k, interpret)
+                        block_k, interpret, window)
     return out[:, :T, :] if x.shape[1] != T else out
 
 
@@ -941,7 +984,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     sm_scale: Optional[float] = None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    window: int = 0) -> jax.Array:
     """Generic (B, H, T, D) entry — packs to the qkv layout and dispatches.
     Prefer flash_attention_qkv on the training hot path (no repacking)."""
     B, H, T, D = q.shape
@@ -952,5 +996,5 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     qkv = jnp.concatenate([pack(q), pack(k), pack(v)], axis=-1)
     out = flash_attention_qkv(qkv, H, causal=causal, sm_scale=sm_scale,
                               block_q=block_q, block_k=block_k,
-                              interpret=interpret)
+                              interpret=interpret, window=window)
     return out.reshape(B, T, H, D).transpose(0, 2, 1, 3)

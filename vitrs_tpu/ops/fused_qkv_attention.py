@@ -30,16 +30,17 @@ from . import basic
 from . import flash_attention as FA
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def qkv_attention(ln1: jax.Array, qkvw: jax.Array, qkvb: jax.Array,
                   num_heads: int, causal: bool = False,
-                  interpret: bool = False) -> jax.Array:
-    """(B, T, C) -> (B, T, C): packed qkv projection + multi-head attention."""
-    out, _ = _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret)
+                  interpret: bool = False, window: int = 0) -> jax.Array:
+    """(B, T, C) -> (B, T, C): packed qkv projection + multi-head attention.
+    window > 0 (causal) = sliding-window attention."""
+    out, _ = _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret, window)
     return out
 
 
-def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret):
+def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret, window=0):
     C = ln1.shape[-1]
     D = C // num_heads
     # odd head counts run with zero-padded phantom heads (GPT-2 1.5B: 25
@@ -54,7 +55,8 @@ def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret):
     B, T, _ = qkv.shape
     sm_scale = 1.0 / (D ** 0.5)
     qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q, FA.DEFAULT_BLOCK_K)
-    out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret)
+    out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret,
+                       window)
     T_pad = qkv_k.shape[1]
     out_t = out[:, :T, :] if T_pad != T else out
     if H != num_heads:
@@ -62,8 +64,9 @@ def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret):
     return out_t, (ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk, H)
 
 
-def _qkv_attention_fwd(ln1, qkvw, qkvb, num_heads, causal, interpret):
-    out, res = _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret)
+def _qkv_attention_fwd(ln1, qkvw, qkvb, num_heads, causal, interpret,
+                       window=0):
+    out, res = _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret, window)
     return out, res
 
 
@@ -96,7 +99,7 @@ def qkv_projection_bwd(dq, dk, dv, ln1, qkvw):
     return dln1, dqkvw, dqkvb
 
 
-def _qkv_attention_bwd(num_heads, causal, interpret, res, do):
+def _qkv_attention_bwd(num_heads, causal, interpret, window, res, do):
     ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk, H = res
     C = ln1.shape[-1]
     Cp = qkv_k.shape[-1] // 3
@@ -105,7 +108,7 @@ def _qkv_attention_bwd(num_heads, causal, interpret, res, do):
         do = jnp.pad(do, ((0, 0), (0, 0), (0, Cp - C)))
     do_k = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0))) if T_pad != T else do
     dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do_k, sm_scale,
-                               causal, T, bq, bk, interpret)
+                               causal, T, bq, bk, interpret, window)
     dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
     dln1, dqkvw, dqkvb = qkv_projection_bwd(dq, dk, dv, ln1, qkvw)
     return dln1.astype(ln1.dtype), dqkvw, dqkvb

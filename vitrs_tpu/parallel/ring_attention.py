@@ -192,6 +192,7 @@ def _gpt_cp_loss_local(params, tokens, targets, cfg: ViTConfig, n_ctx: int):
     attention is pointwise over T, so the whole block stack runs on the
     local sequence shard; attention goes around the ring.  Loss is the
     global token mean (pmean over both axes happens in the caller)."""
+    assert not cfg.window, "sliding-window attention not supported under CP"
     dtype = jnp.dtype(cfg.dtype)
     idx = jax.lax.axis_index("ctx")
     B, T_loc = tokens.shape

@@ -274,6 +274,8 @@ def to_tp_params(params, cfg: ViTConfig):
     assert not cfg.is_gqa, (
         "tensor parallelism currently requires MHA (the (L,3,C,C) head-"
         "aligned reshape); GQA runs under dp/fsdp/pp/cp")
+    assert not cfg.window, (
+        "sliding-window attention not wired through the TP block")
     out = dict(params)
     L, C = cfg.num_layers, cfg.channels
     out["qkv3w"] = params["qkvw"].reshape(L, 3, C, C)

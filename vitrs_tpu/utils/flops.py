@@ -28,7 +28,13 @@ def forward_flops_per_example(cfg: ViTConfig) -> float:
     T = cfg.seq_len
     # qkv (C+2*kv_dim wide under GQA; 3C for MHA), proj, fc, fcproj
     per_tok_layer = 2 * (cfg.qkv_dim * C + C * C + 4 * C * C + 4 * C * C)
-    attn_layer = 4 * T * T * C            # QK^T + PV: 2 matmuls x 2 flops
+    # QK^T + PV: 2 matmuls x 2 flops.  Convention: the full T x T square is
+    # counted for causal (the standard MFU convention — llm.c/PaLM count
+    # unmasked FLOPs); the windowed analogue is the full T x window band, so
+    # windowed MFU stays comparable to the causal numbers.
+    attn_width = min(cfg.window, T) if (cfg.mode == "gpt" and cfg.window) \
+        else T
+    attn_layer = 4 * T * attn_width * C
     if cfg.mode == "vit":
         embed = 2 * T * (cfg.patch_size ** 2 * cfg.in_chans) * C
         head = 2 * C * cfg.num_classes
