@@ -200,6 +200,46 @@ def test_window_checkpoint_header_roundtrip(tmp_path):
     assert file_cfg.num_kv_heads == 2
 
 
+def test_streaming_ring_matches_dense_cache_generation():
+    """generate_streaming (ring cache, O(window) memory) must produce the
+    exact greedy tokens of the full-cache generate() on a windowed model,
+    including prompts longer than the window."""
+    cfg = get_config("gpt-nano", use_flash=False, num_heads=4, channels=32,
+                     window=4, pos_emb="rope")
+    params = PRM.init_params(cfg, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 7)))  # T0 > W
+    full = G.generate(params, prompt, cfg, max_new=6,
+                      key=jax.random.PRNGKey(0), temperature=0.0)
+    ring = G.generate_streaming(params, prompt, cfg, max_new=6,
+                                key=jax.random.PRNGKey(0), temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(ring))
+
+
+def test_streaming_generates_past_max_seq_len_with_rope():
+    """With rope there is no wpe table to run off the end of: the ring cache
+    generates sequences LONGER than cfg.max_seq_len — impossible for both
+    the dense cache and the reference (wpe = max_seq_len cap).  Parity
+    oracle: the dense path evaluated under a config whose max_seq_len is
+    enlarged (wpe is never read in rope mode, so the same weights apply)."""
+    cfg = get_config("gpt-nano", use_flash=False, num_heads=4, channels=32,
+                     window=4, pos_emb="rope")         # max_seq_len = 16
+    params = PRM.init_params(cfg, jax.random.PRNGKey(6))
+    rng = np.random.default_rng(6)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 5)))
+    total_new = 30                                      # 5 + 30 > 16
+    ring = G.generate_streaming(params, prompt, cfg, max_new=total_new,
+                                key=jax.random.PRNGKey(0), temperature=0.0)
+    assert ring.shape == (1, 35)
+    big = cfg.replace(max_seq_len=64)
+    full = G.generate(params, prompt, big, max_new=total_new,
+                      key=jax.random.PRNGKey(0), temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(ring), np.asarray(full))
+    # ring memory is O(window), not O(T)
+    caches = G.init_ring_kv(cfg, 1, chunk=5)
+    assert caches[0].shape[2] == cfg.window + 5
+
+
 def test_window_flops_accounting():
     cfg = get_config("gpt2-124m")
     full = flops.forward_flops_per_example(cfg)

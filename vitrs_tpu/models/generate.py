@@ -255,6 +255,134 @@ def generate(params: Dict, prompt: jax.Array, cfg: ViTConfig, max_new: int,
 
 
 # --------------------------------------------------------------------------
+# Streaming decode: ring-buffer KV cache for sliding-window models.
+#
+# A window-W model (config.window) never attends more than W positions back,
+# so the cache only has to hold a rolling band: a ring of R = W + chunk rows
+# per layer, written at row (pos % R).  Each row's ABSOLUTE position is
+# reconstructed arithmetically (stored[j] = latest p <= pos_end with
+# p ≡ j mod R), so masking needs no per-row bookkeeping state and the whole
+# decode stays XLA-static.  With rope positions (config.pos_emb="rope")
+# generation length is unbounded — O(L·B·R·kv_dim) memory for ANY length,
+# where the dense cache would grow O(T) and the reference's wpe table would
+# cap T outright (rusty_vit.rs:107).
+# --------------------------------------------------------------------------
+
+def init_ring_kv(cfg: ViTConfig, B: int, chunk: int):
+    """Ring caches sized W + chunk: a chunk of S <= chunk new positions can
+    be written without evicting any key still inside some query's window."""
+    assert cfg.window > 0, "ring cache requires a sliding-window config"
+    R = cfg.window + chunk
+    dtype = jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, B, R, cfg.kv_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _block_with_kv_ring(x, p, cfg, k_cache, v_cache, pos):
+    """One block step against ring caches (B, R, kv_dim); pos scalar."""
+    B, S, C = x.shape
+    NH, KH = cfg.num_heads, cfg.kv_heads
+    D = C // NH
+    R = k_cache.shape[1]
+    W = cfg.window
+    ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
+    qkv = _plin(p, "qkvw", "qkvb", ln1)
+    q, k, v = _split_qkv(qkv, cfg)
+    if cfg.pos_emb == "rope":
+        q, k = rope_qk(q, k, pos + jnp.arange(S), cfg.num_heads,
+                       cfg.kv_heads)
+    rows = (pos + jnp.arange(S)) % R
+    k_cache = k_cache.at[:, rows].set(k)
+    v_cache = v_cache.at[:, rows].set(v)
+    kh = k_cache.reshape(B, R, KH, D).transpose(0, 2, 1, 3)
+    vh = v_cache.reshape(B, R, KH, D).transpose(0, 2, 1, 3)
+    qh = q.reshape(B, S, NH, D).transpose(0, 2, 1, 3)
+    # absolute position held by ring row j right now (after this write):
+    # the latest p <= pos_end with p ≡ j (mod R); negative = never written
+    pos_end = pos + S - 1
+    j = jnp.arange(R)
+    stored = pos_end - ((pos_end - j) % R)                  # (R,)
+    q_pos = pos + jnp.arange(S)[:, None]                    # (S, 1)
+    mask = jnp.logical_and(stored[None, :] <= q_pos,
+                           stored[None, :] > q_pos - W)
+    mask = jnp.logical_and(mask, stored[None, :] >= 0)
+    atty = _cache_attention(qh, kh, vh, mask[None], x.dtype)
+    atty = atty.transpose(0, 2, 1, 3).reshape(B, S, C)
+    x = x + _plin(p, "attprojw", "attprojb", atty)
+    ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
+    fch_gelu = basic.gelu_cv(_plin(p, "fcw", "fcb", ln2))
+    x = x + _plin(p, "fcprojw", "fcprojb", fch_gelu)
+    return x, k_cache, v_cache
+
+
+def forward_with_ring(params: Dict, tokens: jax.Array, caches, pos,
+                      cfg: ViTConfig):
+    """Ring twin of forward_with_cache; S must be <= the chunk the ring was
+    sized for.  Returns (logits (B, S, V), caches)."""
+    k_caches, v_caches = caches
+    dtype = jnp.dtype(cfg.dtype)
+    S = tokens.shape[-1]
+    emb = params["wte"][tokens].astype(dtype)
+    if cfg.pos_emb == "rope":
+        x = emb
+    else:
+        x = emb + jax.lax.dynamic_slice_in_dim(
+            params["wpe"], pos, S, 0)[None].astype(dtype)
+    blocks = {k: params[k] for k in M.BLOCK_KEYS}
+
+    def step(x, layer):
+        p, kc, vc = layer
+        x, kc, vc = _block_with_kv_ring(x, p, cfg, kc, vc, pos)
+        return x, (kc, vc)
+
+    x, (k_caches, v_caches) = jax.lax.scan(step, x,
+                                           (blocks, k_caches, v_caches))
+    lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
+    logits = basic.linear(lnf, params["wte"].astype(dtype), None)
+    return logits.astype(jnp.float32), (k_caches, v_caches)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "temperature",
+                                             "top_k", "top_p"))
+def generate_streaming(params: Dict, prompt: jax.Array, cfg: ViTConfig,
+                       max_new: int, key: jax.Array,
+                       temperature: float = 1.0, top_k: int = 0,
+                       top_p: float = 0.0) -> jax.Array:
+    """Windowed generation with O(window) cache memory, independent of the
+    total length.  With cfg.pos_emb="rope" the output length is unbounded
+    (no wpe table to run off the end of); with learned positions the usual
+    max_seq_len cap applies and only the memory saving remains."""
+    B, T0 = prompt.shape
+    W = cfg.window
+    assert W > 0, "generate_streaming requires a sliding-window config"
+    if cfg.pos_emb != "rope":
+        assert T0 + max_new <= cfg.max_seq_len
+    chunk = min(T0, max(W, 1))
+    caches = init_ring_kv(cfg, B, chunk)
+    key, first_key = jax.random.split(key)
+    # chunked prefill (static chunk count; S <= chunk by construction)
+    logits = None
+    for off in range(0, T0, chunk):
+        S = min(chunk, T0 - off)
+        logits, caches = forward_with_ring(params, prompt[:, off:off + S],
+                                           caches, off, cfg)
+    first = _sample(logits[:, -1, :], first_key, temperature, top_k, top_p)
+    if max_new == 1:
+        return jnp.concatenate([prompt, first[:, None]], axis=1)
+
+    def decode(carry, step_key):
+        tok, pos, caches = carry
+        lg, caches = forward_with_ring(params, tok[:, None], caches, pos, cfg)
+        nxt = _sample(lg[:, -1, :], step_key, temperature, top_k, top_p)
+        return (nxt, pos + 1, caches), tok
+
+    keys = jax.random.split(key, max_new - 1)
+    (last, _, _), toks = jax.lax.scan(decode, (first, T0, caches), keys)
+    gen = jnp.concatenate([toks.T, last[:, None]], axis=1)
+    return jnp.concatenate([prompt, gen], axis=1)
+
+
+# --------------------------------------------------------------------------
 # Continuous-batching decode: per-slot positions (serving_gen.py engine)
 # --------------------------------------------------------------------------
 
