@@ -95,6 +95,67 @@ def test_muon_beats_or_matches_adamw_short_horizon():
     assert float(lm) < float(la) * 1.10, (float(lm), float(la))
 
 
+def test_dp_muon_step_matches_single_device():
+    """The shard_map DP Muon step must equal a single-device step on the
+    full batch (pmean'd tree grads == full-batch grads)."""
+    from vitrs_tpu.parallel import data_parallel as dp
+    mesh = dp.make_mesh(4)
+    params = PRM.init_params(CFG, jax.random.PRNGKey(4))
+    state = muon.init_state(params)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(0, CFG.vocab_size, (8, 16)))
+    y = jnp.asarray(np.roll(np.asarray(x), -1, axis=1))
+
+    # single-device reference FIRST: the dp step donates its (replicated)
+    # inputs, which on a CPU mesh alias the original buffers
+    loss, g = jax.value_and_grad(M.loss_fn)(params, x, y, CFG)
+    gn = jnp.sqrt(sum(jnp.sum(jnp.square(t.astype(jnp.float32)))
+                      for t in jax.tree_util.tree_leaves(g)))
+    g = jax.tree_util.tree_map(
+        lambda t: t * jnp.minimum(1.0, 1.0 / (gn + 1e-6)), g)
+    p_1, st_1 = muon.step(params, g, state, jnp.asarray(1), 0.02,
+                          adamw_lr=6e-4)
+    p_1 = jax.device_get(p_1)
+
+    step_fn = dp.make_dp_train_step_muon(CFG, mesh, clip_norm=1.0)
+    p_dp, st_dp, loss_dp = step_fn(
+        dp.replicate(params, mesh),
+        dp.replicate(state, mesh),
+        dp.shard_batch(x, mesh), dp.shard_batch(y, mesh),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0.02, jnp.float32),
+        jnp.asarray(6e-4, jnp.float32))
+    np.testing.assert_allclose(float(loss_dp), float(loss), rtol=1e-6)
+    for k in p_1:
+        # the bf16 Newton-Schulz chain amplifies the fp32 reduction-order
+        # difference between pmean-of-shard-means and the full-batch mean;
+        # observed ~2e-5 on a ~2e-3 update — a wiring error would be O(update)
+        np.testing.assert_allclose(np.asarray(p_dp[k]), np.asarray(p_1[k]),
+                                   rtol=2e-3, atol=5e-5, err_msg=k)
+
+
+def test_train_loop_muon_resume_bit_exact(tmp_path):
+    """Kill-and-resume under --optimizer muon: the side-tree state (incl.
+    the data cursor riding its meta) must make 3+3 == 6 straight steps."""
+    import os
+    from vitrs_tpu import checkpoint as C
+    from vitrs_tpu.train.loop import TrainConfig, train
+    common = dict(preset="gpt-nano", dataset="tokens", steps=4,
+                  batch_size=8, lr=0.02, warmup=2, dtype="float32",
+                  log_every=2, eval_every=0, seed=3, optimizer="muon",
+                  muon_adamw_lr=1e-3, clip_norm=1.0, async_ckpt=False,
+                  model_overrides=dict(use_flash=False))
+    w1 = str(tmp_path / "straight")
+    train(TrainConfig(workdir=w1, ckpt_every=4, **common))
+    w2 = str(tmp_path / "resumed")
+    train(TrainConfig(workdir=w2, ckpt_every=2, run_steps=2, **common))
+    train(TrainConfig(workdir=w2, ckpt_every=2, **common))
+    p1, _, _ = C.load_checkpoint(os.path.join(w1, "ckpt_00000004.bin"))
+    p2, _, _ = C.load_checkpoint(os.path.join(w2, "ckpt_00000004.bin"))
+    for k in p1:
+        np.testing.assert_allclose(p1[k], p2[k], rtol=2e-6, atol=1e-7,
+                                   err_msg=k)
+
+
 def test_muon_composes_with_gqa_rope_window():
     cfg = get_config("gpt-nano", use_flash=False, num_heads=4, channels=32,
                      num_kv_heads=2, pos_emb="rope", window=6)

@@ -54,9 +54,24 @@ def main():
                    help="device-side mixup Beta(a, a); 0 = off")
     p.add_argument("--init-ckpt", default=None,
                    help="warm-start weights (e.g. MAE-pretrained encoder)")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "muon"],
+                   help="muon = hybrid Muon/AdamW (ops/muon.py); --lr then "
+                        "sets the MATRIX lr (~0.02 scale)")
+    p.add_argument("--muon-adamw-lr", type=float, default=6e-4,
+                   help="AdamW lr for non-matrix leaves under --optimizer "
+                        "muon")
     p.add_argument("--eval-only", action="store_true",
                    help="evaluate the latest checkpoint in --workdir and exit")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (jax.config.update before the "
+                        "first device query — the JAX_PLATFORMS env var is "
+                        "too late once site hooks have registered a plugin)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.eval_only:
         import glob
@@ -92,6 +107,7 @@ def main():
         accum_steps=args.accum_steps,
         ra_ops=args.ra_ops,
         ra_mag=args.ra_mag, mixup_alpha=args.mixup_alpha,
+        optimizer=args.optimizer, muon_adamw_lr=args.muon_adamw_lr,
         model_overrides=({"drop_path": args.drop_path}
                          if args.drop_path > 0 else None))
     summary = train(tc)

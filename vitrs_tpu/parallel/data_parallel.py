@@ -223,6 +223,45 @@ def make_dp_train_step(cfg: ViTConfig, mesh: Mesh, accum_steps: int = 1,
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 
 
+def make_dp_train_step_muon(cfg: ViTConfig, mesh: Mesh,
+                            clip_norm: float = 0.0, momentum: float = 0.95,
+                            weight_decay: float = 0.0):
+    """DP training step with the hybrid Muon/AdamW optimizer (ops/muon.py).
+
+    Signature: (params, state: MuonState, inputs, targets, step, lr, alr)
+            -> (params, state, loss)
+    params and state replicated, inputs/targets batch-sharded.  Gradients
+    are pmean'd in TREE form (Muon's update needs matrix-shaped gradients —
+    the flat ZeRO-1 layout of the AdamW path has nothing to orthogonalize),
+    and the optimizer state stays replicated: at the scales Muon targets
+    here the momentum tree is one param-copy, the price of keeping the
+    Newton-Schulz chain a plain batched matmul."""
+    from ..ops import muon as MU
+
+    def spmd_step(params, state, inputs, targets, step, lr, alr):
+        loss, grads = jax.value_and_grad(M.loss_fn, argnums=0)(
+            params, inputs, targets, cfg)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "data"), grads)
+        loss = jax.lax.pmean(loss, "data")
+        if clip_norm > 0.0:
+            gn = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                              for g in jax.tree_util.tree_leaves(grads)))
+            scale = jnp.minimum(1.0, clip_norm / (gn + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        params, state = MU.step(params, grads, state, step + 1, lr,
+                                momentum=momentum, adamw_lr=alr,
+                                weight_decay=weight_decay)
+        return params, state, loss
+
+    mapped = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
 @functools.lru_cache(maxsize=None)
 def _decay_mask_flat(cfg: ViTConfig, n_pad: int):
     """Flat 0/1 mask over the canonical parameter vector: 1 where the

@@ -68,6 +68,11 @@ class TrainConfig:
     clip_norm: float = 0.0         # 0 = off; 1.0 = the standard GPT recipe
     decay_2d_only: bool = False    # llm.c decay policy: matrices only
     accum_steps: int = 1           # micro-batches per step (grad accumulation)
+    optimizer: str = "adamw"       # "adamw" (fused ZeRO-1 default) | "muon"
+                                   # (hybrid Muon/AdamW, ops/muon.py; tc.lr
+                                   # becomes the MATRIX lr — ~0.02 scale —
+                                   # and muon_adamw_lr drives the rest)
+    muon_adamw_lr: float = 6e-4    # AdamW lr for non-matrix leaves (muon)
     ra_ops: int = 0                # RandAugment ops per image (imagenet path)
     ra_mag: float = 0.0            # RandAugment magnitude in [0, 1]
     mixup_alpha: float = 0.0       # device-side mixup (vit mode)
@@ -194,13 +199,41 @@ def train(tc: TrainConfig) -> dict:
         _ds_for_stats = D.get_dataset(tc.dataset, tc.data_dir, train=True)
         norm_stats = (_ds_for_stats.mean, _ds_for_stats.std)
 
-    step_fn = dp.make_dp_train_step(cfg, mesh,
-                                    accum_steps=tc.accum_steps,
-                                    return_grad_norm=tc.log_grad_norm,
-                                    mixup_alpha=tc.mixup_alpha,
-                                    normalize=norm_stats,
-                                    clip_norm=tc.clip_norm,
-                                    decay_2d_only=tc.decay_2d_only)
+    use_muon = tc.optimizer == "muon"
+    mu_state = None
+    if use_muon:
+        assert tc.accum_steps == 1 and tc.mixup_alpha == 0.0 and \
+            not tc.log_grad_norm, \
+            "muon path wires clip_norm only (accum/mixup/grad-norm: adamw)"
+        from ..ops import muon as MU
+        step_fn = dp.make_dp_train_step_muon(cfg, mesh,
+                                             clip_norm=tc.clip_norm,
+                                             weight_decay=tc.weight_decay)
+        # muon state rides a side tree (the flat-m/v checkpoint section is
+        # the AdamW layout), resumed like the EMA tree
+        from .. import checkpoint_tree as CT
+        mu_path = (os.path.join(tc.workdir, f"muon_{start_step:08d}.tree")
+                   if latest else None)
+        if mu_path and os.path.exists(mu_path):
+            host_mu, mu_meta = CT.load_tree(mu_path)
+            mu_state = MU.MuonState(
+                momentum=jax.tree.map(jnp.asarray, host_mu["momentum"]),
+                m=jax.tree.map(jnp.asarray, host_mu["m"]),
+                v=jax.tree.map(jnp.asarray, host_mu["v"]))
+            # the .bin has no opt-state section in muon mode, so the data
+            # cursor rides the tree's meta instead
+            cursor = int(mu_meta.get("cursor", cursor))
+            print(f"[resume] muon state from {mu_path}, cursor {cursor}")
+        else:
+            mu_state = MU.init_state(params)
+    else:
+        step_fn = dp.make_dp_train_step(cfg, mesh,
+                                        accum_steps=tc.accum_steps,
+                                        return_grad_norm=tc.log_grad_norm,
+                                        mixup_alpha=tc.mixup_alpha,
+                                        normalize=norm_stats,
+                                        clip_norm=tc.clip_norm,
+                                        decay_2d_only=tc.decay_2d_only)
     ema = None
     ema_update = None
     if tc.ema_decay > 0.0:
@@ -264,7 +297,16 @@ def train(tc: TrainConfig) -> dict:
         # loader.cursor, which runs ahead by the prefetch depth
         consumed = cursor + (step - start_step) * tc.batch_size
         path = os.path.join(tc.workdir, f"ckpt_{step:08d}.bin")
-        if ckpt_async is not None:
+        if use_muon:
+            # flat m/v is the AdamW layout; muon state rides a side tree
+            from .. import checkpoint_tree as CT
+            ckpt_io.save_checkpoint(
+                path, jax.device_get(params), cfg, step=step, seed=tc.seed,
+                cursor=consumed)
+            CT.save_tree(os.path.join(tc.workdir, f"muon_{step:08d}.tree"),
+                         jax.device_get(mu_state._asdict()),
+                         meta={"step": step, "cursor": consumed})
+        elif ckpt_async is not None:
             # device-side snapshot, write overlaps the next train steps
             ckpt_async.save(path, params, cfg, m=m, v=v, step=step,
                             seed=tc.seed, cursor=consumed, n_valid=n)
@@ -290,14 +332,22 @@ def train(tc: TrainConfig) -> dict:
             # ~10 RPC roundtrips/step on a relay-attached TPU)
             lr = opt.cosine_lr_host(step, tc.lr, tc.warmup, tc.steps,
                                     tc.min_lr)
-            outs = step_fn(
-                params, m, v, images, labels, np.int32(step),
-                np.float32(lr), wd_host)
-            if tc.log_grad_norm:
-                params, m, v, loss, gnorm = outs
-            else:
-                params, m, v, loss = outs
+            if use_muon:
+                aux_lr = opt.cosine_lr_host(step, tc.muon_adamw_lr,
+                                            tc.warmup, tc.steps)
+                params, mu_state, loss = step_fn(
+                    params, mu_state, images, labels, np.int32(step),
+                    np.float32(lr), np.float32(aux_lr))
                 gnorm = None
+            else:
+                outs = step_fn(
+                    params, m, v, images, labels, np.int32(step),
+                    np.float32(lr), wd_host)
+                if tc.log_grad_norm:
+                    params, m, v, loss, gnorm = outs
+                else:
+                    params, m, v, loss = outs
+                    gnorm = None
             if ema_update is not None:
                 ema = ema_update(ema, params)
             imgs_since += tc.batch_size
