@@ -173,3 +173,91 @@ def test_sp_training_decreases_loss():
                                jnp.asarray(0.0, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+# --- GQA + sliding-window under TP (round-3 variants) ------------------------
+
+GQA_CFG = get_config("gpt-nano", use_flash=False, num_heads=4, channels=32,
+                     num_kv_heads=2)   # kv_heads=2 -> tp=2 owns whole groups
+
+
+def _gqa_data(B=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, GQA_CFG.vocab_size, (B, 16)))
+    return x, jnp.asarray(np.roll(np.asarray(x), -1, axis=1))
+
+
+def test_tp_gqa_param_round_trip():
+    params = PRM.init_params(GQA_CFG, jax.random.PRNGKey(3))
+    tpp = tp.to_tp_params(params, GQA_CFG)
+    assert "qw" in tpp and "qkv3w" not in tpp
+    back = tp.from_tp_params(tpp, GQA_CFG)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]),
+                                      np.asarray(back[k]))
+
+
+@pytest.mark.parametrize("window", [0, 5])
+def test_tp_gqa_loss_and_grads_match_single_device(window):
+    cfg = GQA_CFG.replace(window=window)
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(4))
+    x, y = _gqa_data(seed=4)
+    loss_ref, grads_ref = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+
+    specs = tp.tp_param_specs(cfg)
+
+    def spmd_grads(p, inputs, targets):
+        loss, g = jax.value_and_grad(tp.tp_loss)(p, inputs, targets, cfg)
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    from jax.experimental.shard_map import shard_map
+    fn = jax.jit(shard_map(
+        spmd_grads, mesh=mesh,
+        in_specs=(dict(specs), P("data"), P("data")),
+        out_specs=(P(), dict(specs)), check_rep=False))
+    tpp = tp.place_tp_params(params, cfg, mesh)
+    data_sh = NamedSharding(mesh, P("data"))
+    loss, tp_grads = fn(tpp, jax.device_put(x, data_sh),
+                        jax.device_put(y, data_sh))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    got = tp.from_tp_params(jax.device_get(tp_grads), cfg)
+    for k in grads_ref:
+        g_ref = np.asarray(grads_ref[k])
+        scale = max(np.abs(g_ref).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(got[k]), g_ref,
+                                   rtol=5e-4, atol=2e-5 * scale, err_msg=k)
+
+
+def test_tp_gqa_kv_weights_sharded_small():
+    """The GQA K/V leaves shard on their own (smaller) head dim: each model
+    shard holds kv_dim/tp output rows — the parameter-memory win survives
+    sharding."""
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(GQA_CFG, jax.random.PRNGKey(5))
+    tpp = tp.place_tp_params(params, GQA_CFG, mesh)
+    L, C, kvd = GQA_CFG.num_layers, GQA_CFG.channels, GQA_CFG.kv_dim
+    assert ({s.data.shape for s in tpp["qw"].addressable_shards}
+            == {(L, C // 2, C)})
+    assert ({s.data.shape for s in tpp["kw"].addressable_shards}
+            == {(L, kvd // 2, C)})
+
+
+def test_tp_gqa_training_decreases_loss():
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(GQA_CFG, jax.random.PRNGKey(6))
+    x, y = _gqa_data(seed=6)
+    tpp = tp.place_tp_params(params, GQA_CFG, mesh)
+    step_fn = tp.make_tp_train_step(GQA_CFG, mesh)
+    m, v = tp.init_tp_opt_state(tpp, mesh, GQA_CFG)
+    data_sh = NamedSharding(mesh, P("data"))
+    xd, yd = jax.device_put(x, data_sh), jax.device_put(y, data_sh)
+    losses = []
+    for s in range(8):
+        tpp, m, v, loss = step_fn(tpp, m, v, xd, yd,
+                                  jnp.asarray(s + 1, jnp.int32),
+                                  jnp.asarray(3e-3, jnp.float32),
+                                  jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

@@ -217,3 +217,42 @@ def test_3d_gpt_sp_matches_single_device():
     dsh = NamedSharding(mesh, P("data"))
     loss, _ = fn(p3, jax.device_put(x, dsh), jax.device_put(y, dsh))
     np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+
+
+def test_3d_gqa_gpt_grads_match_single_device():
+    """GQA through the full 3-D mesh: the separate qw/kw/vw leaves shard on
+    their own head dims (kv_heads=2 over tp=2) and the pipe axis slices L."""
+    cfg = get_config("gpt-nano", use_flash=False).replace(
+        num_layers=4, channels=32, num_heads=4, num_kv_heads=2)
+    rng = np.random.default_rng(7)
+    B, T = 8, 16
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    y = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    params = PRM.init_params(cfg, jax.random.PRNGKey(7))
+    loss_ref, grads_ref = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+
+    mesh = D3.make_mesh_3d(dp=2, tp=2, pp=2)
+    specs = D3.param_specs_3d(cfg)
+    assert "qw" in specs and "qkv3w" not in specs
+    replicated = [k for k, s in specs.items() if s == P()]
+
+    def spmd(p, xx, yy):
+        loss, g = jax.value_and_grad(D3._loss_3d)(p, xx, yy, cfg, 2, 2)
+        for k in replicated:
+            g[k] = jax.lax.psum(g[k], "pipe")
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    fn = jax.jit(shard_map(spmd, mesh=mesh,
+                           in_specs=(dict(specs), P("data"), P("data")),
+                           out_specs=(P(), dict(specs)), check_rep=False))
+    p3 = D3.place_params_3d(params, cfg, mesh)
+    dsh = NamedSharding(mesh, P("data"))
+    loss, g3 = fn(p3, jax.device_put(x, dsh), jax.device_put(y, dsh))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    got = tp.from_tp_params(jax.device_get(g3), cfg)
+    for k in grads_ref:
+        g_ref = np.asarray(grads_ref[k])
+        scale = max(np.abs(g_ref).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(got[k]), g_ref, rtol=5e-4,
+                                   atol=3e-5 * scale, err_msg=k)

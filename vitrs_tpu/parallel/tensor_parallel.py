@@ -196,18 +196,37 @@ def _scatter_seq_bwd(axis, tp, _, ct):
 scatter_seq.defvjp(_scatter_seq_fwd, _scatter_seq_bwd)
 
 
+def _tp_qkv(ln1, p, cfg: ViTConfig):
+    """Local q/k/v from the shard's projection leaves.  MHA: head-aligned
+    thirds of qkv3w.  GQA: separate qw/kw/vw leaves, each column-sharded on
+    its own head dim; each device owns WHOLE query groups (tp | kv_heads and
+    head blocks are contiguous), so the K/V expansion is shard-local."""
+    D = cfg.head_size
+    if "qw" in p:                         # GQA leaves (to_tp_params)
+        from ..ops.attention import expand_kv_heads
+        q = basic.linear(ln1, p["qw"], p["qb"])
+        k = basic.linear(ln1, p["kw"], p["kb"])
+        v = basic.linear(ln1, p["vw"], p["vb"])
+        heads_local = q.shape[-1] // D
+        kvh_local = k.shape[-1] // D
+        return (q, expand_kv_heads(k, kvh_local, heads_local),
+                expand_kv_heads(v, kvh_local, heads_local), heads_local)
+    q = basic.linear(ln1, p["qkv3w"][0], p["qkv3b"][0])
+    k = basic.linear(ln1, p["qkv3w"][1], p["qkv3b"][1])
+    v = basic.linear(ln1, p["qkv3w"][2], p["qkv3b"][2])
+    return q, k, v, q.shape[-1] // D
+
+
 def _tp_sp_block(x_s, p, cfg: ViTConfig, causal: bool, axis: str, tp: int):
     """Sequence-parallel variant: x_s is the (B, T/tp, C) residual shard."""
     with jax.named_scope("attn_tp_sp"):
         ln1_s = basic.layernorm_cv(x_s, p["ln1w"], p["ln1b"])
         ln1 = gather_seq(ln1_s, axis, tp)                   # (B, T, C)
-        q = basic.linear(ln1, p["qkv3w"][0], p["qkv3b"][0])
-        k = basic.linear(ln1, p["qkv3w"][1], p["qkv3b"][1])
-        v = basic.linear(ln1, p["qkv3w"][2], p["qkv3b"][2])
+        q, k, v, heads_local = _tp_qkv(ln1, p, cfg)
         qkv_local = jnp.concatenate([q, k, v], axis=-1)
-        heads_local = q.shape[-1] // cfg.head_size
         atty = M.attention(qkv_local, heads_local, causal=causal,
-                           quirks=False, use_flash=cfg.use_flash)
+                           quirks=False, use_flash=cfg.use_flash,
+                           window=cfg.window)
         attproj_s = scatter_seq_sum(
             basic.linear(atty, p["attprojw"], None), axis, tp) + p["attprojb"]
         x_s = x_s + attproj_s.astype(x_s.dtype)
@@ -231,13 +250,11 @@ def _tp_block(x, p, cfg: ViTConfig, causal: bool, axis: str):
     with jax.named_scope("attn_tp"):
         ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
         ln1 = copy_in(ln1, axis)
-        q = basic.linear(ln1, p["qkv3w"][0], p["qkv3b"][0])
-        k = basic.linear(ln1, p["qkv3w"][1], p["qkv3b"][1])
-        v = basic.linear(ln1, p["qkv3w"][2], p["qkv3b"][2])
+        q, k, v, heads_local = _tp_qkv(ln1, p, cfg)
         qkv_local = jnp.concatenate([q, k, v], axis=-1)   # (B,T,3*C/tp)
-        heads_local = q.shape[-1] // cfg.head_size
         atty = M.attention(qkv_local, heads_local, causal=causal,
-                           quirks=False, use_flash=cfg.use_flash)
+                           quirks=False, use_flash=cfg.use_flash,
+                           window=cfg.window)
         attproj = reduce_out(
             basic.linear(atty, p["attprojw"], None), axis) + p["attprojb"]
         x = x + attproj.astype(x.dtype)
@@ -269,17 +286,21 @@ TP_BLOCK_SPECS = {
 
 
 def to_tp_params(params, cfg: ViTConfig):
-    """Canonical pytree -> TP pytree: qkvw/qkvb reshaped so the model axis
-    slices head-aligned (3, C, C) parts instead of raw packed rows."""
-    assert not cfg.is_gqa, (
-        "tensor parallelism currently requires MHA (the (L,3,C,C) head-"
-        "aligned reshape); GQA runs under dp/fsdp/pp/cp")
-    assert not cfg.window, (
-        "sliding-window attention not wired through the TP block")
+    """Canonical pytree -> TP pytree.  MHA: qkvw/qkvb reshaped (L, 3, C, C)
+    so the model axis slices head-aligned parts instead of raw packed rows.
+    GQA: the packed projection splits into separate qw/kw/vw leaves, each
+    column-sharded on its own (different-sized) head dimension."""
     out = dict(params)
     L, C = cfg.num_layers, cfg.channels
-    out["qkv3w"] = params["qkvw"].reshape(L, 3, C, C)
-    out["qkv3b"] = params["qkvb"].reshape(L, 3, C)
+    if cfg.is_gqa:
+        kvd = cfg.kv_dim
+        w, b = params["qkvw"], params["qkvb"]
+        out["qw"], out["qb"] = w[:, :C], b[:, :C]
+        out["kw"], out["kb"] = w[:, C:C + kvd], b[:, C:C + kvd]
+        out["vw"], out["vb"] = w[:, C + kvd:], b[:, C + kvd:]
+    else:
+        out["qkv3w"] = params["qkvw"].reshape(L, 3, C, C)
+        out["qkv3b"] = params["qkvb"].reshape(L, 3, C)
     del out["qkvw"], out["qkvb"]
     return out
 
@@ -287,17 +308,37 @@ def to_tp_params(params, cfg: ViTConfig):
 def from_tp_params(tp_params, cfg: ViTConfig):
     out = dict(tp_params)
     L, C = cfg.num_layers, cfg.channels
-    out["qkvw"] = tp_params["qkv3w"].reshape(L, 3 * C, C)
-    out["qkvb"] = tp_params["qkv3b"].reshape(L, 3 * C)
-    del out["qkv3w"], out["qkv3b"]
+    if cfg.is_gqa:
+        out["qkvw"] = jnp.concatenate(
+            [tp_params["qw"], tp_params["kw"], tp_params["vw"]], axis=1)
+        out["qkvb"] = jnp.concatenate(
+            [tp_params["qb"], tp_params["kb"], tp_params["vb"]], axis=1)
+        for k in ("qw", "qb", "kw", "kb", "vw", "vb"):
+            del out[k]
+    else:
+        out["qkvw"] = tp_params["qkv3w"].reshape(L, 3 * C, C)
+        out["qkvb"] = tp_params["qkv3b"].reshape(L, 3 * C)
+        del out["qkv3w"], out["qkv3b"]
     return out
+
+
+def tp_block_specs(cfg: ViTConfig):
+    """Block-leaf PartitionSpecs for this config's TP pytree layout."""
+    specs = dict(TP_BLOCK_SPECS)
+    if cfg.is_gqa:
+        del specs["qkv3w"], specs["qkv3b"]
+        for k in ("qw", "kw", "vw"):
+            specs[k] = P(None, "model", None)
+        for k in ("qb", "kb", "vb"):
+            specs[k] = P(None, "model")
+    return specs
 
 
 def tp_param_specs(cfg: ViTConfig):
     """PartitionSpec per TP-pytree leaf (replicated for non-block tensors)."""
     specs = {k: P() for k in PRM.tensor_order(cfg)
              if k not in M.BLOCK_KEYS}
-    specs.update(TP_BLOCK_SPECS)
+    specs.update(tp_block_specs(cfg))
     specs.pop("qkvw", None)
     specs.pop("qkvb", None)
     return specs
@@ -318,12 +359,12 @@ def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str,
             f"tp ({tp}); use pool='mean' or pad for CLS-token ViTs")
         h = scatter_seq(h, axis, tp)
         for l in range(cfg.num_layers):
-            bp = {k: p[k][l] for k in TP_BLOCK_SPECS}
+            bp = {k: p[k][l] for k in tp_block_specs(cfg)}
             h = _tp_sp_block(h, bp, cfg, causal, axis, tp)
         h = gather_seq_rep(h, axis)
     else:
         for l in range(cfg.num_layers):
-            bp = {k: p[k][l] for k in TP_BLOCK_SPECS}
+            bp = {k: p[k][l] for k in tp_block_specs(cfg)}
             h = _tp_block(h, bp, cfg, causal, axis)
     lnf = basic.layernorm_cv(h, p["lnfw"], p["lnfb"])
     if cfg.mode == "vit":
@@ -349,6 +390,11 @@ def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
     specs = tp_param_specs(cfg)
     param_spec_tree = dict(specs)
     tp_size = mesh.shape["model"]
+    assert cfg.num_heads % tp_size == 0, (cfg.num_heads, tp_size)
+    if cfg.is_gqa:
+        assert cfg.kv_heads % tp_size == 0, (
+            f"GQA under TP needs kv_heads ({cfg.kv_heads}) divisible by the "
+            f"model-axis size ({tp_size}) so each shard owns whole groups")
 
     def spmd(p, m, v, inputs, targets, step, lr, wd):
         loss, grads = jax.value_and_grad(tp_loss)(p, inputs, targets, cfg,

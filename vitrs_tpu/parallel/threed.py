@@ -44,7 +44,7 @@ def param_specs_3d(cfg: ViTConfig):
     """TP-pytree leaves: block tensors pipe-sliced on L and model-sliced on
     their channel dim (per TP_BLOCK_SPECS); the rest replicated."""
     specs = {k: P() for k in PRM.tensor_order(cfg) if k not in M.BLOCK_KEYS}
-    for k, tp_spec in TPmod.TP_BLOCK_SPECS.items():
+    for k, tp_spec in TPmod.tp_block_specs(cfg).items():
         # the TP spec's first entry IS the stacked-L dim (None there);
         # the pipe axis takes it over
         specs[k] = P("pipe", *tuple(tp_spec)[1:])
@@ -108,7 +108,7 @@ def _loss_3d(p, inputs, labels, cfg: ViTConfig, n_stages: int,
             lambda a: encode(in_idx),
             lambda a: a, act)
         for l in range(layers_local):
-            bp = {k: p[k][l] for k in TPmod.TP_BLOCK_SPECS}
+            bp = {k: p[k][l] for k in TPmod.tp_block_specs(cfg)}
             if sequence_parallel:
                 y = _tp_sp_block(y, bp, cfg, gpt, "model", tp)
             else:
@@ -140,6 +140,11 @@ def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
     S = mesh.shape["pipe"]
     tp_size = mesh.shape["model"]
     assert cfg.num_layers % S == 0
+    assert cfg.num_heads % tp_size == 0, (cfg.num_heads, tp_size)
+    if cfg.is_gqa:
+        assert cfg.kv_heads % tp_size == 0, (
+            f"GQA under TP needs kv_heads ({cfg.kv_heads}) divisible by "
+            f"the model-axis size ({tp_size})")
     specs = param_specs_3d(cfg)
     replicated = [k for k, s in specs.items() if s == P()]
 
