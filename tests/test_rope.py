@@ -181,3 +181,77 @@ def test_rope_decode_step_multi_matches_full():
     full = M.gpt_forward(params, seq, cfg)
     np.testing.assert_allclose(np.asarray(lg1[0]), np.asarray(full[0, -1]),
                                rtol=3e-4, atol=2e-4)
+
+
+# --- rope under the parallel families (code-review r3 findings 1-3: the
+# rope flag must reach every parallel forward, not just the DP model) -------
+
+def _rope_cfg_l4():
+    return get_config("gpt-nano", use_flash=False, num_heads=4, channels=32,
+                      pos_emb="rope", num_layers=4)
+
+
+def _tokens(cfg, B=8, seed=9):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 16)))
+    return x, jnp.asarray(np.roll(np.asarray(x), -1, axis=1))
+
+
+@pytest.mark.parametrize("sp", [False, True])
+def test_rope_tp_loss_matches_single_device(sp):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vitrs_tpu.parallel import tensor_parallel as tp
+    cfg = _rope_cfg_l4()
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(9))
+    x, y = _tokens(cfg)
+    want = float(M.gpt_loss(params, x, y, cfg))
+    tpp = tp.place_tp_params(params, cfg, mesh)
+    step = tp.make_tp_train_step(cfg, mesh, sequence_parallel=sp)
+    m, v = tp.init_tp_opt_state(tpp, mesh, cfg)
+    dsh = NamedSharding(mesh, P("data"))
+    _, _, _, loss = step(tpp, m, v, jax.device_put(x, dsh),
+                         jax.device_put(y, dsh),
+                         jnp.asarray(1, jnp.int32),
+                         jnp.asarray(0.0, jnp.float32),
+                         jnp.asarray(0.0, jnp.float32))
+    np.testing.assert_allclose(float(loss), want, rtol=2e-5)
+
+
+def test_rope_pp_loss_matches_single_device():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vitrs_tpu.parallel import pipeline as pp
+    cfg = _rope_cfg_l4()
+    mesh = pp.make_mesh_dp_pp(dp=4, pp=2)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(10))
+    x, y = _tokens(cfg, seed=10)
+    want = float(M.gpt_loss(params, x, y, cfg))
+    ppp = pp.place_pp_params(jax.device_get(params), cfg, mesh)
+    m, v = pp.init_pp_opt_state(ppp, mesh, cfg)
+    step = pp.make_pp_train_step(cfg, mesh, microbatches=2)
+    dsh = NamedSharding(mesh, P("data"))
+    _, _, _, loss = step(ppp, m, v, jax.device_put(x, dsh),
+                         jax.device_put(y, dsh),
+                         jnp.asarray(1, jnp.int32),
+                         jnp.asarray(0.0, jnp.float32),
+                         jnp.asarray(0.0, jnp.float32))
+    np.testing.assert_allclose(float(loss), want, rtol=2e-5)
+
+
+def test_rope_cp_loss_matches_single_device():
+    from vitrs_tpu.parallel import ring_attention as RA
+    cfg = _rope_cfg_l4().replace(num_layers=2)
+    mesh = RA.make_mesh_dp_cp(dp=2, cp=4)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(11))
+    x, y = _tokens(cfg, B=4, seed=11)
+    want = float(M.gpt_loss(params, x, y, cfg))
+    pc = jax.device_put(params, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    mc, vc = RA.init_cp_opt_state(cfg, mesh)
+    step = RA.make_cp_train_step(cfg, mesh)
+    _, _, _, loss = step(pc, mc, vc, RA.shard_cp_batch(np.asarray(x), mesh),
+                         RA.shard_cp_batch(np.asarray(y), mesh),
+                         jnp.asarray(1, jnp.int32),
+                         jnp.asarray(0.0, jnp.float32),
+                         jnp.asarray(0.0, jnp.float32))
+    np.testing.assert_allclose(float(loss), want, rtol=2e-5)

@@ -51,10 +51,10 @@ def _dequant(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
 
 
 def _split_qkv(qkv: jax.Array, cfg: ViTConfig):
-    """(B, S, C + 2*kv_dim) -> q (B,S,C), k/v (B,S,kv_dim).  kv_dim == C
-    (thirds — the reference layout) for MHA; smaller under GQA/MQA."""
-    C, kvd = cfg.channels, cfg.kv_dim
-    return qkv[..., :C], qkv[..., C:C + kvd], qkv[..., C + kvd:]
+    """(B, S, C + 2*kv_dim) -> q (B,S,C), k/v (B,S,kv_dim) — the cfg-driven
+    wrapper of ops/attention.split_gqa (one slicing convention)."""
+    from ..ops.attention import split_gqa
+    return split_gqa(qkv, cfg.num_heads, cfg.kv_heads)
 
 
 def _cache_attention(qh: jax.Array, kh: jax.Array, vh: jax.Array,
@@ -328,7 +328,9 @@ def forward_with_ring(params: Dict, tokens: jax.Array, caches, pos,
     else:
         x = emb + jax.lax.dynamic_slice_in_dim(
             params["wpe"], pos, S, 0)[None].astype(dtype)
-    blocks = {k: params[k] for k in M.BLOCK_KEYS}
+    bkeys = M.BLOCK_KEYS + tuple(
+        k + "_scale" for k in M.BLOCK_KEYS if k + "_scale" in params)
+    blocks = {k: params[k] for k in bkeys}
 
     def step(x, layer):
         p, kc, vc = layer

@@ -45,15 +45,14 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
         # fused projection+attention op has no such seam, so rope uses the
         # plain composition; GQA expansion composes after the rotation.
         from ..ops.attention import attention as _attn
-        from ..ops.attention import expand_kv_heads, split_gqa
+        from ..ops.attention import expand_packed, split_gqa
         from ..ops.rope import rope_qk
         qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
         q, k, v = split_gqa(qkv, cfg.num_heads, cfg.kv_heads)
         q, k = rope_qk(q, k, jnp.arange(ln1.shape[1]), cfg.num_heads,
                        cfg.kv_heads)
-        packed = jnp.concatenate(
-            [q, expand_kv_heads(k, cfg.kv_heads, cfg.num_heads),
-             expand_kv_heads(v, cfg.kv_heads, cfg.num_heads)], axis=-1)
+        packed = expand_packed(jnp.concatenate([q, k, v], axis=-1),
+                               cfg.num_heads, cfg.kv_heads)
         return _attn(packed, cfg.num_heads, causal=causal,
                      use_flash=cfg.use_flash, window=cfg.window)
     if cfg.is_gqa:

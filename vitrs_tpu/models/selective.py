@@ -65,10 +65,8 @@ def _norm_from_stats(x, w, b, mean, rstd):
 
 def _expand_packed(qkv, num_heads, kv_heads):
     """(B, T, C + 2*kv_dim) GQA projection -> packed MHA (B, T, 3C)."""
-    from ..ops.attention import expand_kv_heads, split_gqa
-    q, k, v = split_gqa(qkv, num_heads, kv_heads)
-    return jnp.concatenate([q, expand_kv_heads(k, kv_heads, num_heads),
-                            expand_kv_heads(v, kv_heads, num_heads)], axis=-1)
+    from ..ops.attention import expand_packed
+    return expand_packed(qkv, num_heads, kv_heads)
 
 
 def _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb, num_heads,

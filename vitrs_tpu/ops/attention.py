@@ -30,6 +30,7 @@ def attention(qkv: jax.Array, num_heads: int, causal: bool = True,
               window: int = 0) -> jax.Array:
     """Multi-head attention over packed qkv (B, T, 3C) -> (B, T, C).
     window > 0 (causal only) = sliding-window attention."""
+    assert causal or not window, "sliding-window attention is causal-only"
     if quirks or not use_flash or not _flash_available():
         out, _ = basic.attention_dense(qkv, num_heads, causal=causal,
                                        quirks=quirks, window=window)
@@ -65,15 +66,24 @@ def split_gqa(qkv: jax.Array, num_heads: int, kv_heads: int):
     return qkv[..., :C], qkv[..., C:C + kvd], qkv[..., C + kvd:]
 
 
+def expand_packed(qkv: jax.Array, num_heads: int, kv_heads: int
+                  ) -> jax.Array:
+    """Packed GQA projection (B, T, C + 2*kv_dim) -> packed MHA (B, T, 3C):
+    the ONE place the packed-GQA slicing + group expansion convention lives
+    (training path, selective remat, and the rope branch all call this)."""
+    if not kv_heads or kv_heads == num_heads:
+        return qkv
+    q, k, v = split_gqa(qkv, num_heads, kv_heads)
+    return jnp.concatenate([q, expand_kv_heads(k, kv_heads, num_heads),
+                            expand_kv_heads(v, kv_heads, num_heads)], axis=-1)
+
+
 def attention_gqa(qkv: jax.Array, num_heads: int, kv_heads: int,
                   causal: bool = True, use_flash: bool = True,
                   window: int = 0) -> jax.Array:
     """Grouped-query attention over a packed GQA projection
     (B, T, C + 2*kv_dim) -> (B, T, C): expand K/V to the full head count
     and ride the standard packed path (flash on TPU, dense elsewhere)."""
-    q, k, v = split_gqa(qkv, num_heads, kv_heads)
-    k = expand_kv_heads(k, kv_heads, num_heads)
-    v = expand_kv_heads(v, kv_heads, num_heads)
-    packed = jnp.concatenate([q, k, v], axis=-1)
+    packed = expand_packed(qkv, num_heads, kv_heads)
     return attention(packed, num_heads, causal=causal, use_flash=use_flash,
                      window=window)

@@ -196,6 +196,7 @@ def attention_dense(qkv: jax.Array, num_heads: int, causal: bool = True,
     init).  Returns (out, att) where att is the stashed score matrix the
     reference keeps for its backward.
     """
+    assert causal or not window, "sliding-window attention is causal-only"
     B, T, C3 = qkv.shape
     C = C3 // 3
     HS = C // num_heads

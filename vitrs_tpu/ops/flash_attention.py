@@ -935,6 +935,7 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
     (t-window, t] — sliding-window attention.  Tiles wholly outside the band
     are skipped at the predicate level in forward AND backward, so attention
     compute scales with T·window instead of T²."""
+    assert causal or not window, "sliding-window attention is causal-only"
     B, T, C3 = qkv.shape
     C = C3 // 3
     D = C // num_heads

@@ -86,7 +86,7 @@ def _mode_fns(p, cfg: ViTConfig, stage_cfg: ViTConfig):
         # takes params explicitly so jax.vjp in the 1F1B backward captures
         # the embedding gradients (a closure over the outer p would not)
         if cfg.mode == "gpt":
-            return M.gpt_encode(xb, pp_, dtype)
+            return M.gpt_encode(xb, pp_, dtype, rope=cfg.pos_emb == "rope")
         return M.vit_encode(xb, pp_, cfg).astype(dtype)
 
     def apply(pp_, x):

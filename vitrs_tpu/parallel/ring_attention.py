@@ -199,9 +199,12 @@ def _gpt_cp_loss_local(params, tokens, targets, cfg: ViTConfig, n_ctx: int):
     C, H = cfg.channels, cfg.num_heads
     D = C // H
     # encode with the GLOBAL positions of this shard
-    wpe = jax.lax.dynamic_slice(params["wpe"], (idx * T_loc, 0),
-                                (T_loc, params["wpe"].shape[1]))
-    x = (params["wte"][tokens] + wpe[None]).astype(dtype)
+    if cfg.pos_emb == "rope":
+        x = params["wte"][tokens].astype(dtype)
+    else:
+        wpe = jax.lax.dynamic_slice(params["wpe"], (idx * T_loc, 0),
+                                    (T_loc, params["wpe"].shape[1]))
+        x = (params["wte"][tokens] + wpe[None]).astype(dtype)
 
     def body(x, p):
         ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
@@ -211,6 +214,12 @@ def _gpt_cp_loss_local(params, tokens, targets, cfg: ViTConfig, n_ctx: int):
         # step is a future traffic lever).  MHA: plain thirds.
         from ..ops.attention import expand_kv_heads, split_gqa
         qp, kp, vp = split_gqa(qkv, H, cfg.kv_heads)
+        if cfg.pos_emb == "rope":
+            # GLOBAL positions for this sequence shard; keys rotate before
+            # the ring, so rotated K blocks circulate correctly
+            from ..ops.rope import rope_qk
+            qp, kp = rope_qk(qp, kp, idx * T_loc + jnp.arange(T_loc), H,
+                             cfg.kv_heads)
         q, k, v = (t.reshape(B, T_loc, H, D).transpose(0, 2, 1, 3)
                    for t in (qp, expand_kv_heads(kp, cfg.kv_heads, H),
                              expand_kv_heads(vp, cfg.kv_heads, H)))

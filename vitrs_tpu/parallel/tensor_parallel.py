@@ -200,8 +200,13 @@ def _tp_qkv(ln1, p, cfg: ViTConfig):
     """Local q/k/v from the shard's projection leaves.  MHA: head-aligned
     thirds of qkv3w.  GQA: separate qw/kw/vw leaves, each column-sharded on
     its own head dim; each device owns WHOLE query groups (tp | kv_heads and
-    head blocks are contiguous), so the K/V expansion is shard-local."""
+    head blocks are contiguous), so the K/V expansion is shard-local.
+    rope rotates the local q/k heads — the rotation is identical per head,
+    so the shard's contiguous head slice rotates exactly like the full
+    tensor (ln1 carries the FULL sequence in both TP variants: plain TP is
+    replicated on T; SP gathers before the projection)."""
     D = cfg.head_size
+    rope = cfg.pos_emb == "rope"
     if "qw" in p:                         # GQA leaves (to_tp_params)
         from ..ops.attention import expand_kv_heads
         q = basic.linear(ln1, p["qw"], p["qb"])
@@ -209,12 +214,23 @@ def _tp_qkv(ln1, p, cfg: ViTConfig):
         v = basic.linear(ln1, p["vw"], p["vb"])
         heads_local = q.shape[-1] // D
         kvh_local = k.shape[-1] // D
+        if rope:
+            from ..ops.rope import apply_rope
+            pos = jnp.arange(ln1.shape[1])
+            q = apply_rope(q, pos, heads_local)
+            k = apply_rope(k, pos, kvh_local)
         return (q, expand_kv_heads(k, kvh_local, heads_local),
                 expand_kv_heads(v, kvh_local, heads_local), heads_local)
     q = basic.linear(ln1, p["qkv3w"][0], p["qkv3b"][0])
     k = basic.linear(ln1, p["qkv3w"][1], p["qkv3b"][1])
     v = basic.linear(ln1, p["qkv3w"][2], p["qkv3b"][2])
-    return q, k, v, q.shape[-1] // D
+    heads_local = q.shape[-1] // D
+    if rope:
+        from ..ops.rope import apply_rope
+        pos = jnp.arange(ln1.shape[1])
+        q = apply_rope(q, pos, heads_local)
+        k = apply_rope(k, pos, heads_local)
+    return q, k, v, heads_local
 
 
 def _tp_sp_block(x_s, p, cfg: ViTConfig, causal: bool, axis: str, tp: int):
@@ -351,7 +367,8 @@ def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str,
         h = M.vit_encode(x_or_tokens, p, cfg)
         causal = False
     else:
-        h = M.gpt_encode(x_or_tokens, p, dtype)
+        h = M.gpt_encode(x_or_tokens, p, dtype,
+                         rope=cfg.pos_emb == "rope")
         causal = True
     if sequence_parallel:
         assert h.shape[1] % tp == 0, (

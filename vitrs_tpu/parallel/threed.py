@@ -90,7 +90,7 @@ def _loss_3d(p, inputs, labels, cfg: ViTConfig, n_stages: int,
 
     def encode(idx):
         xb = jax.lax.dynamic_index_in_dim(micro_x, idx, 0, keepdims=False)
-        h = (M.gpt_encode(xb, p, dtype) if gpt
+        h = (M.gpt_encode(xb, p, dtype, rope=cfg.pos_emb == "rope") if gpt
              else M.vit_encode(xb, p, cfg).astype(dtype))
         if sequence_parallel:
             # enter the SP region: each model-device keeps its T/tp shard —

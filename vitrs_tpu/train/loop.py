@@ -333,8 +333,11 @@ def train(tc: TrainConfig) -> dict:
             lr = opt.cosine_lr_host(step, tc.lr, tc.warmup, tc.steps,
                                     tc.min_lr)
             if use_muon:
-                aux_lr = opt.cosine_lr_host(step, tc.muon_adamw_lr,
-                                            tc.warmup, tc.steps)
+                # same cosine SHAPE for both halves of the hybrid: min_lr
+                # scales proportionally so it is honored on the AdamW side
+                aux_lr = opt.cosine_lr_host(
+                    step, tc.muon_adamw_lr, tc.warmup, tc.steps,
+                    tc.min_lr * tc.muon_adamw_lr / max(tc.lr, 1e-12))
                 params, mu_state, loss = step_fn(
                     params, mu_state, images, labels, np.int32(step),
                     np.float32(lr), np.float32(aux_lr))
