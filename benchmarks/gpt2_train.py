@@ -38,6 +38,12 @@ def main():
                     help="bfloat16 fits GPT-2 1.5B on one 16 GB chip")
     ap.add_argument("--state-dtype", default="float32",
                     help="AdamW m/v dtype (bfloat16 for the 1.5B mode)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window attention width (0 = full causal)")
+    ap.add_argument("--kv-heads", type=int, default=0,
+                    help="GQA/MQA K/V head count (0 = MHA)")
+    ap.add_argument("--pos-emb", default="learned",
+                    choices=["learned", "rope"])
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -45,6 +51,7 @@ def main():
     cfg = get_config(args.preset).replace(
         dtype="bfloat16" if on_tpu else "float32",
         use_flash=on_tpu, max_seq_len=args.seq, remat=args.remat,
+        window=args.window, num_kv_heads=args.kv_heads, pos_emb=args.pos_emb,
         **({"param_dtype": args.param_dtype} if args.param_dtype else {}))
     B, T = args.batch, cfg.max_seq_len
 
