@@ -95,3 +95,45 @@ def test_permutation_equivariance_of_mean_pool():
     l1 = np.asarray(M.vit_forward(params, jnp.asarray(img), cfg))
     l2 = np.asarray(M.vit_forward(params, shuffled, cfg))
     np.testing.assert_allclose(l1, l2, atol=1e-4)
+
+
+# round-3 variant space: GQA x rope x window x remat must be well-defined
+# for arbitrary small geometries, not just the blessed test configs
+VARIANTS = [
+    # (T, V, heads, kv_heads, ch, window, pos_emb, remat)
+    (8, 17, 4, 2, 16, 0, "rope", False),
+    (12, 29, 6, 3, 24, 5, "learned", True),
+    (16, 11, 4, 1, 32, 7, "rope", True),
+    (10, 53, 2, 2, 16, 3, "rope", False),     # kv==heads: MHA via field
+    (9, 13, 3, 1, 12, 4, "learned", False),   # odd T, MQA
+]
+
+
+@pytest.mark.parametrize("T,V,heads,kv,ch,window,pos_emb,remat", VARIANTS)
+def test_gpt_variant_geometry(T, V, heads, kv, ch, window, pos_emb, remat):
+    cfg = ViTConfig(mode="gpt", max_seq_len=T, vocab_size=V, num_layers=2,
+                    num_heads=heads, channels=ch, num_kv_heads=kv,
+                    window=window, pos_emb=pos_emb, remat=remat,
+                    use_flash=False).validate()
+    params = P.init_params(cfg, jax.random.PRNGKey(T * V + ch))
+    rng = np.random.default_rng(1)
+    B = 2
+    x = jnp.asarray(rng.integers(0, V, (B, T)))
+    y = jnp.asarray(rng.integers(0, V, (B, T)))
+    logits = M.gpt_forward(params, x, cfg)
+    assert logits.shape == (B, T, V)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    loss, grads = jax.value_and_grad(M.gpt_loss)(params, x, y, cfg)
+    assert np.isfinite(float(loss))
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), k
+    for k in ("wte", "qkvw", "fcw", "lnfw"):
+        assert np.abs(np.asarray(grads[k])).max() > 0, k
+    if pos_emb == "rope":
+        np.testing.assert_array_equal(np.asarray(grads["wpe"]), 0.0)
+    # the cache decode path agrees with the full forward for every variant
+    from vitrs_tpu.models import generate as G
+    caches = G.init_kv_cache(cfg, B, T)
+    lg, _ = G.forward_with_cache(params, x, caches, 0, cfg)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(logits),
+                               rtol=3e-4, atol=2e-4)
