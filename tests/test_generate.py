@@ -150,3 +150,47 @@ def test_engine_per_request_top_p_tick_mode():
                                  max_new=5, key=jax.random.PRNGKey(0),
                                  temperature=0.0))[0]
     np.testing.assert_array_equal(outs[0], want)
+
+
+def test_beam_1_equals_greedy():
+    params, prompt = _setup(7)
+    greedy = G.generate(params, prompt, CFG, max_new=6,
+                        key=jax.random.PRNGKey(0), temperature=0.0)
+    beam1 = G.generate_beam(params, prompt, CFG, max_new=6, beams=1)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
+
+
+def test_beam_search_finds_higher_logprob_than_greedy():
+    """Beam search's whole point: the returned sequence's cumulative
+    log-prob is >= greedy's (strictly > on sequences where greedy's myopic
+    first pick forecloses a better continuation — with random weights some
+    example in the batch virtually always exhibits this)."""
+    params, _ = _setup(8)
+    rng = np.random.default_rng(8)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, (6, 4)))
+    N = 6
+
+    def seq_logprob(seq):
+        lg = M.gpt_forward(params, seq[:, :-1], CFG)
+        lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        tgt = seq[:, 1:]
+        tok_lp = jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+        return np.asarray(tok_lp[:, -N:].sum(-1))     # generated part only
+
+    greedy = G.generate(params, prompt, CFG, max_new=N,
+                        key=jax.random.PRNGKey(0), temperature=0.0)
+    beam = G.generate_beam(params, prompt, CFG, max_new=N, beams=4)
+    lp_g, lp_b = seq_logprob(greedy), seq_logprob(beam)
+    assert np.all(lp_b >= lp_g - 1e-4), (lp_b, lp_g)
+    assert np.any(lp_b > lp_g + 1e-5), "beam never beat greedy (suspicious)"
+
+
+def test_beam_search_gqa_rope_window_smoke():
+    cfg = get_config("gpt-nano", use_flash=False, num_heads=4, channels=32,
+                     num_kv_heads=2, pos_emb="rope", window=5)
+    params = P.init_params(cfg, jax.random.PRNGKey(9))
+    rng = np.random.default_rng(9)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 4)))
+    out = G.generate_beam(params, prompt, cfg, max_new=5, beams=3)
+    assert out.shape == (2, 9)
+    assert np.asarray(out).max() < cfg.vocab_size

@@ -255,6 +255,75 @@ def generate(params: Dict, prompt: jax.Array, cfg: ViTConfig, max_new: int,
 
 
 # --------------------------------------------------------------------------
+# Beam search: XLA-static beam decode over the same KV-cache machinery.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "beams"))
+def generate_beam(params: Dict, prompt: jax.Array, cfg: ViTConfig,
+                  max_new: int, beams: int = 4) -> jax.Array:
+    """Beam-search decode: prompt (B, T0) -> (B, T0 + max_new), the highest
+    cumulative-log-prob beam per example.  Everything is shape-static: the
+    beam axis is folded into the batch of the cache (B*beams rows), each
+    step takes top-`beams` over the (beams*V) continuations and gathers the
+    winning beams' caches by parent index (the standard beam recurrence).
+
+    All beams run exactly max_new steps (no EOS retirement — the serving
+    engine owns retirement), so every candidate has equal length and a
+    length penalty would not change the ranking; the score is the plain
+    cumulative log-prob.  beams=1 reduces to greedy decode.
+    """
+    B, T0 = prompt.shape
+    Tmax = T0 + max_new
+    assert Tmax <= cfg.max_seq_len or cfg.pos_emb == "rope"
+    V = cfg.vocab_size
+
+    # prefill once at beam width 1, then tile the caches to B*beams
+    caches = init_kv_cache(cfg, B, Tmax)
+    logits, caches = forward_with_cache(params, prompt, caches, 0, cfg)
+    logp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32))   # (B, V)
+    top0, tok0 = jax.lax.top_k(logp0, beams)                 # (B, beams)
+
+    def tile(c):
+        # (L, B, T, ·) -> (L, B*beams, T, ·): beam-major rows per example
+        return jnp.repeat(c, beams, axis=1)
+
+    caches = jax.tree_util.tree_map(tile, caches)
+    cum = top0.reshape(B * beams)                            # (B*beams,)
+    tok = tok0.reshape(B * beams)
+    # generated tokens ring; row b*beams+j is example b's beam j
+    gen0 = jnp.zeros((B * beams, max_new), jnp.int32)
+    gen0 = gen0.at[:, 0].set(tok)
+
+    def step(carry, pos):
+        cum, tok, gen, caches = carry
+        lg, caches = forward_with_cache(params, tok[:, None], caches, pos,
+                                        cfg)
+        logp = jax.nn.log_softmax(lg[:, 0].astype(jnp.float32))  # (B*bm, V)
+        cand = cum[:, None] + logp                           # (B*bm, V)
+        cand = cand.reshape(B, beams * V)
+        cum_new, flat = jax.lax.top_k(cand, beams)           # (B, beams)
+        parent = flat // V                                   # beam index
+        tok_new = flat % V
+        # gather winning parents' caches and histories
+        rows = (jnp.arange(B)[:, None] * beams + parent).reshape(-1)
+        caches = jax.tree_util.tree_map(lambda c: c[:, rows], caches)
+        gen = gen[rows]
+        gen = gen.at[:, pos - T0 + 1].set(tok_new.reshape(-1))
+        return (cum_new.reshape(-1), tok_new.reshape(-1).astype(jnp.int32),
+                gen, caches), None
+
+    if max_new > 1:
+        (cum, tok, gen, caches), _ = jax.lax.scan(
+            step, (cum, tok.astype(jnp.int32), gen0, caches),
+            jnp.arange(T0, T0 + max_new - 1))
+    else:
+        gen = gen0
+    best = jnp.argmax(cum.reshape(B, beams), axis=-1)       # (B,)
+    gen = gen.reshape(B, beams, max_new)[jnp.arange(B), best]
+    return jnp.concatenate([prompt, gen], axis=1)
+
+
+# --------------------------------------------------------------------------
 # Streaming decode: ring-buffer KV cache for sliding-window models.
 #
 # A window-W model (config.window) never attends more than W positions back,
