@@ -62,6 +62,43 @@ def convert_gpt2_state_dict(sd: Dict[str, "np.ndarray"], cfg: ViTConfig
     return out
 
 
+def export_gpt2_state_dict(params: Dict[str, np.ndarray], cfg: ViTConfig
+                           ) -> Dict[str, np.ndarray]:
+    """Canonical params pytree -> HF GPT-2 state_dict arrays — the exact
+    inverse of convert_gpt2_state_dict (pinned by a round-trip test), so a
+    model trained here can load into `transformers.GPT2LMHeadModel` via
+    `model.load_state_dict({k: torch.from_numpy(v) ...})`.
+
+    The Conv1D transposes reverse ((OC, C) -> (C_in, C_out)), the weight-tied
+    head is emitted as `lm_head.weight` sharing wte's values (HF ties them
+    on load), and the stacked-L slabs unstack to per-layer entries."""
+    assert cfg.mode == "gpt" and not cfg.is_gqa, (
+        "HF GPT-2 export is the MHA gpt layout")
+    g = lambda k: np.asarray(params[k], np.float32)
+    sd = {
+        "transformer.wte.weight": g("wte"),
+        "transformer.wpe.weight": g("wpe"),
+        "transformer.ln_f.weight": g("lnfw"),
+        "transformer.ln_f.bias": g("lnfb"),
+        "lm_head.weight": g("wte"),
+    }
+    for l in range(cfg.num_layers):
+        p = f"transformer.h.{l}."
+        sd[p + "ln_1.weight"] = g("ln1w")[l]
+        sd[p + "ln_1.bias"] = g("ln1b")[l]
+        sd[p + "attn.c_attn.weight"] = g("qkvw")[l].T        # (C, 3C)
+        sd[p + "attn.c_attn.bias"] = g("qkvb")[l]
+        sd[p + "attn.c_proj.weight"] = g("attprojw")[l].T    # (C, C)
+        sd[p + "attn.c_proj.bias"] = g("attprojb")[l]
+        sd[p + "ln_2.weight"] = g("ln2w")[l]
+        sd[p + "ln_2.bias"] = g("ln2b")[l]
+        sd[p + "mlp.c_fc.weight"] = g("fcw")[l].T            # (C, 4C)
+        sd[p + "mlp.c_fc.bias"] = g("fcb")[l]
+        sd[p + "mlp.c_proj.weight"] = g("fcprojw")[l].T      # (4C, C)
+        sd[p + "mlp.c_proj.bias"] = g("fcprojb")[l]
+    return sd
+
+
 def config_from_hf(hf_config) -> ViTConfig:
     return ViTConfig(
         max_seq_len=hf_config.n_positions,
