@@ -109,3 +109,31 @@ def test_selective_remat_grads_match_erf(hf_vit):
         np.testing.assert_allclose(np.asarray(g_remat[k]),
                                    np.asarray(g_plain[k]),
                                    rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_vit_export_roundtrips_import(hf_vit):
+    """export_vit_state_dict inverts convert_vit_state_dict bitwise (wte is
+    the vit-mode zero filler and is not exported), and the export loads
+    into a fresh torch ViTForImageClassification with logits parity."""
+    model = hf_vit
+    cfg = IH.config_from_hf_vit(model.config).replace(use_flash=False)
+    params = IH.convert_vit_state_dict(model.state_dict(), cfg)
+    sd = IH.export_vit_state_dict(params, cfg)
+    back = IH.convert_vit_state_dict(sd, cfg)
+    for k in params:
+        np.testing.assert_array_equal(params[k], back[k], err_msg=k)
+
+    m2 = transformers.ViTForImageClassification(model.config)
+    missing, unexpected = m2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True)
+    assert not missing and not unexpected
+    m2.eval()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, cfg.img_size, cfg.img_size, 3),
+                            dtype=np.float32)
+    with torch.no_grad():
+        want = m2(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    got = np.asarray(M.vit_forward(
+        {k: jnp.asarray(v) for k, v in params.items()}, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -184,6 +184,51 @@ def convert_vit_state_dict(sd: Dict[str, "np.ndarray"], cfg: ViTConfig
     return out
 
 
+def export_vit_state_dict(params: Dict[str, np.ndarray], cfg: ViTConfig
+                          ) -> Dict[str, np.ndarray]:
+    """Canonical vit params -> HF `ViTForImageClassification` state_dict —
+    the inverse of convert_vit_state_dict (round-trip pinned in tests).
+    The (C, P·P·IC) patch matmul reshapes back to the NCHW Conv2d kernel,
+    the packed qkv splits into the three torch Linears, and the unused
+    gpt-layout wte is simply not emitted."""
+    assert cfg.mode == "vit" and cfg.pool == "cls"
+    g = lambda k: np.asarray(params[k], np.float32)
+    L, C = cfg.num_layers, cfg.channels
+    P, IC = cfg.patch_size, cfg.in_chans
+    sd = {
+        "vit.embeddings.patch_embeddings.projection.weight":
+            g("patchw").reshape(C, P, P, IC).transpose(0, 3, 1, 2),
+        "vit.embeddings.patch_embeddings.projection.bias": g("patchb"),
+        "vit.embeddings.cls_token": g("cls"),
+        "vit.embeddings.position_embeddings": g("wpe")[None],
+        "vit.layernorm.weight": g("lnfw"),
+        "vit.layernorm.bias": g("lnfb"),
+        "classifier.weight": g("headw"),
+        "classifier.bias": g("headb"),
+    }
+    for l in range(L):
+        p = f"vit.encoder.layer.{l}."
+        a = p + "attention.attention."
+        qkvw, qkvb = g("qkvw")[l], g("qkvb")[l]
+        sd[a + "query.weight"] = qkvw[:C]
+        sd[a + "key.weight"] = qkvw[C:2 * C]
+        sd[a + "value.weight"] = qkvw[2 * C:]
+        sd[a + "query.bias"] = qkvb[:C]
+        sd[a + "key.bias"] = qkvb[C:2 * C]
+        sd[a + "value.bias"] = qkvb[2 * C:]
+        sd[p + "layernorm_before.weight"] = g("ln1w")[l]
+        sd[p + "layernorm_before.bias"] = g("ln1b")[l]
+        sd[p + "attention.output.dense.weight"] = g("attprojw")[l]
+        sd[p + "attention.output.dense.bias"] = g("attprojb")[l]
+        sd[p + "layernorm_after.weight"] = g("ln2w")[l]
+        sd[p + "layernorm_after.bias"] = g("ln2b")[l]
+        sd[p + "intermediate.dense.weight"] = g("fcw")[l]
+        sd[p + "intermediate.dense.bias"] = g("fcb")[l]
+        sd[p + "output.dense.weight"] = g("fcprojw")[l]
+        sd[p + "output.dense.bias"] = g("fcprojb")[l]
+    return sd
+
+
 def config_from_hf_vit(hf_config) -> ViTConfig:
     assert hf_config.intermediate_size == 4 * hf_config.hidden_size, (
         "canonical layout pins the 4C MLP (rusty_vit.rs:117-120)")
