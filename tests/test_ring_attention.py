@@ -115,3 +115,87 @@ def test_ring_is_sharded_over_sequence():
     # output keeps the sequence sharding
     shard_ts = {s.data.shape[2] for s in out.addressable_shards}
     assert shard_ts == {T // 8}
+
+
+def test_dp_cp_gqa_small_kv_ring_grads_match_single_device():
+    """GQA through the ring: only the KH-head K/V blocks rotate (ICI traffic
+    / group size, fwd AND bwd) with per-step local expansion — the dp x cp
+    GRADIENTS must match the single-device model.  (Gradients, not
+    post-Adam params: at step 1 the update is ±lr·sign(g), which flips on
+    near-zero grads — the same caveat as the TP parity tests.)"""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    cfg = get_config("gpt-nano", use_flash=False, num_heads=4, channels=32,
+                     num_kv_heads=2, pos_emb="rope")
+    rng = np.random.default_rng(2)
+    B = 4
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, cfg.max_seq_len)))
+    y = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, cfg.max_seq_len)))
+
+    from vitrs_tpu.models import model as M
+    params = PRM.init_params(cfg, jax.random.PRNGKey(2))
+    loss_ref, g_ref = jax.value_and_grad(M.gpt_loss)(params, x, y, cfg)
+
+    mesh = RA.make_mesh_dp_cp(dp=2, cp=4)
+
+    def spmd(p, xx, yy):
+        loss, g = jax.value_and_grad(RA._gpt_cp_loss_local)(p, xx, yy, cfg, 4)
+        g = jax.tree.map(
+            lambda t: jax.lax.pmean(jax.lax.pmean(t, "ctx"), "data"), g)
+        return (jax.lax.pmean(jax.lax.pmean(loss, "ctx"), "data"), g)
+
+    fn = jax.jit(shard_map(spmd, mesh=mesh,
+                           in_specs=(P(), P("data", "ctx"),
+                                     P("data", "ctx")),
+                           out_specs=(P(), P()), check_rep=False))
+    loss_cp, g_cp = fn(
+        jax.device_put(params, jax.sharding.NamedSharding(mesh, P())),
+        RA.shard_cp_batch(x, mesh), RA.shard_cp_batch(y, mesh))
+
+    np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=2e-5)
+    for kk in sorted(g_ref):
+        g = np.asarray(g_ref[kk])
+        scale = max(np.abs(g).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(g_cp[kk]), g,
+                                   rtol=5e-4, atol=2e-5 * scale, err_msg=kk)
+
+
+def test_ring_gqa_small_kv_matches_expanded():
+    """ring(q, small k/v) must equal ring(q, pre-expanded k/v) bitwise-ish
+    (same einsums after the local repeat) — fwd and grads, with the GQA
+    dk/dv group-summed back."""
+    from vitrs_tpu.parallel.ring_attention import make_ring_attention
+    from jax.sharding import Mesh
+    H, KH, D, n = 4, 2, 8, 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+    ring = make_ring_attention(mesh, causal=True)
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((1, H, 16 * n, D), dtype=np.float32))
+    ks = jnp.asarray(rng.standard_normal((1, KH, 16 * n, D),
+                                         dtype=np.float32))
+    vs = jnp.asarray(rng.standard_normal((1, KH, 16 * n, D),
+                                         dtype=np.float32))
+    kf = jnp.repeat(ks, H // KH, axis=1)
+    vf = jnp.repeat(vs, H // KH, axis=1)
+
+    np.testing.assert_allclose(np.asarray(ring(q, ks, vs)),
+                               np.asarray(ring(q, kf, vf)),
+                               rtol=2e-5, atol=2e-6)
+
+    def f_small(q, k, v):
+        return jnp.sum(jnp.sin(ring(q, k, v)))
+
+    gq_s, gk_s, gv_s = jax.grad(f_small, argnums=(0, 1, 2))(q, ks, vs)
+    gq_f, gk_f, gv_f = jax.grad(f_small, argnums=(0, 1, 2))(q, kf, vf)
+    np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_f),
+                               rtol=3e-4, atol=3e-5)
+    # expanded grads group-sum to the small grads
+    B, _, T, _ = np.asarray(gk_f).shape
+    np.testing.assert_allclose(
+        np.asarray(gk_s),
+        np.asarray(gk_f).reshape(1, KH, H // KH, T, D).sum(axis=2),
+        rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(gv_s),
+        np.asarray(gv_f).reshape(1, KH, H // KH, T, D).sum(axis=2),
+        rtol=3e-4, atol=3e-5)

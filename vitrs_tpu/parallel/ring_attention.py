@@ -67,8 +67,15 @@ def _ring_perm(n):
 
 
 def _ring_fwd_scan(q, k, v, axis, n, causal):
-    """Returns (out, lse) for the local query shard; k/v arrive back home."""
+    """Returns (out, lse) for the local query shard; k/v arrive back home.
+
+    k/v may carry FEWER heads than q (GQA: (B, KH, Tk, D) with KH | H) —
+    only the small blocks rotate on the ring (ICI traffic / group size) and
+    each step expands its resident block to full heads locally, which is
+    numerically identical to expanding before the ring."""
     B, H, Tq, D = q.shape
+    KH = k.shape[1]
+    G = H // KH
     sm_scale = 1.0 / (D ** 0.5)
     idx = jax.lax.axis_index(axis)
     Tk = k.shape[2]
@@ -80,7 +87,9 @@ def _ring_fwd_scan(q, k, v, axis, n, causal):
     def step(carry, hop):
         k_blk, v_blk, m, l, acc = carry
         src = (idx - hop) % n                # who this block came from
-        m, l, acc = _block_attend(q, k_blk, v_blk, m, l, acc,
+        kf = jnp.repeat(k_blk, G, axis=1) if G > 1 else k_blk
+        vf = jnp.repeat(v_blk, G, axis=1) if G > 1 else v_blk
+        m, l, acc = _block_attend(q, kf, vf, m, l, acc,
                                   q_off, src * Tk, sm_scale, causal)
         k_blk = jax.lax.ppermute(k_blk, axis, _ring_perm(n))
         v_blk = jax.lax.ppermute(v_blk, axis, _ring_perm(n))
@@ -96,8 +105,9 @@ def _ring_fwd_scan(q, k, v, axis, n, causal):
 
 def ring_attention_local(q, k, v, axis: str, n: int, causal: bool):
     """Per-shard ring attention with a hand-written VJP — call INSIDE a
-    shard_map whose mesh has axis `axis` of size n.  q/k/v: (B, H, T/n, D)
-    local shards (sequence sharded); returns the local out shard."""
+    shard_map whose mesh has axis `axis` of size n.  q: (B, H, T/n, D);
+    k/v: (B, H or KH, T/n, D) local shards (sequence sharded; KH < H = GQA,
+    small blocks rotate).  Returns the local out shard."""
     return _ring_local(q, k, v, axis, n, causal)
 
 
@@ -115,6 +125,8 @@ def _ring_local_fwd(q, k, v, axis, n, causal):
 def _ring_local_bwd(axis, n, causal, res, do):
     q, k, v, out, lse = res
     B, H, Tq, D = q.shape
+    KH = k.shape[1]
+    G = H // KH
     Tk = k.shape[2]
     sm_scale = 1.0 / (D ** 0.5)
     idx = jax.lax.axis_index(axis)
@@ -124,29 +136,36 @@ def _ring_local_bwd(axis, n, causal, res, do):
     di = jnp.sum(out.astype(jnp.float32) * dof, axis=-1, keepdims=True)
     safe_lse = jnp.where(jnp.isfinite(lse), lse, 0.0)
 
+    def gsum(t):
+        # full-head contribution -> shared-KV-head gradient (GQA transpose)
+        return (t.reshape(B, KH, G, Tk, D).sum(axis=2) if G > 1 else t)
+
     dq = jnp.zeros((B, H, Tq, D), jnp.float32)
-    dk0 = jnp.zeros((B, H, Tk, D), jnp.float32)
-    dv0 = jnp.zeros((B, H, Tk, D), jnp.float32)
+    dk0 = jnp.zeros((B, KH, Tk, D), jnp.float32)
+    dv0 = jnp.zeros((B, KH, Tk, D), jnp.float32)
 
     def step(carry, hop):
         k_blk, v_blk, dk_blk, dv_blk, dq = carry
         src = (idx - hop) % n
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_blk,
+        kf = jnp.repeat(k_blk, G, axis=1) if G > 1 else k_blk
+        vf = jnp.repeat(v_blk, G, axis=1) if G > 1 else v_blk
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kf,
                        preferred_element_type=jnp.float32) * sm_scale
         if causal:
             rows = q_off + jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
             cols = src * Tk + jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
             s = jnp.where(cols <= rows, s, -jnp.inf)
         p = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_lse, -jnp.inf))
-        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_blk.astype(jnp.float32))
+        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf.astype(jnp.float32))
         ds = p * (dp - di) * sm_scale
-        dv_blk = dv_blk + jnp.einsum("bhqk,bhqd->bhkd", p, dof)
-        dk_blk = dk_blk + jnp.einsum("bhqk,bhqd->bhkd", ds,
-                                     q.astype(jnp.float32))
+        dv_blk = dv_blk + gsum(jnp.einsum("bhqk,bhqd->bhkd", p, dof))
+        dk_blk = dk_blk + gsum(jnp.einsum("bhqk,bhqd->bhkd", ds,
+                                          q.astype(jnp.float32)))
         dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds,
-                             k_blk.astype(jnp.float32))
-        # dk/dv travel WITH the kv block: after the full loop each shard is
-        # home again carrying every device's contribution
+                             kf.astype(jnp.float32))
+        # dk/dv travel WITH the (small) kv block: after the full loop each
+        # shard is home again carrying every device's contribution — the
+        # backward ring also moves only KH heads under GQA
         perm = _ring_perm(n)
         k_blk = jax.lax.ppermute(k_blk, axis, perm)
         v_blk = jax.lax.ppermute(v_blk, axis, perm)
@@ -212,7 +231,7 @@ def _gpt_cp_loss_local(params, tokens, targets, cfg: ViTConfig, n_ctx: int):
         # GQA expands K/V to the full head count before the ring (correct
         # but rotates full-width K/V; rotating kv_dim and expanding per ring
         # step is a future traffic lever).  MHA: plain thirds.
-        from ..ops.attention import expand_kv_heads, split_gqa
+        from ..ops.attention import split_gqa
         qp, kp, vp = split_gqa(qkv, H, cfg.kv_heads)
         if cfg.pos_emb == "rope":
             # GLOBAL positions for this sequence shard; keys rotate before
@@ -220,9 +239,12 @@ def _gpt_cp_loss_local(params, tokens, targets, cfg: ViTConfig, n_ctx: int):
             from ..ops.rope import rope_qk
             qp, kp = rope_qk(qp, kp, idx * T_loc + jnp.arange(T_loc), H,
                              cfg.kv_heads)
-        q, k, v = (t.reshape(B, T_loc, H, D).transpose(0, 2, 1, 3)
-                   for t in (qp, expand_kv_heads(kp, cfg.kv_heads, H),
-                             expand_kv_heads(vp, cfg.kv_heads, H)))
+        KH = cfg.kv_heads
+        q = qp.reshape(B, T_loc, H, D).transpose(0, 2, 1, 3)
+        k = kp.reshape(B, T_loc, KH, D).transpose(0, 2, 1, 3)
+        v = vp.reshape(B, T_loc, KH, D).transpose(0, 2, 1, 3)
+        # GQA: only the KH-head blocks rotate (ring traffic / group size);
+        # each step expands its resident block locally (_ring_fwd_scan)
         o = ring_attention_local(q, k, v, "ctx", n_ctx, True)
         atty = o.transpose(0, 2, 1, 3).reshape(B, T_loc, C)
         x = x + basic.linear(atty, p["attprojw"], p["attprojb"])
