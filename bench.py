@@ -12,8 +12,29 @@ import sys
 import time
 
 
+def _relay_alive() -> bool:
+    """The axon TPU is reached through a local relay (remote-compile HTTP
+    service on 127.0.0.1:8083).  When the relay process is dead, jax backend
+    init HANGS in make_c_api_client (observed >90 s, possibly forever) —
+    probe the socket first so the bench fails fast to CPU instead."""
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=2):
+            return True
+    except OSError:
+        return False
+
+
 def main():
+    import os
     import jax
+    if (os.environ.get("JAX_PLATFORMS", "") == "axon"
+            and not _relay_alive()):
+        # backends init lazily: switching the config before the first
+        # jax.devices() call avoids the hanging axon client entirely
+        jax.config.update("jax_platforms", "cpu")
+        print("bench: axon relay down (no listener on 127.0.0.1:8083) — "
+              "falling back to CPU", file=sys.stderr)
     import jax.numpy as jnp
     import numpy as np
 
