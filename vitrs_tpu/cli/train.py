@@ -44,6 +44,12 @@ def main():
                    help="global grad-norm clip (1.0 = standard GPT recipe)")
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="stochastic depth rate (ViT-L recipes: 0.1-0.3)")
+    p.add_argument("--kv-heads", type=int, default=0,
+                   help="GQA/MQA K/V head count (0 = MHA)")
+    p.add_argument("--pos-emb", default="learned",
+                   choices=["learned", "rope"])
+    p.add_argument("--window", type=int, default=0,
+                   help="sliding-window attention width (gpt mode; 0 = full)")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient-accumulation micro-batches per step")
     p.add_argument("--ra-ops", type=int, default=0,
@@ -108,8 +114,12 @@ def main():
         ra_ops=args.ra_ops,
         ra_mag=args.ra_mag, mixup_alpha=args.mixup_alpha,
         optimizer=args.optimizer, muon_adamw_lr=args.muon_adamw_lr,
-        model_overrides=({"drop_path": args.drop_path}
-                         if args.drop_path > 0 else None))
+        model_overrides={
+            k: v for k, v in (("drop_path", args.drop_path),
+                              ("num_kv_heads", args.kv_heads),
+                              ("pos_emb", args.pos_emb),
+                              ("window", args.window))
+            if v not in (0, 0.0, "learned")} or None)
     summary = train(tc)
     print("[done]", summary)
 
