@@ -199,3 +199,107 @@ def test_ring_gqa_small_kv_matches_expanded():
         np.asarray(gv_s),
         np.asarray(gv_f).reshape(1, KH, H // KH, T, D).sum(axis=2),
         rtol=3e-4, atol=3e-5)
+
+
+def _reference_window(q, k, v, window):
+    D = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(D)
+    T = q.shape[2]
+    keep = jnp.tril(jnp.ones((T, T), bool))
+    if window:
+        # query t sees keys in (t-window, t] — basic.attention_dense band
+        keep &= ~jnp.tril(jnp.ones((T, T), bool), k=-window)
+    s = jnp.where(keep, s, -jnp.inf)
+    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+
+
+@pytest.mark.parametrize("window", [4, 8, 21, 64])
+def test_banded_ring_matches_dense_window(window):
+    """Sliding window through the banded ring (window <= shard width = one
+    neighbor hop; larger windows span several shards; window >= T reduces
+    to dense causal) vs the dense band reference."""
+    mesh = dp.make_mesh()
+    B, H, T, D = 2, 2, 64, 16                 # 8 shards x 8 rows
+    q, k, v = _qkv(B, H, T, D, seed=7)
+    ring = make_ring_attention(mesh, causal=True, window=window)
+    got = ring(q, k, v)
+    want = _reference_window(q, k, v, window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("window", [8, 21])
+def test_banded_ring_grads_match_dense_window(window):
+    """The banded backward: dk/dv ride the shortened ring and take ONE
+    direct ppermute home — grads must match dense-band autodiff."""
+    mesh = dp.make_mesh()
+    B, H, T, D = 2, 2, 64, 16
+    q, k, v = _qkv(B, H, T, D, seed=8)
+    ring = make_ring_attention(mesh, causal=True, window=window)
+
+    def f_ring(q, k, v):
+        return jnp.sum(jnp.sin(ring(q, k, v)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.sin(_reference_window(q, k, v, window)))
+
+    np.testing.assert_allclose(float(f_ring(q, k, v)), float(f_ref(q, k, v)),
+                               rtol=2e-5)
+    g_ring = jax.grad(f_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_dp_cp_window_train_grads_match_single_device():
+    """A windowed GQA+rope GPT (window=5 spans two 4-row shards at cp=4,
+    T=16) under dp x cp: gradients match the single-device windowed model —
+    the roadmap's 'sliding window under CP' composition."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    cfg = get_config("gpt-nano", use_flash=False, num_heads=4, channels=32,
+                     num_kv_heads=2, pos_emb="rope", window=5)
+    rng = np.random.default_rng(9)
+    B = 4
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, cfg.max_seq_len)))
+    y = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, cfg.max_seq_len)))
+
+    from vitrs_tpu.models import model as M
+    params = PRM.init_params(cfg, jax.random.PRNGKey(9))
+    loss_ref, g_ref = jax.value_and_grad(M.gpt_loss)(params, x, y, cfg)
+
+    mesh = RA.make_mesh_dp_cp(dp=2, cp=4)
+
+    def spmd(p, xx, yy):
+        loss, g = jax.value_and_grad(RA._gpt_cp_loss_local)(p, xx, yy, cfg, 4)
+        g = jax.tree.map(
+            lambda t: jax.lax.pmean(jax.lax.pmean(t, "ctx"), "data"), g)
+        return (jax.lax.pmean(jax.lax.pmean(loss, "ctx"), "data"), g)
+
+    fn = jax.jit(shard_map(spmd, mesh=mesh,
+                           in_specs=(P(), P("data", "ctx"),
+                                     P("data", "ctx")),
+                           out_specs=(P(), P()), check_rep=False))
+    loss_cp, g_cp = fn(
+        jax.device_put(params, jax.sharding.NamedSharding(mesh, P())),
+        RA.shard_cp_batch(x, mesh), RA.shard_cp_batch(y, mesh))
+
+    np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=2e-5)
+    for kk in sorted(g_ref):
+        g = np.asarray(g_ref[kk])
+        scale = max(np.abs(g).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(g_cp[kk]), g,
+                                   rtol=5e-4, atol=2e-5 * scale, err_msg=kk)
+
+
+def test_banded_ring_hop_count():
+    """The banded ring must run ceil((W-1)/Tk)+1 hops, not n — the whole
+    point (O(window) comm/compute)."""
+    from vitrs_tpu.parallel.ring_attention import _ring_hops
+    assert _ring_hops(8, 0, 8) == 8          # dense: full loop
+    assert _ring_hops(8, 1, 8) == 1          # self only
+    assert _ring_hops(8, 8, 8) == 2          # own + previous shard
+    assert _ring_hops(8, 9, 8) == 2
+    assert _ring_hops(8, 17, 8) == 3
+    assert _ring_hops(8, 1000, 8) == 8       # clamps at n

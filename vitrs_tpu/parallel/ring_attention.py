@@ -39,16 +39,22 @@ from ..ops import basic
 from ..ops import optimizer as opt
 
 
-def _block_attend(q, k, v, m, l, acc, q_off, k_off, sm_scale, causal):
+def _block_attend(q, k, v, m, l, acc, q_off, k_off, sm_scale, causal,
+                  window=0):
     """One online-softmax accumulation step against a rotated KV block.
-    q: (B,H,Tq,D); k/v: (B,H,Tk,D); m/l: (B,H,Tq,1); acc: (B,H,Tq,D)."""
+    q: (B,H,Tq,D); k/v: (B,H,Tk,D); m/l: (B,H,Tq,1); acc: (B,H,Tq,D).
+    window > 0 (causal only): query t sees keys in (t-window, t], the same
+    band the flash kernels predicate on (basic.attention_dense:212-215)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * sm_scale
     if causal:
         Tq, Tk = q.shape[2], k.shape[2]
         rows = q_off + jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
         cols = k_off + jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
-        s = jnp.where(cols <= rows, s, -jnp.inf)
+        keep = cols <= rows
+        if window:
+            keep &= cols > rows - window
+        s = jnp.where(keep, s, -jnp.inf)
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m, m_curr)
     # guard fully-masked rows (m_next == -inf)
@@ -66,19 +72,31 @@ def _ring_perm(n):
     return [(i, (i + 1) % n) for i in range(n)]
 
 
-def _ring_fwd_scan(q, k, v, axis, n, causal):
-    """Returns (out, lse) for the local query shard; k/v arrive back home.
+def _ring_hops(n, window, Tk):
+    """Ring length: n hops dense; banded (sliding window), a query's oldest
+    key is window-1 rows back = at most ceil((window-1)/Tk) shards behind,
+    so the ring stops after that many extra hops — attention comm AND
+    compute become O(window), not O(T)."""
+    if not window:
+        return n
+    return min(n, (max(0, window - 1) + Tk - 1) // Tk + 1)
+
+
+def _ring_fwd_scan(q, k, v, axis, n, causal, window=0):
+    """Returns (out, lse) for the local query shard.
 
     k/v may carry FEWER heads than q (GQA: (B, KH, Tk, D) with KH | H) —
     only the small blocks rotate on the ring (ICI traffic / group size) and
     each step expands its resident block to full heads locally, which is
-    numerically identical to expanding before the ring."""
+    numerically identical to expanding before the ring.  window > 0 runs
+    the BANDED ring: only _ring_hops(...) neighbor blocks circulate."""
     B, H, Tq, D = q.shape
     KH = k.shape[1]
     G = H // KH
     sm_scale = 1.0 / (D ** 0.5)
     idx = jax.lax.axis_index(axis)
     Tk = k.shape[2]
+    h = _ring_hops(n, window, Tk)
     m = jnp.full((B, H, Tq, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((B, H, Tq, 1), jnp.float32)
     acc = jnp.zeros((B, H, Tq, D), jnp.float32)
@@ -90,39 +108,42 @@ def _ring_fwd_scan(q, k, v, axis, n, causal):
         kf = jnp.repeat(k_blk, G, axis=1) if G > 1 else k_blk
         vf = jnp.repeat(v_blk, G, axis=1) if G > 1 else v_blk
         m, l, acc = _block_attend(q, kf, vf, m, l, acc,
-                                  q_off, src * Tk, sm_scale, causal)
+                                  q_off, src * Tk, sm_scale, causal, window)
         k_blk = jax.lax.ppermute(k_blk, axis, _ring_perm(n))
         v_blk = jax.lax.ppermute(v_blk, axis, _ring_perm(n))
         return (k_blk, v_blk, m, l, acc), None
 
     (k, v, m, l, acc), _ = jax.lax.scan(step, (k, v, m, l, acc),
-                                        jnp.arange(n))
+                                        jnp.arange(h))
     inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
     out = (acc * inv).astype(q.dtype)
     lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(jnp.maximum(l, 1e-38)))
     return out, lse
 
 
-def ring_attention_local(q, k, v, axis: str, n: int, causal: bool):
+def ring_attention_local(q, k, v, axis: str, n: int, causal: bool,
+                         window: int = 0):
     """Per-shard ring attention with a hand-written VJP — call INSIDE a
     shard_map whose mesh has axis `axis` of size n.  q: (B, H, T/n, D);
     k/v: (B, H or KH, T/n, D) local shards (sequence sharded; KH < H = GQA,
-    small blocks rotate).  Returns the local out shard."""
-    return _ring_local(q, k, v, axis, n, causal)
+    small blocks rotate).  window > 0 (causal) = banded ring.  Returns the
+    local out shard."""
+    assert causal or not window, "sliding-window attention is causal-only"
+    return _ring_local(q, k, v, axis, n, causal, window)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _ring_local(q, k, v, axis, n, causal):
-    out, _ = _ring_fwd_scan(q, k, v, axis, n, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_local(q, k, v, axis, n, causal, window):
+    out, _ = _ring_fwd_scan(q, k, v, axis, n, causal, window)
     return out
 
 
-def _ring_local_fwd(q, k, v, axis, n, causal):
-    out, lse = _ring_fwd_scan(q, k, v, axis, n, causal)
+def _ring_local_fwd(q, k, v, axis, n, causal, window):
+    out, lse = _ring_fwd_scan(q, k, v, axis, n, causal, window)
     return out, (q, k, v, out, lse)
 
 
-def _ring_local_bwd(axis, n, causal, res, do):
+def _ring_local_bwd(axis, n, causal, window, res, do):
     q, k, v, out, lse = res
     B, H, Tq, D = q.shape
     KH = k.shape[1]
@@ -140,6 +161,7 @@ def _ring_local_bwd(axis, n, causal, res, do):
         # full-head contribution -> shared-KV-head gradient (GQA transpose)
         return (t.reshape(B, KH, G, Tk, D).sum(axis=2) if G > 1 else t)
 
+    h = _ring_hops(n, window, Tk)
     dq = jnp.zeros((B, H, Tq, D), jnp.float32)
     dk0 = jnp.zeros((B, KH, Tk, D), jnp.float32)
     dv0 = jnp.zeros((B, KH, Tk, D), jnp.float32)
@@ -154,7 +176,10 @@ def _ring_local_bwd(axis, n, causal, res, do):
         if causal:
             rows = q_off + jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
             cols = src * Tk + jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
-            s = jnp.where(cols <= rows, s, -jnp.inf)
+            keep = cols <= rows
+            if window:
+                keep &= cols > rows - window
+            s = jnp.where(keep, s, -jnp.inf)
         p = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_lse, -jnp.inf))
         dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf.astype(jnp.float32))
         ds = p * (dp - di) * sm_scale
@@ -174,7 +199,14 @@ def _ring_local_bwd(axis, n, causal, res, do):
         return (k_blk, v_blk, dk_blk, dv_blk, dq), None
 
     (k, v, dk, dv, dq), _ = jax.lax.scan(
-        step, (k, v, dk0, dv0, dq), jnp.arange(n))
+        step, (k, v, dk0, dv0, dq), jnp.arange(h))
+    if h < n:
+        # banded ring stopped early: dk/dv sit h steps past home — one
+        # direct ppermute returns them (h-1 ICI hops of distance, but a
+        # single collective, not n-h rotations)
+        home = [(i, (i - h) % n) for i in range(n)]
+        dk = jax.lax.ppermute(dk, axis, home)
+        dv = jax.lax.ppermute(dv, axis, home)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -182,13 +214,14 @@ _ring_local.defvjp(_ring_local_fwd, _ring_local_bwd)
 
 
 def make_ring_attention(mesh: Mesh, axis: str = "data",
-                        causal: bool = False):
+                        causal: bool = False, window: int = 0):
     """Build a jitted (and now differentiable) ring attention: q/k/v
-    (B, H, T, D) sharded on T over `axis`; out has the same sharding."""
+    (B, H, T, D) sharded on T over `axis`; out has the same sharding.
+    window > 0 (causal) runs the banded ring — O(window) hops."""
     n = mesh.shape[axis]
 
     def local_fn(q, k, v):
-        return ring_attention_local(q, k, v, axis, n, causal)
+        return ring_attention_local(q, k, v, axis, n, causal, window)
 
     spec = P(None, None, axis, None)
     mapped = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
@@ -211,7 +244,6 @@ def _gpt_cp_loss_local(params, tokens, targets, cfg: ViTConfig, n_ctx: int):
     attention is pointwise over T, so the whole block stack runs on the
     local sequence shard; attention goes around the ring.  Loss is the
     global token mean (pmean over both axes happens in the caller)."""
-    assert not cfg.window, "sliding-window attention not supported under CP"
     dtype = jnp.dtype(cfg.dtype)
     idx = jax.lax.axis_index("ctx")
     B, T_loc = tokens.shape
@@ -245,7 +277,10 @@ def _gpt_cp_loss_local(params, tokens, targets, cfg: ViTConfig, n_ctx: int):
         v = vp.reshape(B, T_loc, KH, D).transpose(0, 2, 1, 3)
         # GQA: only the KH-head blocks rotate (ring traffic / group size);
         # each step expands its resident block locally (_ring_fwd_scan)
-        o = ring_attention_local(q, k, v, "ctx", n_ctx, True)
+        # cfg.window rides the BANDED ring: O(window) hops — with
+        # window <= T/cp that is one neighbor exchange, no full loop
+        o = ring_attention_local(q, k, v, "ctx", n_ctx, True,
+                                 window=cfg.window)
         atty = o.transpose(0, 2, 1, 3).reshape(B, T_loc, C)
         x = x + basic.linear(atty, p["attprojw"], p["attprojb"])
         ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
