@@ -255,3 +255,4 @@ def test_rope_cp_loss_matches_single_device():
                          jnp.asarray(0.0, jnp.float32),
                          jnp.asarray(0.0, jnp.float32))
     np.testing.assert_allclose(float(loss), want, rtol=2e-5)
+

@@ -36,39 +36,34 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
     """qkv projection + attention.  On the flash path the two are one fused
     custom-VJP op (ops/fused_qkv_attention.py) so the backward never
     materializes the packed dqkv; otherwise the plain composition."""
-    from ..ops.attention import _flash_available, attention_gqa
+    from ..ops.attention import _flash_available
     from ..ops.flash_attention import padded_num_heads
     D = cfg.channels // cfg.num_heads
-    if cfg.pos_emb == "rope":
-        # rotary positions: rotate q/k between the projection and the kernel
-        # (a fused VPU epilogue), then ride the standard packed path.  The
-        # fused projection+attention op has no such seam, so rope uses the
-        # plain composition; GQA expansion composes after the rotation.
-        from ..ops.attention import attention as _attn
-        from ..ops.attention import expand_packed, split_gqa
-        from ..ops.rope import rope_qk
-        qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
-        q, k, v = split_gqa(qkv, cfg.num_heads, cfg.kv_heads)
-        q, k = rope_qk(q, k, jnp.arange(ln1.shape[1]), cfg.num_heads,
-                       cfg.kv_heads)
-        packed = expand_packed(jnp.concatenate([q, k, v], axis=-1),
-                               cfg.num_heads, cfg.kv_heads)
-        return _attn(packed, cfg.num_heads, causal=causal,
-                     use_flash=cfg.use_flash, window=cfg.window)
-    if cfg.is_gqa:
-        # GQA/MQA (beyond-reference): project to C + 2*kv_dim, expand K/V to
-        # the full head count, ride the standard packed attention.  The fused
-        # qkv-projection+attention op is MHA-packed-only; the expansion's
-        # autodiff (per-group segment sum) supplies the GQA dk/dv reduction.
-        qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
-        return attention_gqa(qkv, cfg.num_heads, cfg.kv_heads, causal=causal,
-                             use_flash=cfg.use_flash, window=cfg.window)
+    rope = cfg.pos_emb == "rope"
     if (cfg.use_flash and not cfg.quirks and _flash_available()
             and padded_num_heads(cfg.num_heads, D) is not None):
+        # one fused projection+attention op for every variant: rope rotates
+        # between the projection and the kernel inside the op (inverse
+        # rotation in its VJP); GQA projects SMALL and expands K/V
+        # activations (measured faster than group-expanded weights — the
+        # 44%-smaller projection matmul wins, CLAUDE.md negatives #3)
         from ..ops.fused_qkv_attention import qkv_attention
-        return qkv_attention(ln1, p["qkvw"], p["qkvb"], cfg.num_heads, causal,
-                             False, cfg.window)
-    qkv = basic.linear(ln1, p["qkvw"], p["qkvb"])
+        return qkv_attention(ln1, p["qkvw"], p["qkvb"], cfg.num_heads,
+                             causal, False, cfg.window, rope,
+                             cfg.kv_heads if cfg.is_gqa else 0)
+    # plain composition (dense fallback / non-tileable geometry): same math
+    w, b = p["qkvw"], p["qkvb"]
+    if cfg.is_gqa:
+        from ..ops.attention import expand_qkv_weight
+        w, b = expand_qkv_weight(w, b, cfg.num_heads, cfg.kv_heads)
+    qkv = basic.linear(ln1, w, b)
+    if rope:
+        from ..ops.rope import rope_qk
+        C = cfg.channels
+        q, k = rope_qk(qkv[..., :C], qkv[..., C:2 * C],
+                       jnp.arange(ln1.shape[1]), cfg.num_heads,
+                       cfg.num_heads)
+        qkv = jnp.concatenate([q, k, qkv[..., 2 * C:]], axis=-1)
     return attention(qkv, cfg.num_heads, causal=causal, quirks=cfg.quirks,
                      use_flash=cfg.use_flash, window=cfg.window)
 

@@ -78,6 +78,73 @@ def expand_packed(qkv: jax.Array, num_heads: int, kv_heads: int
                             expand_kv_heads(v, kv_heads, num_heads)], axis=-1)
 
 
+def _expand_row_index(num_heads: int, kv_heads: int, head_size: int):
+    """Static row gather (length 3C) mapping the packed-MHA output channels
+    onto the packed-GQA projection's rows: q rows pass through, each KV
+    head's D rows repeat for its G = num_heads//kv_heads query heads."""
+    import numpy as np
+    C = num_heads * head_size
+    kvd = kv_heads * head_size
+    G = num_heads // kv_heads
+    q = np.arange(C)
+    base = np.arange(kv_heads * head_size).reshape(kv_heads, head_size)
+    kv = np.repeat(base, G, axis=0).reshape(-1)          # head h -> h//G
+    return np.concatenate([q, C + kv, C + kvd + kv])
+
+
+def expand_qkv_weight(qkvw: jax.Array, qkvb, num_heads: int,
+                      kv_heads: int):
+    """GQA packed projection weight (..., C+2*kv_dim, IC) -> MHA
+    (..., 3C, IC) by repeating each KV head's D output ROWS for its query
+    group, so the projection EMITS the full-head packed layout straight off
+    the MXU: linear(x, expand_w) == expand_packed(linear(x, w)) exactly.
+
+    Measured OUTCOME at GPT-2 124M MQA (CLAUDE.md negatives #3): projecting
+    with the expanded (3C, C) weight costs ~17 ms/step more MXU than the
+    small projection saves in activation-expansion HBM — so the HOT paths
+    (fused_qkv_attention, selective remat, TP) all project SMALL and expand
+    activations; this helper serves the dense fallback (model.py plain
+    composition) and any consumer that wants the one-matmul form.  Full-head
+    q/k rotate identically per head, so rope composes either side of it."""
+    if not kv_heads or kv_heads == num_heads:
+        return qkvw, qkvb
+    D = qkvw.shape[-2] // (num_heads + 2 * kv_heads)
+    idx = jnp.asarray(_expand_row_index(num_heads, kv_heads, D))
+    w = jnp.take(qkvw, idx, axis=-2)
+    b = None if qkvb is None else jnp.take(qkvb, idx, axis=-1)
+    return w, b
+
+
+def reduce_qkv_weight_grad(dw: jax.Array, dbias, num_heads: int,
+                           kv_heads: int):
+    """Transpose of expand_qkv_weight for hand-written VJPs: sum the
+    expanded (..., 3C, IC) weight grad's K/V rows back per group to
+    (..., C+2*kv_dim, IC)."""
+    if not kv_heads or kv_heads == num_heads:
+        return dw, dbias
+    C = dw.shape[-2] // 3
+    D = C // num_heads
+    G = num_heads // kv_heads
+    lead = dw.shape[:-2]
+    IC = dw.shape[-1]
+
+    def red(part):          # (..., C, IC) -> (..., kv_dim, IC)
+        return part.reshape(lead + (kv_heads, G, D, IC)).sum(
+            axis=len(lead) + 1).reshape(lead + (kv_heads * D, IC))
+
+    dq, dk, dv = dw[..., :C, :], dw[..., C:2 * C, :], dw[..., 2 * C:, :]
+    out = jnp.concatenate([dq, red(dk), red(dv)], axis=-2)
+    if dbias is None:
+        return out, None
+
+    def redb(part):
+        return part.reshape(lead + (kv_heads, G, D)).sum(
+            axis=len(lead) + 1).reshape(lead + (kv_heads * D,))
+
+    bq, bk, bv = (dbias[..., :C], dbias[..., C:2 * C], dbias[..., 2 * C:])
+    return out, jnp.concatenate([bq, redb(bk), redb(bv)], axis=-1)
+
+
 def attention_gqa(qkv: jax.Array, num_heads: int, kv_heads: int,
                   causal: bool = True, use_flash: bool = True,
                   window: int = 0) -> jax.Array:

@@ -46,7 +46,16 @@ def apply_rope(x: jax.Array, pos: jax.Array, num_heads: int,
     """Rotate packed heads: x (B, T, H·D).  pos: scalar, (T,) sequence
     positions, (B, 1) per-example start (decode slots), or full (B, T).
     inverse=True applies R(−θ) — the transpose, used by hand-written VJPs
-    to pull dq/dk back through the rotation."""
+    to pull dq/dk back through the rotation.
+
+    Kept in the (B, T, H, 2, half) PAIRWISE form: the "lane-friendly"
+    full-width alternative (x·cosF + x[pair]·sinF with a static lane
+    permutation, or a reshape+concat half-swap) measured SLOWER on v5e —
+    0.68/0.65 vs 0.42 ms per (32, 1024, 768) application (amortized,
+    24-deep fori chain) — the lane shuffle/concat relayouts cost more than
+    the 32-wide sublane views here.  Do not retry blindly; the remaining
+    rope lever is rotating inside the flash kernel epilogue (tiles already
+    in VMEM)."""
     B, T, C = x.shape
     D = C // num_heads
     half = D // 2
