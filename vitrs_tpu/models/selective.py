@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from ..config import ViTConfig
 from ..ops import basic
 from ..ops import flash_attention as FA
+from ..ops import flash_attention_gqa as FG
 from ..ops.attention import _flash_available
 
 ATTN_KEYS = ("ln1w", "ln1b", "qkvw", "qkvb", "attprojw", "attprojb")
@@ -90,6 +91,13 @@ def _attn_ref(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb, num_heads,
 def _use_flash(num_heads, head_dim):
     return (_flash_available()
             and FA.padded_num_heads(num_heads, head_dim) is not None)
+
+
+def _native_gqa(num_heads, kv_heads, head_dim):
+    """Whether the GQA-native kernel family serves this geometry (K/V at
+    kv width in kernel — no expansion to recompute in backward)."""
+    return (bool(kv_heads) and kv_heads != num_heads
+            and FG.supports_gqa(num_heads, kv_heads, head_dim))
 
 
 @functools.partial(jax.custom_vjp,
@@ -157,12 +165,24 @@ def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
     _, mean, rstd = basic.layernorm(x, ln1w, ln1b)
     ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
     H = FA.padded_num_heads(num_heads, D)
-    qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope)
-    T = qkv.shape[1]
+    T = x.shape[1]
     sm_scale = 1.0 / (D ** 0.5)
-    qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q, FA.DEFAULT_BLOCK_K)
-    out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret,
-                       window)
+    if _native_gqa(num_heads, kv_heads, D):
+        # GQA-native kernels: small projection, K/V at kv width in kernel
+        # (ops/flash_attention_gqa.py) — no activation expansion to
+        # recompute in backward either
+        qkv = FG.project_gqa_packed(ln1, qkvw, qkvb, num_heads, kv_heads,
+                                    D, rope)
+        bq0, bk0 = FG.gqa_blocks(num_heads, kv_heads, D)
+        qkv_k, bq, bk = FA.prep_blocks(qkv, bq0, bk0)
+        out, lse = FG._fwd(qkv_k, num_heads, kv_heads, D, sm_scale, causal,
+                           T, bq, bk, interpret, window)
+    else:
+        qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope)
+        qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q,
+                                       FA.DEFAULT_BLOCK_K)
+        out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret,
+                           window)
     atty = out[:, :T, :C]
     branch = basic.linear(atty, attprojw, attprojb)
     res = (x, ln1w, ln1b, qkvw, qkvb, attprojw, mean, rstd,
@@ -186,12 +206,19 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
     H = FA.padded_num_heads(num_heads, D)
     Cp = H * D
     T_pad, sm_scale = out.shape[1], 1.0 / (D ** 0.5)
+    native = _native_gqa(num_heads, kv_heads, D)
 
     # recompute ln1 and the (padded) packed qkv — the only matmul redone
     ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
-    qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope)
-    qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q,
-                                   FA.DEFAULT_BLOCK_K)
+    if native:
+        qkv = FG.project_gqa_packed(ln1, qkvw, qkvb, num_heads, kv_heads,
+                                    D, rope)
+        bq0, bk0 = FG.gqa_blocks(num_heads, kv_heads, D)
+        qkv_k, bq, bk = FA.prep_blocks(qkv, bq0, bk0)
+    else:
+        qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope)
+        qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q,
+                                       FA.DEFAULT_BLOCK_K)
     assert qkv_k.shape[1] == T_pad, (qkv_k.shape, T_pad)
 
     # attproj backward (out holds atty: its [:T, :C] view)
@@ -211,6 +238,23 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
     if T_pad != T:
         do = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0)))
     lse = jnp.broadcast_to(lse_c, lse_c.shape[:3] + (FA.LANES,))
+    if native:
+        dq, dk, dv = FG._bwd_parts(qkv_k, num_heads, kv_heads, D, out, lse,
+                                   do, sm_scale, causal, T, bq, bk,
+                                   interpret, window)
+        kvd = kv_heads * D
+        dq = dq[:, :T, :C]
+        dk, dv = dk[:, :T, :kvd], dv[:, :T, :kvd]
+        if rope:
+            from ..ops.rope import apply_rope
+            pos = jnp.arange(T)
+            dq = apply_rope(dq, pos, num_heads, inverse=True)
+            dk = apply_rope(dk, pos, kv_heads, inverse=True)
+        from ..ops.fused_qkv_attention import qkv_projection_bwd
+        dln1, dqkvw, dqkvb = qkv_projection_bwd(dq, dk, dv, ln1, qkvw)
+        dx, dln1w, dln1b = basic.layernorm_bwd_from_stats(
+            x, ln1w, mean, rstd, dln1)
+        return dx, dln1w, dln1b, dqkvw, dqkvb, dattprojw, dattprojb
     dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do, sm_scale, causal,
                                T, bq, bk, interpret, window)
     dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))

@@ -68,6 +68,28 @@ def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret, window=0,
         f"geometry (heads={num_heads}, head_dim={D}) not tileable by the "
         "packed flash kernel — use the plain composition path")
     gqa = bool(kv_heads) and kv_heads != num_heads
+    if gqa:
+        from . import flash_attention_gqa as FG
+        if FG.supports_gqa(num_heads, kv_heads, D):
+            # GQA-NATIVE kernels: the small projection emits the GQA-packed
+            # layout (k/v thirds at kv width, zero-padded to 128-lane
+            # blocks) and the kernel shares each KV head across its query
+            # group in VMEM — no activation expansion, no expanded weights,
+            # rope at small width.  supports_gqa implies C is lane-aligned,
+            # so H == num_heads here.
+            assert H == num_heads
+            qkv = FG.project_gqa_packed(ln1, qkvw, qkvb, num_heads,
+                                        kv_heads, D, rope)
+            B, T, _ = qkv.shape
+            sm_scale = 1.0 / (D ** 0.5)
+            bq0, bk0 = FG.gqa_blocks(num_heads, kv_heads, D)
+            qkv_k, bq, bk = FA.prep_blocks(qkv, bq0, bk0)
+            out, lse = FG._fwd(qkv_k, num_heads, kv_heads, D, sm_scale,
+                               causal, T, bq, bk, interpret, window)
+            T_pad = qkv_k.shape[1]
+            out_t = out[:, :T, :] if T_pad != T else out
+            return out_t, (ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk,
+                           H)
     if gqa and not rope:
         # group-expanded weights: ride the whole MHA path (see docstring)
         from .attention import expand_qkv_weight
@@ -158,6 +180,30 @@ def _qkv_attention_bwd(num_heads, causal, interpret, window, rope, kv_heads,
                        res, do):
     ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk, H = res
     C = ln1.shape[-1]
+    gqa = bool(kv_heads) and kv_heads != num_heads
+    if gqa:
+        from . import flash_attention_gqa as FG
+        D_ = C // num_heads
+        if FG.supports_gqa(num_heads, kv_heads, D_):
+            # GQA-native backward: dk/dv come back at kv width, already
+            # group-summed per KV head in kernel — straight into the small
+            # projection backward (inverse rope at small width first)
+            T_pad = qkv_k.shape[1]
+            do_k = (jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0)))
+                    if T_pad != T else do)
+            dq, dk, dv = FG._bwd_parts(qkv_k, num_heads, kv_heads, D_, out,
+                                       lse, do_k, sm_scale, causal, T, bq,
+                                       bk, interpret, window)
+            kvd = kv_heads * D_
+            dq = dq[:, :T]
+            dk, dv = dk[:, :T, :kvd], dv[:, :T, :kvd]
+            if rope:
+                from .rope import apply_rope
+                pos = jnp.arange(T)
+                dq = apply_rope(dq, pos, num_heads, inverse=True)
+                dk = apply_rope(dk, pos, kv_heads, inverse=True)
+            dln1, dqkvw, dqkvb = qkv_projection_bwd(dq, dk, dv, ln1, qkvw)
+            return dln1.astype(ln1.dtype), dqkvw, dqkvb
     Cp = qkv_k.shape[-1] // 3
     T_pad = qkv_k.shape[1]
     if Cp != C:
