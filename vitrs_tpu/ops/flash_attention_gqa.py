@@ -46,8 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import (LANES, MASK_VALUE,
-                              _mask, _tile_overlaps_band, _band_crosses_tile)
+from .flash_attention import (LANES, MASK_VALUE, _mask, _rope_rotate,
+                              _tile_overlaps_band, _band_crosses_tile)
 
 # Combined single-pass backward admission budget (bytes of estimated
 # per-cell VMEM, see _bwd_parts).  13 MB leaves ~3 MB of the 16 MB scoped
@@ -183,8 +183,13 @@ def _bwd_chunk(QH: int, block: int) -> int:
 
 def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                        *, sm_scale, causal, seq_len, T, QH, R, D, chunk,
-                       window=0):
+                       window=0, rope=False, rope_base=10000.0):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
+    if rope:
+        # phantom K lanes (kv_heads·D < 128) hold zeros and the rotation
+        # only mixes lanes within one D-lane head — they stay zero
+        qf = _rope_rotate(qf, 0, D, rope_base).astype(qf.dtype)
+        kf = _rope_rotate(kf, 0, D, rope_base).astype(kf.dtype)
     need_mask = causal or seq_len != T
     if need_mask:
         msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
@@ -222,8 +227,11 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                        dq_ref, dk_ref, dv_ref,
                        *, sm_scale, causal, seq_len, T, QH, R, D, KVB, chunk,
-                       window=0):
+                       window=0, rope=False, rope_base=10000.0):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
+    if rope:
+        qf = _rope_rotate(qf, 0, D, rope_base).astype(qf.dtype)
+        kf = _rope_rotate(kf, 0, D, rope_base).astype(kf.dtype)
     of, dof = o_ref[0], do_ref[0]
     need_mask = causal or seq_len != T
     if need_mask:
@@ -271,9 +279,14 @@ def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                                          (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
     zero = jnp.zeros((T, D), jnp.float32)
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.concatenate(
-        [zero if a is None else a for a in dk_acc], axis=-1).astype(dk_ref.dtype)
+    dq = jnp.concatenate(dqs, axis=-1)
+    dk = jnp.concatenate([zero if a is None else a for a in dk_acc], axis=-1)
+    if rope:
+        # dq/dk are w.r.t. the rotated q/k — inverse-rotate on the way out
+        dq = _rope_rotate(dq, 0, D, rope_base, inverse=True)
+        dk = _rope_rotate(dk, 0, D, rope_base, inverse=True)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(
         [zero if a is None else a for a in dv_acc], axis=-1).astype(dv_ref.dtype)
 
@@ -306,7 +319,7 @@ def _gqa_specs(n_kvblk, Wq, C, kvd_pad, block_q, block_k, q_grid_dim,
 
 
 def _fwd_single(qkv, num_heads, kv_heads, head_dim, sm_scale, causal,
-                seq_len, interpret, window=0):
+                seq_len, interpret, window=0, rope=False, rope_base=10000.0):
     B, T, _ = qkv.shape
     QH, R, KVB, n_kvblk, C, kvd, kvd_pad = _geom(num_heads, kv_heads, head_dim)
     D = head_dim
@@ -318,7 +331,8 @@ def _fwd_single(qkv, num_heads, kv_heads, head_dim, sm_scale, causal,
     out, lse = pl.pallas_call(
         functools.partial(_fwd_single_kernel, sm_scale=sm_scale,
                           causal=causal, seq_len=seq_len, T=T, QH=QH, R=R,
-                          D=D, chunk=chunk, window=window),
+                          D=D, chunk=chunk, window=window, rope=rope,
+                          rope_base=rope_base),
         grid=(B, n_kvblk),
         in_specs=[q_spec, k_spec, v_spec],
         out_specs=(
@@ -340,7 +354,8 @@ def _fwd_single(qkv, num_heads, kv_heads, head_dim, sm_scale, causal,
 
 
 def _bwd_single(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
-                causal, seq_len, interpret, window=0):
+                causal, seq_len, interpret, window=0, rope=False,
+                rope_base=10000.0):
     B, T, _ = qkv.shape
     QH, R, KVB, n_kvblk, C, kvd, kvd_pad = _geom(num_heads, kv_heads, head_dim)
     D = head_dim
@@ -358,7 +373,8 @@ def _bwd_single(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_single_kernel, sm_scale=sm_scale,
                           causal=causal, seq_len=seq_len, T=T, QH=QH, R=R,
-                          D=D, KVB=KVB, chunk=chunk, window=window),
+                          D=D, KVB=KVB, chunk=chunk, window=window,
+                          rope=rope, rope_base=rope_base),
         grid=(B, n_kvblk),
         in_specs=[q_spec, k_spec, v_spec, c_spec, c_spec, lse_spec],
         out_specs=(c_spec, kv_out, kv_out),
@@ -378,7 +394,7 @@ def _bwd_single(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                QH, R, D, chunk, window=0):
+                QH, R, D, chunk, window=0, rope=False, rope_base=10000.0):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -394,8 +410,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(run)
     def _compute():
-        qf = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-        kf, vf = k_ref[0], v_ref[0]
+        if rope:
+            # scale folds into the rotation's cos/sin for free
+            qf = _rope_rotate(q_ref[0], i_q * block_q, D, rope_base,
+                              scale=sm_scale).astype(q_ref.dtype)
+            kf = _rope_rotate(k_ref[0], i_kv * block_k, D,
+                              rope_base).astype(k_ref.dtype)
+        else:
+            qf = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+            kf = k_ref[0]
+        vf = v_ref[0]
 
         def body(masked: bool):
             if masked:
@@ -466,11 +490,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
 
 def _fwd(qkv, num_heads, kv_heads, head_dim, sm_scale, causal, seq_len,
-         block_q, block_k, interpret, window=0):
+         block_q, block_k, interpret, window=0, rope=False,
+         rope_base=10000.0):
     B, T, _ = qkv.shape
     if T <= block_q and T <= block_k:
         return _fwd_single(qkv, num_heads, kv_heads, head_dim, sm_scale,
-                           causal, seq_len, interpret, window)
+                           causal, seq_len, interpret, window, rope,
+                           rope_base)
     QH, R, KVB, n_kvblk, C, kvd, kvd_pad = _geom(num_heads, kv_heads, head_dim)
     D = head_dim
     Wq = QH * D
@@ -482,7 +508,7 @@ def _fwd(qkv, num_heads, kv_heads, head_dim, sm_scale, causal, seq_len,
         functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k, n_kv=n_kv,
                           seq_len=seq_len, T=T, QH=QH, R=R, D=D, chunk=chunk,
-                          window=window),
+                          window=window, rope=rope, rope_base=rope_base),
         grid=(B, n_kvblk, n_q, n_kv),
         in_specs=[q_spec, k_spec, v_spec],
         out_specs=(
@@ -566,7 +592,8 @@ def _edge_dispatch(body, causal, window, has_pad, i_q, i_kv, block_q,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, n_q, seq_len, T,
-                    QH, R, D, KVB, chunk, window=0):
+                    QH, R, D, KVB, chunk, window=0, rope=False,
+                    rope_base=10000.0):
     i_kv, i_q = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_q == 0)
@@ -583,6 +610,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _compute():
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
+        if rope:
+            qf = _rope_rotate(qf, i_q * block_q, D,
+                              rope_base).astype(qf.dtype)
+            kf = _rope_rotate(kf, i_kv * block_k, D,
+                              rope_base).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -607,8 +639,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
 
     @pl.when(i_q == n_q - 1)
     def _finalize():
-        dk_ref[0] = jnp.concatenate([dk_scr[k] for k in range(KVB)],
-                                    axis=-1).astype(dk_ref.dtype)
+        dk = jnp.concatenate([dk_scr[k] for k in range(KVB)], axis=-1)
+        if rope:
+            dk = _rope_rotate(dk, i_kv * block_k, D, rope_base, inverse=True)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = jnp.concatenate([dv_scr[k] for k in range(KVB)],
                                     axis=-1).astype(dv_ref.dtype)
 
@@ -616,7 +650,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                    dq_ref, dq_scr,
                    *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                   QH, R, D, chunk, window=0):
+                   QH, R, D, chunk, window=0, rope=False, rope_base=10000.0):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -632,6 +666,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _compute():
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
+        if rope:
+            qf = _rope_rotate(qf, i_q * block_q, D,
+                              rope_base).astype(qf.dtype)
+            kf = _rope_rotate(kf, i_kv * block_k, D,
+                              rope_base).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -652,14 +691,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
 
     @pl.when(i_kv == n_kv - 1)
     def _finalize():
-        dq_ref[0] = jnp.concatenate([dq_scr[g] for g in range(QH)],
-                                    axis=-1).astype(dq_ref.dtype)
+        dq = jnp.concatenate([dq_scr[g] for g in range(QH)], axis=-1)
+        if rope:
+            dq = _rope_rotate(dq, i_q * block_q, D, rope_base, inverse=True)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                          dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
                          *, sm_scale, causal, block_q, block_k, n_kv, n_q,
-                         seq_len, T, QH, R, D, KVB, chunk, window=0):
+                         seq_len, T, QH, R, D, KVB, chunk, window=0,
+                         rope=False, rope_base=10000.0):
     """Single-pass GQA backward: grid (B, kvblk, kv, q); p computed once per
     tile feeds dk/dv (per-KV-HEAD block scratch) and dq (whole-sequence
     (QH, T, D) scratch persisting across the kv sweep)."""
@@ -683,6 +725,11 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _compute():
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
+        if rope:
+            qf = _rope_rotate(qf, i_q * block_q, D,
+                              rope_base).astype(qf.dtype)
+            kf = _rope_rotate(kf, i_kv * block_k, D,
+                              rope_base).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -713,19 +760,25 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
 
     @pl.when(i_q == n_q - 1)
     def _write_dkv():
-        dk_ref[0] = jnp.concatenate([dk_scr[k] for k in range(KVB)],
-                                    axis=-1).astype(dk_ref.dtype)
+        dk = jnp.concatenate([dk_scr[k] for k in range(KVB)], axis=-1)
+        if rope:
+            dk = _rope_rotate(dk, i_kv * block_k, D, rope_base, inverse=True)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = jnp.concatenate([dv_scr[k] for k in range(KVB)],
                                     axis=-1).astype(dv_ref.dtype)
 
     @pl.when(jnp.logical_and(i_kv == n_kv - 1, i_q == n_q - 1))
     def _write_dq():
-        dq_ref[0] = jnp.concatenate([dq_scr[g] for g in range(QH)],
-                                    axis=-1).astype(dq_ref.dtype)
+        dq = jnp.concatenate([dq_scr[g] for g in range(QH)], axis=-1)
+        if rope:
+            # whole-sequence dq scratch: rows span all of T, offset 0
+            dq = _rope_rotate(dq, 0, D, rope_base, inverse=True)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
-               causal, seq_len, block_q, block_k, interpret, window=0):
+               causal, seq_len, block_q, block_k, interpret, window=0,
+               rope=False, rope_base=10000.0):
     """GQA backward returning (dq, dk, dv) with dq (B, T, C) and dk/dv at
     the SMALL padded width (B, T, kvd_pad) — already group-summed in kernel;
     callers slice [:kvd] and feed the projection backward directly."""
@@ -741,7 +794,8 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
         block_q, block_k = min(block_q, 256), min(block_k, 256)
     if T <= block_q and T <= block_k:
         return _bwd_single(qkv, num_heads, kv_heads, head_dim, out, lse, do,
-                           sm_scale, causal, seq_len, interpret, window)
+                           sm_scale, causal, seq_len, interpret, window,
+                           rope, rope_base)
     _, R, KVB, n_kvblk, C, kvd, kvd_pad = _geom(num_heads, kv_heads, head_dim)
     D = head_dim
     Wq = QH * D
@@ -786,7 +840,8 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
                               causal=causal, block_q=block_q,
                               block_k=block_k, n_kv=n_kv, n_q=n_q,
                               seq_len=seq_len, T=T, QH=QH, R=R, D=D, KVB=KVB,
-                              chunk=chunk, window=window),
+                              chunk=chunk, window=window, rope=rope,
+                              rope_base=rope_base),
             grid=(B, n_kvblk, n_kv, n_q),
             in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
             out_specs=(dq_out_spec, kv_out_spec, kv_out_spec),
@@ -805,7 +860,8 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k, n_q=n_q,
                           seq_len=seq_len, T=T, QH=QH, R=R, D=D, KVB=KVB,
-                          chunk=chunk, window=window),
+                          chunk=chunk, window=window, rope=rope,
+                          rope_base=rope_base),
         grid=(B, n_kvblk, n_kv, n_q),
         in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
         out_specs=(kv_out_spec, kv_out_spec),
@@ -830,7 +886,7 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k, n_kv=n_kv,
                           seq_len=seq_len, T=T, QH=QH, R=R, D=D, chunk=chunk,
-                          window=window),
+                          window=window, rope=rope, rope_base=rope_base),
         grid=(B, n_kvblk, n_q, n_kv),
         in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, do_spec2],
         out_specs=do_spec2,

@@ -36,9 +36,12 @@ def qkv_attention(ln1: jax.Array, qkvw: jax.Array, qkvb: jax.Array,
                   interpret: bool = False, window: int = 0,
                   rope: bool = False, kv_heads: int = 0) -> jax.Array:
     """(B, T, C) -> (B, T, C): packed qkv projection + multi-head attention.
-    window > 0 (causal) = sliding-window attention.  rope=True rotates the
-    q/k thirds between the projection and the kernel (inverse rotation in
-    the VJP — R is orthogonal).  kv_heads > 0 (GQA/MQA) projects with the
+    window > 0 (causal) = sliding-window attention.  rope=True applies
+    rotary embeddings INSIDE the flash kernels (tiles already in VMEM,
+    cos/sin recomputed from iota on the VPU; dq/dk inverse-rotated in the
+    kernel flush epilogues — R is orthogonal) — replacing the ~42 ms/step
+    of full-width apply_rope HBM passes + packed concats this op used to
+    spend at GPT-2 124M B=32.  kv_heads > 0 (GQA/MQA) projects with the
     SMALL (C + 2*kv_dim, C) weight and expands K/V on the activations
     before the kernel; the backward group-sums dk/dv back to kv_dim.
     Measured both ways at GPT-2 124M MQA(kv=4): the small projection saves
@@ -78,14 +81,19 @@ def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret, window=0,
             # rope at small width.  supports_gqa implies C is lane-aligned,
             # so H == num_heads here.
             assert H == num_heads
+            # rope happens INSIDE the kernels (FA._rope_rotate): the
+            # projection emits unrotated activations, the kernels rotate
+            # tiles already in VMEM, and dq/dk come back inverse-rotated —
+            # no full-width rotation passes or packed concats in HBM
             qkv = FG.project_gqa_packed(ln1, qkvw, qkvb, num_heads,
-                                        kv_heads, D, rope)
+                                        kv_heads, D, rope=False)
             B, T, _ = qkv.shape
             sm_scale = 1.0 / (D ** 0.5)
             bq0, bk0 = FG.gqa_blocks(num_heads, kv_heads, D)
             qkv_k, bq, bk = FA.prep_blocks(qkv, bq0, bk0)
             out, lse = FG._fwd(qkv_k, num_heads, kv_heads, D, sm_scale,
-                               causal, T, bq, bk, interpret, window)
+                               causal, T, bq, bk, interpret, window,
+                               rope=rope)
             T_pad = qkv_k.shape[1]
             out_t = out[:, :T, :] if T_pad != T else out
             return out_t, (ln1, qkvw, qkv_k, out, lse, sm_scale, T, bq, bk,
@@ -98,16 +106,12 @@ def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret, window=0,
         qkv = basic.linear(ln1, w_run, b_run)
         B, T, _ = qkv.shape
     elif gqa:
-        # rope: SMALL projection, rotate at small width, then expand K/V
-        # activations to full heads for the MHA-packed kernel
+        # rope, non-native geometry: SMALL projection, expand K/V
+        # activations to full heads for the MHA-packed kernel — the kernel
+        # rotates in-VMEM (rotation is per-head identical, so it commutes
+        # with the group duplication)
         qkv_s = basic.linear(ln1, qkvw, qkvb)
         B, T, _ = qkv_s.shape
-        if rope:
-            from .attention import split_gqa
-            from .rope import rope_qk
-            q, k, v = split_gqa(qkv_s, num_heads, kv_heads)
-            q, k = rope_qk(q, k, jnp.arange(T), num_heads, kv_heads)
-            qkv_s = jnp.concatenate([q, k, v], axis=-1)
         from .attention import expand_packed
         qkv = expand_packed(qkv_s, num_heads, kv_heads)
         if H != num_heads:
@@ -120,19 +124,12 @@ def _fwd(ln1, qkvw, qkvb, num_heads, causal, interpret, window=0,
         w_run, b_run = FA.pad_qkv_weight(qkvw, qkvb, num_heads, H, D)
         qkv = basic.linear(ln1, w_run, b_run)
         B, T, _ = qkv.shape
-        if rope:
-            # rotate the padded q/k thirds (phantom zeros rotate to zeros)
-            from .rope import apply_rope
-            Cp = H * D
-            pos = jnp.arange(T)
-            qkv = jnp.concatenate(
-                [apply_rope(qkv[..., :Cp], pos, H),
-                 apply_rope(qkv[..., Cp:2 * Cp], pos, H),
-                 qkv[..., 2 * Cp:]], axis=-1)
     sm_scale = 1.0 / (D ** 0.5)
     qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q, FA.DEFAULT_BLOCK_K)
+    # rope rotation (phantom heads' zero lanes rotate to zeros) lives in the
+    # kernels — see flash_attention._rope_rotate
     out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret,
-                       window)
+                       window, rope=rope)
     T_pad = qkv_k.shape[1]
     out_t = out[:, :T, :] if T_pad != T else out
     if H != num_heads:
@@ -187,21 +184,17 @@ def _qkv_attention_bwd(num_heads, causal, interpret, window, rope, kv_heads,
         if FG.supports_gqa(num_heads, kv_heads, D_):
             # GQA-native backward: dk/dv come back at kv width, already
             # group-summed per KV head in kernel — straight into the small
-            # projection backward (inverse rope at small width first)
+            # projection backward; rope's inverse rotation happened in the
+            # kernels' flush epilogues
             T_pad = qkv_k.shape[1]
             do_k = (jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0)))
                     if T_pad != T else do)
             dq, dk, dv = FG._bwd_parts(qkv_k, num_heads, kv_heads, D_, out,
                                        lse, do_k, sm_scale, causal, T, bq,
-                                       bk, interpret, window)
+                                       bk, interpret, window, rope=rope)
             kvd = kv_heads * D_
             dq = dq[:, :T]
             dk, dv = dk[:, :T, :kvd], dv[:, :T, :kvd]
-            if rope:
-                from .rope import apply_rope
-                pos = jnp.arange(T)
-                dq = apply_rope(dq, pos, num_heads, inverse=True)
-                dk = apply_rope(dk, pos, kv_heads, inverse=True)
             dln1, dqkvw, dqkvb = qkv_projection_bwd(dq, dk, dv, ln1, qkvw)
             return dln1.astype(ln1.dtype), dqkvw, dqkvb
     Cp = qkv_k.shape[-1] // 3
@@ -210,9 +203,9 @@ def _qkv_attention_bwd(num_heads, causal, interpret, window, rope, kv_heads,
         do = jnp.pad(do, ((0, 0), (0, 0), (0, Cp - C)))
     do_k = jnp.pad(do, ((0, 0), (0, T_pad - T), (0, 0))) if T_pad != T else do
     dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do_k, sm_scale,
-                               causal, T, bq, bk, interpret, window)
+                               causal, T, bq, bk, interpret, window,
+                               rope=rope)
     dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
-    pos = jnp.arange(T)
     gqa = bool(kv_heads) and kv_heads != num_heads
     if gqa and not rope:
         # expanded-weight form: projection backward against the expanded
@@ -223,9 +216,9 @@ def _qkv_attention_bwd(num_heads, causal, interpret, window, rope, kv_heads,
         dqkvw, dqkvb = reduce_qkv_weight_grad(dwe, dbe, num_heads, kv_heads)
         return dln1.astype(ln1.dtype), dqkvw, dqkvb
     if gqa:
-        # rope: group-sum dk/dv to kv_dim FIRST (rope rotation is per-head
-        # identical, so inverse-rotation commutes with the sum), then the
-        # projection backward against the SMALL weight —
+        # non-native rope geometry: dq/dk came back inverse-rotated from the
+        # kernels; group-sum dk/dv to kv_dim for the SMALL weight (the
+        # per-head-identical rotation commutes with the group sum) —
         # qkv_projection_bwd reads part widths from the grads themselves
         B = dk.shape[0]
         G = num_heads // kv_heads
@@ -234,14 +227,6 @@ def _qkv_attention_bwd(num_heads, causal, interpret, window, rope, kv_heads,
             B, T, kv_heads * D_)
         dv = dv.reshape(B, T, kv_heads, G, D_).sum(axis=3).reshape(
             B, T, kv_heads * D_)
-        if rope:
-            from .rope import apply_rope
-            dq = apply_rope(dq, pos, num_heads, inverse=True)
-            dk = apply_rope(dk, pos, kv_heads, inverse=True)
-    elif rope:
-        from .rope import apply_rope
-        dq = apply_rope(dq, pos, num_heads, inverse=True)
-        dk = apply_rope(dk, pos, num_heads, inverse=True)
     dln1, dqkvw, dqkvb = qkv_projection_bwd(dq, dk, dv, ln1, qkvw)
     return dln1.astype(ln1.dtype), dqkvw, dqkvb
 
