@@ -151,60 +151,112 @@ def _heads_per_block_single(head_dim: int, num_heads: int) -> int:
 
 
 def _rope_swap(x, D):
-    """Swap the two halves of every D-lane head in a (rows, W) tile:
-    [x1|x2] per head -> [x2|x1] (static lane slices + concat)."""
-    half = D // 2
+    """Signed rotate-half of every D-lane head in a (rows, W) tile, on the
+    MXU: y = x @ P with P[p, r] = -1 at p = r + D/2 (r in a head's first
+    half) and +1 at p = r - D/2 (second half), i.e. y = [-x2 | x1] per head.
+
+    Lane permutations at D/2 = 32-lane granularity lower to slow Mosaic
+    vector relayouts (same pathology as the measured lse-relayout negative
+    result) — a (W, W) ±1 constant dot is ~150 MFLOP per 512-row tile and
+    rides the otherwise-idle MXU instead.  P is built from iota compares
+    (cheap VPU) rather than streamed."""
     W = x.shape[-1]
-    parts = []
-    for off in range(0, W, D):
-        parts.append(x[:, off + half:off + D])
-        parts.append(x[:, off:off + half])
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-
-
-def _rope_rotate(x, row_off, D, base, inverse=False, scale=None):
-    """In-kernel RoPE: rotate a (rows, W) tile of packed D-lane heads by the
-    rows' absolute positions (row_off + row index), entirely on the VPU.
-
-    cos/sin are RECOMPUTED from iota each call instead of streamed as
-    (T, W) tables: 3 transcendentals per element on a (rows, 128)-ish tile
-    is cheaper than the exp the softmax already spends per (rows, block)
-    score tile, and it costs zero HBM bandwidth and zero VMEM blocks — the
-    whole point of moving the rotation into the kernel (the out-of-kernel
-    apply_rope passes cost ~42 ms/step at GPT-2 124M B=32: 4 full-width
-    HBM rotation passes + 2 packed concats per step).
-
-    Full-width form: out = x*cosF + swap(x)*sinF with the pair-sign folded
-    into sinF (- first half, + second half; flipped when inverse — R is
-    orthogonal so R(-θ) = Rᵀ is the exact VJP transpose).  The angle
-    pattern repeats every D lanes, so cos/sin are computed at width
-    min(W, 128) and lane-concatenated up to W.  scale (the softmax 1/√D)
-    folds into the same f32 pass for free.  Returns f32."""
-    rows, W = x.shape
     half = D // 2
-    w0 = min(W, LANES)
-    assert W % w0 == 0 and w0 % D == 0, (W, D)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w0), 1)
-    j = lane % D                                        # lane within head
-    jh = j % half                                       # rotation pair index
-    inv_freq = jnp.exp(jh.astype(jnp.float32) * (-math.log(base) / half))
-    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, w0), 0) + row_off
-    ang = ri.astype(jnp.float32) * inv_freq
-    cos = jnp.cos(ang)
-    sin = jnp.sin(ang)
-    neg = j < half
+    # pure i32 arithmetic build — comparing a dim0-varying iota against a
+    # dim1-varying one produces an i1 vector whose replicated-layout
+    # transition Mosaic rejects ("Invalid relayout ... vector<WxWxi1>"),
+    # so equality is clamp(1 - |delta|) and the half sign is 2b-1
+    pi = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    b = (ri % D) // half                                # 0 first half, 1 second
+    delta = pi - (ri + half - D * b)                    # 0 at the pair partner
+    eq = 1 - jnp.minimum(jnp.abs(delta), 1)
+    p = (eq * (2 * b - 1)).astype(x.dtype)
+    return jax.lax.dot_general(x, p, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _rope_table(T, D, base, dtype):
+    """The (T, 2·LANES) [cos | sin] position table the rope kernels STREAM
+    instead of recomputing: lane l of either half carries angle
+    pos · base^-(((l % D) % (D/2)) / (D/2)) — the per-head pattern repeats
+    every D lanes, so 128 lanes cover any tile width by lane-repetition
+    (`_rope_rotate`).  Computed once per step in XLA (identical across
+    layers → CSE'd) in the array dtype: bf16 table quantization matches the
+    bf16 rotated-q/k quantization the MXU dots see anyway.
+
+    Measured motivation (GPT-2 124M B=32, T=1024): in-kernel iota trig cost
+    48 ms/step — ~50% more VPU transcendental work on kernels already
+    VPU-bound by the softmax exp — while the rest of the in-kernel rope
+    machinery (table multiply + MXU swap + plumbing) measured ~3 ms
+    (ROPE_DIAG isolation: plumb 227.5 / notrig 230.1 / noswap 275.6 /
+    full 280.3 vs 226.8 no-rope).  Streaming the table moves the trig off
+    the hot path entirely; Pallas re-fetches a block only when its index
+    changes, so the q-position blocks ride along for free on inner-kv
+    grids."""
+    assert D % 2 == 0 and LANES % D == 0, D
+    half = D // 2
+    j = (jnp.arange(LANES, dtype=jnp.int32) % D) % half
+    inv_freq = jnp.exp(j.astype(jnp.float32) * (-math.log(base) / half))
+    ang = jnp.arange(T, dtype=jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=1).astype(dtype)
+
+
+def _rope_tab_spec(block, index_map):
+    return pl.BlockSpec((block, 2 * LANES), index_map,
+                        memory_space=pltpu.VMEM)
+
+
+# rope mode streams [cos|sin] table blocks on top of the tuned-to-16MB
+# working sets — an f32 T=1024 forward measured 16 KB over the default
+# scoped-vmem stack — so rope calls get a raised Mosaic limit (v5e VMEM is
+# 128 MB; 32 MB of scoped stack leaves ample pipeline-buffer room)
+ROPE_VMEM_LIMIT = 32 << 20
+
+
+def _sems(rope, *sems):
+    """CompilerParams with the rope-mode scoped-vmem override."""
+    kw = {"dimension_semantics": sems}
+    if rope:
+        kw["vmem_limit_bytes"] = ROPE_VMEM_LIMIT
+    return pltpu.CompilerParams(**kw)
+
+
+def _no_tab(inner, n_in, n_tab, **kw):
+    """rope=False shim: the kernels take their table ref(s) right after the
+    input refs; non-rope pallas_calls pass no table operand, so inject
+    Nones at trace time (the rope=False branch never touches them)."""
+    def kern(*refs):
+        inner(*refs[:n_in], *([None] * n_tab), *refs[n_in:], **kw)
+    return kern
+
+
+def _rope_rotate(x, tab, D, inverse=False, scale=None):
+    """In-kernel RoPE: rotate a (rows, W) tile of packed D-lane heads using
+    the streamed (rows, 2·LANES) [cos | sin] table slice `tab`
+    (`_rope_table`).
+
+    Full form: out = x*cosF + (x @ P)*sinF with the rotate-half pair signs
+    folded into the ±1 permutation P (`_rope_swap`, MXU); inverse flips
+    sinF — R is orthogonal so R(-θ) = Rᵀ is the exact VJP transpose.
+    scale (the softmax 1/√D) folds into cos/sin for free.  Returns f32."""
+    rows, W = x.shape
+    cos = tab[:, :LANES].astype(jnp.float32)
+    sin = tab[:, LANES:].astype(jnp.float32)
+    if W < LANES:
+        assert W % D == 0, (W, D)
+        cos, sin = cos[:, :W], sin[:, :W]
+    elif W > LANES:
+        assert W % LANES == 0, (W, D)
+        reps = W // LANES
+        cos = jnp.concatenate([cos] * reps, axis=1)
+        sin = jnp.concatenate([sin] * reps, axis=1)
     if inverse:
-        neg = jnp.logical_not(neg)
-    sin = jnp.where(neg, -sin, sin)
+        sin = -sin
     if scale is not None:
         cos = cos * scale
         sin = sin * scale
-    if W > w0:
-        reps = W // w0
-        cos = jnp.concatenate([cos] * reps, axis=1)
-        sin = jnp.concatenate([sin] * reps, axis=1)
-    xf = x.astype(jnp.float32)
-    return xf * cos + _rope_swap(xf, D) * sin
+    return x.astype(jnp.float32) * cos + _rope_swap(x, D) * sin
 
 
 def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len, window=0):
@@ -243,13 +295,14 @@ def _band_crosses_tile(i_q, i_kv, block_q, block_k, window):
 # (B, NH, T, 128) di arrays from HBM.
 # ---------------------------------------------------------------------------
 
-def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_single_kernel(q_ref, k_ref, v_ref, tab_ref, o_ref, lse_ref,
                        *, sm_scale, causal, seq_len, T, G, D, window=0,
-                       rope=False, rope_base=10000.0):
+                       rope=False):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
     if rope:
-        qf = _rope_rotate(qf, 0, D, rope_base).astype(qf.dtype)
-        kf = _rope_rotate(kf, 0, D, rope_base).astype(kf.dtype)
+        tab = tab_ref[:]
+        qf = _rope_rotate(qf, tab, D).astype(qf.dtype)
+        kf = _rope_rotate(kf, tab, D).astype(kf.dtype)
     need_mask = causal or seq_len != T
     if need_mask:
         msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
@@ -283,14 +336,15 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, tab_ref,
                        dq_ref, dk_ref, dv_ref,
                        *, sm_scale, causal, seq_len, T, G, D, window=0,
-                       rope=False, rope_base=10000.0):
+                       rope=False):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
     if rope:
-        qf = _rope_rotate(qf, 0, D, rope_base).astype(qf.dtype)
-        kf = _rope_rotate(kf, 0, D, rope_base).astype(kf.dtype)
+        tab = tab_ref[:]
+        qf = _rope_rotate(qf, tab, D).astype(qf.dtype)
+        kf = _rope_rotate(kf, tab, D).astype(kf.dtype)
     of, dof = o_ref[0], do_ref[0]
     need_mask = causal or seq_len != T
     if need_mask:
@@ -338,8 +392,8 @@ def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     if rope:
         # dq/dk are w.r.t. the ROTATED q/k — pull them back through R
         # (orthogonal: the VJP transpose is the inverse rotation)
-        dq = _rope_rotate(dq, 0, D, rope_base, inverse=True)
-        dk = _rope_rotate(dk, 0, D, rope_base, inverse=True)
+        dq = _rope_rotate(dq, tab, D, inverse=True)
+        dk = _rope_rotate(dk, tab, D, inverse=True)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
@@ -355,12 +409,19 @@ def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret,
     n_hblk = num_heads // G
     spec = lambda off: pl.BlockSpec((1, T, W), lambda b, h, off=off: (b, 0, off + h),
                                     memory_space=pltpu.VMEM)
+    kw = dict(sm_scale=sm_scale, causal=causal, seq_len=seq_len, T=T, G=G,
+              D=D, window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_fwd_single_kernel, **kw)
+        tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),)
+        tab_specs = [_rope_tab_spec(T, lambda b, h: (0, 0))]
+    else:
+        kern = _no_tab(_fwd_single_kernel, 3, 1, **kw)
+        tab_ops, tab_specs = (), []
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_single_kernel, sm_scale=sm_scale, causal=causal,
-                          seq_len=seq_len, T=T, G=G, D=D, window=window,
-                          rope=rope, rope_base=rope_base),
+        kern,
         grid=(B, n_hblk),
-        in_specs=[spec(0), spec(n_hblk), spec(2 * n_hblk)],
+        in_specs=[spec(0), spec(n_hblk), spec(2 * n_hblk)] + tab_specs,
         out_specs=(
             pl.BlockSpec((1, T, W), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
@@ -368,14 +429,13 @@ def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret,
                          memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
                    jax.ShapeDtypeStruct((B, num_heads, T, LANES), jnp.float32)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+        compiler_params=_sems(rope, "parallel", "parallel"),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * B * num_heads * T * T * D),
             bytes_accessed=int(4 * B * T * C3 + 4 * B * T * C),
             transcendentals=int(B * num_heads * T * T)),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(qkv, qkv, qkv, *tab_ops)
     return out, lse
 
 
@@ -393,20 +453,26 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                           memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, G, T, LANES), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
+    kw = dict(sm_scale=sm_scale, causal=causal, seq_len=seq_len, T=T, G=G,
+              D=D, window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_bwd_single_kernel, **kw)
+        tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),)
+        tab_specs = [_rope_tab_spec(T, lambda b, h: (0, 0))]
+    else:
+        kern = _no_tab(_bwd_single_kernel, 6, 1, **kw)
+        tab_ops, tab_specs = (), []
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_single_kernel, sm_scale=sm_scale, causal=causal,
-                          seq_len=seq_len, T=T, G=G, D=D, window=window,
-                          rope=rope, rope_base=rope_base),
+        kern,
         grid=(B, n_hblk),
         in_specs=[spec(0), spec(n_hblk), spec(2 * n_hblk), c_spec, c_spec,
-                  lse_spec],
+                  lse_spec] + tab_specs,
         out_specs=(c_spec, c_spec, c_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((B, T, C), qkv.dtype)
                         for _ in range(3)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+        compiler_params=_sems(rope, "parallel", "parallel"),
         interpret=interpret,
-    )(qkv, qkv, qkv, out, do, lse)
+    )(qkv, qkv, qkv, out, do, lse, *tab_ops)
     return dq, dk, dv
 
 
@@ -414,10 +480,10 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T, G, D,
-                window=0, rope=False, rope_base=10000.0):
+                window=0, rope=False):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -437,10 +503,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         # per-score multiply on every (block_q, block_k) tile; in rope mode
         # the scale folds into the rotation's cos/sin for free
         if rope:
-            qf = _rope_rotate(q_ref[0], i_q * block_q, D, rope_base,
+            qf = _rope_rotate(q_ref[0], tq_ref[:], D,
                               scale=sm_scale).astype(q_ref.dtype)
-            kf = _rope_rotate(k_ref[0], i_kv * block_k, D,
-                              rope_base).astype(k_ref.dtype)
+            kf = _rope_rotate(k_ref[0], tk_ref[:], D).astype(k_ref.dtype)
         else:
             qf = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
             kf = k_ref[0]
@@ -547,15 +612,22 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
     n_hblk = num_heads // G
     n_q, n_kv = T // block_q, T // block_k
     grid = (B, n_hblk, n_q, n_kv)
-    kern = functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
-                             block_q=block_q, block_k=block_k, n_kv=n_kv,
-                             seq_len=seq_len, T=T, G=G, D=D, window=window,
-                             rope=rope, rope_base=rope_base)
+    kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
+              block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, G=G, D=D,
+              window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_fwd_kernel, **kw)
+        tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),) * 2
+        tab_specs = [_rope_tab_spec(block_q, lambda b, h, i, j: (i, 0)),
+                     _rope_tab_spec(block_k, lambda b, h, i, j: (j, 0))]
+    else:
+        kern = _no_tab(_fwd_kernel, 3, 2, **kw)
+        tab_ops, tab_specs = (), []
     q_spec, k_spec, v_spec = _qkv_specs(n_hblk, block_q, block_k, W, 0, 1)
     out, lse = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[q_spec, k_spec, v_spec],
+        in_specs=[q_spec, k_spec, v_spec] + tab_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, W), lambda b, h, i, j: (b, i, h),
                          memory_space=pltpu.VMEM),
@@ -567,15 +639,14 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
         scratch_shapes=[pltpu.VMEM((G, block_q, LANES), jnp.float32),
                         pltpu.VMEM((G, block_q, LANES), jnp.float32),
                         pltpu.VMEM((G, block_q, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+        compiler_params=_sems(rope, "parallel", "parallel", "parallel",
+                              "arbitrary"),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * B * num_heads * T * T * D * (0.5 if causal else 1.0)),
             bytes_accessed=int(4 * B * T * C3 + 4 * B * T * C),
             transcendentals=int(B * num_heads * T * T)),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(qkv, qkv, qkv, *tab_ops)
     return out, lse
 
 
@@ -584,9 +655,9 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
 # ---------------------------------------------------------------------------
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    tq_ref, tk_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, n_q, seq_len, T,
-                    G, D, window=0, rope=False, rope_base=10000.0):
+                    G, D, window=0, rope=False):
     i_kv, i_q = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_q == 0)
@@ -604,10 +675,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
         if rope:
-            qf = _rope_rotate(qf, i_q * block_q, D,
-                              rope_base).astype(qf.dtype)
-            kf = _rope_rotate(kf, i_kv * block_k, D,
-                              rope_base).astype(kf.dtype)
+            qf = _rope_rotate(qf, tq_ref[:], D).astype(qf.dtype)
+            kf = _rope_rotate(kf, tk_ref[:], D).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -678,18 +747,17 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         if rope:
             # accumulated dk is w.r.t. rotated k — inverse-rotate by the
             # K rows' own positions on the way out
-            dk = _rope_rotate(dk, i_kv * block_k, D, rope_base, inverse=True)
+            dk = _rope_rotate(dk, tk_ref[:], D, inverse=True)
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = jnp.concatenate([dv_scr[g] for g in range(G)],
                                     axis=-1).astype(dv_ref.dtype)
 
 
-def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
+def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, tab_ref,
                          dq_ref, dk_ref, dv_ref,
                          dq_scr, dk_scr, dv_scr,
                          *, sm_scale, causal, block_q, block_k, n_kv, n_q,
-                         seq_len, T, G, D, window=0, rope=False,
-                         rope_base=10000.0):
+                         seq_len, T, G, D, window=0, rope=False):
     """Single-kernel multi-tile backward: grid (B, hblk, kv, q).
 
     p is computed ONCE per (kv, q) tile and feeds dv/dk (accumulated per-kv
@@ -718,10 +786,14 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
         if rope:
-            qf = _rope_rotate(qf, i_q * block_q, D,
-                              rope_base).astype(qf.dtype)
-            kf = _rope_rotate(kf, i_kv * block_k, D,
-                              rope_base).astype(kf.dtype)
+            # ONE whole-sequence table ref (the dq epilogue spans all of T
+            # anyway — see _write_dq), sliced per block; it sits resident in
+            # VMEM (constant index map) and its bytes are counted by the
+            # COMBINED_BWD_VMEM_LIMIT admission in _bwd_parts
+            qf = _rope_rotate(qf, tab_ref[pl.ds(i_q * block_q, block_q)],
+                              D).astype(qf.dtype)
+            kf = _rope_rotate(kf, tab_ref[pl.ds(i_kv * block_k, block_k)],
+                              D).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -790,7 +862,8 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _write_dkv():
         dk = jnp.concatenate([dk_scr[g] for g in range(G)], axis=-1)
         if rope:
-            dk = _rope_rotate(dk, i_kv * block_k, D, rope_base, inverse=True)
+            dk = _rope_rotate(dk, tab_ref[pl.ds(i_kv * block_k, block_k)],
+                              D, inverse=True)
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = jnp.concatenate([dv_scr[g] for g in range(G)],
                                     axis=-1).astype(dv_ref.dtype)
@@ -799,15 +872,15 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _write_dq():
         dq = jnp.concatenate([dq_scr[g] for g in range(G)], axis=-1)
         if rope:
-            # whole-sequence dq scratch: rows span all of T, offset 0
-            dq = _rope_rotate(dq, 0, D, rope_base, inverse=True)
+            # whole-sequence dq scratch: rows span all of T
+            dq = _rope_rotate(dq, tab_ref[:], D, inverse=True)
         dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
-                   dq_ref, dq_scr,
+                   tq_ref, tk_ref, dq_ref, dq_scr,
                    *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                   G, D, window=0, rope=False, rope_base=10000.0):
+                   G, D, window=0, rope=False):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -824,10 +897,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
         if rope:
-            qf = _rope_rotate(qf, i_q * block_q, D,
-                              rope_base).astype(qf.dtype)
-            kf = _rope_rotate(kf, i_kv * block_k, D,
-                              rope_base).astype(kf.dtype)
+            qf = _rope_rotate(qf, tq_ref[:], D).astype(qf.dtype)
+            kf = _rope_rotate(kf, tk_ref[:], D).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -887,7 +958,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _finalize():
         dq = jnp.concatenate([dq_scr[g] for g in range(G)], axis=-1)
         if rope:
-            dq = _rope_rotate(dq, i_q * block_q, D, rope_base, inverse=True)
+            dq = _rope_rotate(dq, tq_ref[:], D, inverse=True)
         dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -914,8 +985,8 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     # layout the row specs require, cost ~400 MB of HBM write+read per
     # layer at GPT-2 B=32
 
-    semantics = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"))
+    semantics = _sems(rope, "parallel", "parallel", "parallel",
+                      "arbitrary")
 
     # dKV pass: grid (B, hblk, kv, q) — q is the sequential axis
     q_spec, k_spec, v_spec = _qkv_specs(n_hblk, block_q, block_k, W,
@@ -928,7 +999,12 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     kv_out_spec = pl.BlockSpec((1, block_k, W), lambda b, h, i, j: (b, i, h),
                                memory_space=pltpu.VMEM)
 
-    if G * T * D * 6 <= COMBINED_BWD_VMEM_LIMIT:
+    tab = _rope_table(T, D, rope_base, qkv.dtype) if rope else None
+    # the combined kernel's rope table is a whole-sequence VMEM resident
+    # (double-buffered by the pipeline like any input block) — count it
+    tab_bytes = 2 * T * 2 * LANES * qkv.dtype.itemsize if rope else 0
+
+    if G * T * D * 6 + tab_bytes <= COMBINED_BWD_VMEM_LIMIT:
         # combined single-pass backward: dq accumulates in a whole-sequence
         # VMEM scratch; p computed once per tile instead of twice
         dq_out_spec = pl.BlockSpec((1, T, W), lambda b, h, i, j: (b, 0, h),
@@ -939,18 +1015,23 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
         # one core would write a partial dq, the other's scratch is never
         # flushed.  The separate dKV/dQ kernels below only accumulate across
         # their innermost axis and keep the wider 'parallel' declaration.
-        combined_semantics = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary"))
+        combined_semantics = _sems(rope, "parallel", "parallel",
+                                   "arbitrary", "arbitrary")
+        kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
+                  block_k=block_k, n_kv=n_kv, n_q=n_q, seq_len=seq_len,
+                  T=T, G=G, D=D, window=window, rope=rope)
+        if rope:
+            kern = functools.partial(_bwd_combined_kernel, **kw)
+            tab_ops = (tab,)
+            tab_specs = [_rope_tab_spec(T, lambda b, h, i, j: (0, 0))]
+        else:
+            kern = _no_tab(_bwd_combined_kernel, 6, 1, **kw)
+            tab_ops, tab_specs = (), []
         dq, dk, dv = pl.pallas_call(
-            functools.partial(_bwd_combined_kernel, sm_scale=sm_scale,
-                              causal=causal, block_q=block_q,
-                              block_k=block_k, n_kv=n_kv, n_q=n_q,
-                              seq_len=seq_len, T=T, G=G, D=D,
-                              window=window, rope=rope,
-                              rope_base=rope_base),
+            kern,
             grid=(B, n_hblk, n_kv, n_q),
-            in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
+            in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec]
+                     + tab_specs,
             out_specs=(dq_out_spec, kv_out_spec, kv_out_spec),
             out_shape=tuple(jax.ShapeDtypeStruct((B, T, C), qkv.dtype)
                             for _ in range(3)),
@@ -959,16 +1040,26 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                             pltpu.VMEM((G, block_k, D), jnp.float32)],
             compiler_params=combined_semantics,
             interpret=interpret,
-        )(qkv, qkv, qkv, do, lse, out)
+        )(qkv, qkv, qkv, do, lse, out, *tab_ops)
         return dq, dk, dv
 
+    kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
+              block_k=block_k, n_q=n_q, seq_len=seq_len, T=T, G=G, D=D,
+              window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_bwd_dkv_kernel, **kw)
+        tab_ops = (tab, tab)
+        # grid (B, hblk, kv, q): grid dim 3 (j) is the q-block index
+        tab_specs = [_rope_tab_spec(block_q, lambda b, h, i, j: (j, 0)),
+                     _rope_tab_spec(block_k, lambda b, h, i, j: (i, 0))]
+    else:
+        kern = _no_tab(_bwd_dkv_kernel, 6, 2, **kw)
+        tab_ops, tab_specs = (), []
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
-                          block_q=block_q, block_k=block_k, n_q=n_q,
-                          seq_len=seq_len, T=T, G=G, D=D, window=window,
-                          rope=rope, rope_base=rope_base),
+        kern,
         grid=(B, n_hblk, n_kv, n_q),
-        in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
+        in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec]
+                 + tab_specs,
         out_specs=(kv_out_spec, kv_out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
                    jax.ShapeDtypeStruct((B, T, C), qkv.dtype)),
@@ -976,7 +1067,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                         pltpu.VMEM((G, block_k, D), jnp.float32)],
         compiler_params=semantics,
         interpret=interpret,
-    )(qkv, qkv, qkv, do, lse, out)
+    )(qkv, qkv, qkv, do, lse, out, *tab_ops)
 
     # dQ pass: grid (B, hblk, q, kv) — kv is the sequential axis
     q_spec2, k_spec2, v_spec2 = _qkv_specs(n_hblk, block_q, block_k, W,
@@ -986,19 +1077,28 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     row_spec2 = pl.BlockSpec((1, G, block_q, LANES),
                              lambda b, h, i, j: (b, h, i, 0),
                              memory_space=pltpu.VMEM)
+    kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
+              block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, G=G, D=D,
+              window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_bwd_dq_kernel, **kw)
+        tab_ops = (tab, tab)
+        tab_specs = [_rope_tab_spec(block_q, lambda b, h, i, j: (i, 0)),
+                     _rope_tab_spec(block_k, lambda b, h, i, j: (j, 0))]
+    else:
+        kern = _no_tab(_bwd_dq_kernel, 6, 2, **kw)
+        tab_ops, tab_specs = (), []
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
-                          block_q=block_q, block_k=block_k, n_kv=n_kv,
-                          seq_len=seq_len, T=T, G=G, D=D, window=window,
-                          rope=rope, rope_base=rope_base),
+        kern,
         grid=(B, n_hblk, n_q, n_kv),
-        in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, do_spec2],
+        in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, do_spec2]
+                 + tab_specs,
         out_specs=do_spec2,
         out_shape=jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((G, block_q, D), jnp.float32)],
         compiler_params=semantics,
         interpret=interpret,
-    )(qkv, qkv, qkv, do, lse, out)
+    )(qkv, qkv, qkv, do, lse, out, *tab_ops)
     return dq, dk, dv
 
 
@@ -1056,12 +1156,13 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
 
     rope=True applies rotary position embeddings (positions 0..T-1) to the
     q/k thirds INSIDE the kernels (`_rope_rotate`): the rotation happens on
-    tiles already in VMEM (cos/sin recomputed from iota on the VPU, zero
-    table traffic), the backward recompute rotates the same way, and the
-    dq/dk gradients are inverse-rotated on the way out — so the caller
-    passes UNROTATED qkv and receives gradients in unrotated space.
-    Replaces the ~42 ms/step of full-width apply_rope HBM passes + packed
-    concats at GPT-2 124M B=32."""
+    tiles already in VMEM using a streamed (T, 256) [cos|sin] position
+    table (`_rope_table` — computed once per step in XLA; in-kernel iota
+    trig measured 48 ms/step at GPT-2 124M B=32, the table stream ~3 ms),
+    the backward recompute rotates the same way, and the dq/dk gradients
+    are inverse-rotated on the way out — so the caller passes UNROTATED
+    qkv and receives gradients in unrotated space.  Replaces the
+    ~42 ms/step of full-width apply_rope HBM passes + packed concats."""
     assert causal or not window, "sliding-window attention is causal-only"
     B, T, C3 = qkv.shape
     C = C3 // 3

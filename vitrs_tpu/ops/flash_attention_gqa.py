@@ -46,8 +46,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import (LANES, MASK_VALUE, _mask, _rope_rotate,
-                              _tile_overlaps_band, _band_crosses_tile)
+from .flash_attention import (LANES, MASK_VALUE, _mask, _no_tab,
+                              _rope_rotate, _rope_tab_spec, _rope_table,
+                              _sems, _tile_overlaps_band, _band_crosses_tile)
 
 # Combined single-pass backward admission budget (bytes of estimated
 # per-cell VMEM, see _bwd_parts).  13 MB leaves ~3 MB of the 16 MB scoped
@@ -181,15 +182,16 @@ def _bwd_chunk(QH: int, block: int) -> int:
 # single-tile fast path (T fits one block)
 # ---------------------------------------------------------------------------
 
-def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_single_kernel(q_ref, k_ref, v_ref, tab_ref, o_ref, lse_ref,
                        *, sm_scale, causal, seq_len, T, QH, R, D, chunk,
-                       window=0, rope=False, rope_base=10000.0):
+                       window=0, rope=False):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
     if rope:
         # phantom K lanes (kv_heads·D < 128) hold zeros and the rotation
         # only mixes lanes within one D-lane head — they stay zero
-        qf = _rope_rotate(qf, 0, D, rope_base).astype(qf.dtype)
-        kf = _rope_rotate(kf, 0, D, rope_base).astype(kf.dtype)
+        tab = tab_ref[:]
+        qf = _rope_rotate(qf, tab, D).astype(qf.dtype)
+        kf = _rope_rotate(kf, tab, D).astype(kf.dtype)
     need_mask = causal or seq_len != T
     if need_mask:
         msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
@@ -224,14 +226,15 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, tab_ref,
                        dq_ref, dk_ref, dv_ref,
                        *, sm_scale, causal, seq_len, T, QH, R, D, KVB, chunk,
-                       window=0, rope=False, rope_base=10000.0):
+                       window=0, rope=False):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
     if rope:
-        qf = _rope_rotate(qf, 0, D, rope_base).astype(qf.dtype)
-        kf = _rope_rotate(kf, 0, D, rope_base).astype(kf.dtype)
+        tab = tab_ref[:]
+        qf = _rope_rotate(qf, tab, D).astype(qf.dtype)
+        kf = _rope_rotate(kf, tab, D).astype(kf.dtype)
     of, dof = o_ref[0], do_ref[0]
     need_mask = causal or seq_len != T
     if need_mask:
@@ -283,8 +286,8 @@ def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     dk = jnp.concatenate([zero if a is None else a for a in dk_acc], axis=-1)
     if rope:
         # dq/dk are w.r.t. the rotated q/k — inverse-rotate on the way out
-        dq = _rope_rotate(dq, 0, D, rope_base, inverse=True)
-        dk = _rope_rotate(dk, 0, D, rope_base, inverse=True)
+        dq = _rope_rotate(dq, tab, D, inverse=True)
+        dk = _rope_rotate(dk, tab, D, inverse=True)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(
@@ -328,13 +331,19 @@ def _fwd_single(qkv, num_heads, kv_heads, head_dim, sm_scale, causal,
     chunk = min(6 if T <= 256 else 3, QH)
     q_spec, k_spec, v_spec = _gqa_specs(n_kvblk, Wq, C, kvd_pad, T, T,
                                         0, 0, ndim4=False)
+    kw = dict(sm_scale=sm_scale, causal=causal, seq_len=seq_len, T=T, QH=QH,
+              R=R, D=D, chunk=chunk, window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_fwd_single_kernel, **kw)
+        tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),)
+        tab_specs = [_rope_tab_spec(T, lambda b, h: (0, 0))]
+    else:
+        kern = _no_tab(_fwd_single_kernel, 3, 1, **kw)
+        tab_ops, tab_specs = (), []
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_single_kernel, sm_scale=sm_scale,
-                          causal=causal, seq_len=seq_len, T=T, QH=QH, R=R,
-                          D=D, chunk=chunk, window=window, rope=rope,
-                          rope_base=rope_base),
+        kern,
         grid=(B, n_kvblk),
-        in_specs=[q_spec, k_spec, v_spec],
+        in_specs=[q_spec, k_spec, v_spec] + tab_specs,
         out_specs=(
             pl.BlockSpec((1, T, Wq), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
@@ -342,14 +351,13 @@ def _fwd_single(qkv, num_heads, kv_heads, head_dim, sm_scale, causal,
                          memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
                    jax.ShapeDtypeStruct((B, num_heads, T, LANES), jnp.float32)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+        compiler_params=_sems(rope, "parallel", "parallel"),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * B * num_heads * T * T * D),
             bytes_accessed=int(2 * B * T * (C + 2 * kvd_pad) + 2 * B * T * C),
             transcendentals=int(B * num_heads * T * T)),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(qkv, qkv, qkv, *tab_ops)
     return out, lse
 
 
@@ -370,21 +378,27 @@ def _bwd_single(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
                           memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, QH, T, LANES), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
+    kw = dict(sm_scale=sm_scale, causal=causal, seq_len=seq_len, T=T, QH=QH,
+              R=R, D=D, KVB=KVB, chunk=chunk, window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_bwd_single_kernel, **kw)
+        tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),)
+        tab_specs = [_rope_tab_spec(T, lambda b, h: (0, 0))]
+    else:
+        kern = _no_tab(_bwd_single_kernel, 6, 1, **kw)
+        tab_ops, tab_specs = (), []
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_single_kernel, sm_scale=sm_scale,
-                          causal=causal, seq_len=seq_len, T=T, QH=QH, R=R,
-                          D=D, KVB=KVB, chunk=chunk, window=window,
-                          rope=rope, rope_base=rope_base),
+        kern,
         grid=(B, n_kvblk),
-        in_specs=[q_spec, k_spec, v_spec, c_spec, c_spec, lse_spec],
+        in_specs=[q_spec, k_spec, v_spec, c_spec, c_spec, lse_spec]
+                 + tab_specs,
         out_specs=(c_spec, kv_out, kv_out),
         out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
                    jax.ShapeDtypeStruct((B, T, kvd_pad), qkv.dtype),
                    jax.ShapeDtypeStruct((B, T, kvd_pad), qkv.dtype)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+        compiler_params=_sems(rope, "parallel", "parallel"),
         interpret=interpret,
-    )(qkv, qkv, qkv, out, do, lse)
+    )(qkv, qkv, qkv, out, do, lse, *tab_ops)
     return dq, dk, dv
 
 
@@ -392,9 +406,10 @@ def _bwd_single(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
 # multi-tile forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                QH, R, D, chunk, window=0, rope=False, rope_base=10000.0):
+                QH, R, D, chunk, window=0, rope=False):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -412,10 +427,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     def _compute():
         if rope:
             # scale folds into the rotation's cos/sin for free
-            qf = _rope_rotate(q_ref[0], i_q * block_q, D, rope_base,
+            qf = _rope_rotate(q_ref[0], tq_ref[:], D,
                               scale=sm_scale).astype(q_ref.dtype)
-            kf = _rope_rotate(k_ref[0], i_kv * block_k, D,
-                              rope_base).astype(k_ref.dtype)
+            kf = _rope_rotate(k_ref[0], tk_ref[:], D).astype(k_ref.dtype)
         else:
             qf = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
             kf = k_ref[0]
@@ -504,13 +518,21 @@ def _fwd(qkv, num_heads, kv_heads, head_dim, sm_scale, causal, seq_len,
     n_q, n_kv = T // block_q, T // block_k
     q_spec, k_spec, v_spec = _gqa_specs(n_kvblk, Wq, C, kvd_pad, block_q,
                                         block_k, q_grid_dim=0, kv_grid_dim=1)
+    kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
+              block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, QH=QH, R=R,
+              D=D, chunk=chunk, window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_fwd_kernel, **kw)
+        tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),) * 2
+        tab_specs = [_rope_tab_spec(block_q, lambda b, h, i, j: (i, 0)),
+                     _rope_tab_spec(block_k, lambda b, h, i, j: (j, 0))]
+    else:
+        kern = _no_tab(_fwd_kernel, 3, 2, **kw)
+        tab_ops, tab_specs = (), []
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
-                          block_q=block_q, block_k=block_k, n_kv=n_kv,
-                          seq_len=seq_len, T=T, QH=QH, R=R, D=D, chunk=chunk,
-                          window=window, rope=rope, rope_base=rope_base),
+        kern,
         grid=(B, n_kvblk, n_q, n_kv),
-        in_specs=[q_spec, k_spec, v_spec],
+        in_specs=[q_spec, k_spec, v_spec] + tab_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, Wq), lambda b, h, i, j: (b, i, h),
                          memory_space=pltpu.VMEM),
@@ -522,15 +544,14 @@ def _fwd(qkv, num_heads, kv_heads, head_dim, sm_scale, causal, seq_len,
         scratch_shapes=[pltpu.VMEM((QH, block_q, LANES), jnp.float32),
                         pltpu.VMEM((QH, block_q, LANES), jnp.float32),
                         pltpu.VMEM((QH, block_q, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+        compiler_params=_sems(rope, "parallel", "parallel", "parallel",
+                              "arbitrary"),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * B * num_heads * T * T * D * (0.5 if causal else 1.0)),
             bytes_accessed=int(2 * B * T * (C + 2 * kvd_pad) + 2 * B * T * C),
             transcendentals=int(B * num_heads * T * T)),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(qkv, qkv, qkv, *tab_ops)
     return out, lse
 
 
@@ -590,10 +611,9 @@ def _edge_dispatch(body, causal, window, has_pad, i_q, i_kv, block_q,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    tq_ref, tk_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, n_q, seq_len, T,
-                    QH, R, D, KVB, chunk, window=0, rope=False,
-                    rope_base=10000.0):
+                    QH, R, D, KVB, chunk, window=0, rope=False):
     i_kv, i_q = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_q == 0)
@@ -611,10 +631,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
         if rope:
-            qf = _rope_rotate(qf, i_q * block_q, D,
-                              rope_base).astype(qf.dtype)
-            kf = _rope_rotate(kf, i_kv * block_k, D,
-                              rope_base).astype(kf.dtype)
+            qf = _rope_rotate(qf, tq_ref[:], D).astype(qf.dtype)
+            kf = _rope_rotate(kf, tk_ref[:], D).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -641,16 +659,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _finalize():
         dk = jnp.concatenate([dk_scr[k] for k in range(KVB)], axis=-1)
         if rope:
-            dk = _rope_rotate(dk, i_kv * block_k, D, rope_base, inverse=True)
+            dk = _rope_rotate(dk, tk_ref[:], D, inverse=True)
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = jnp.concatenate([dv_scr[k] for k in range(KVB)],
                                     axis=-1).astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
-                   dq_ref, dq_scr,
+                   tq_ref, tk_ref, dq_ref, dq_scr,
                    *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                   QH, R, D, chunk, window=0, rope=False, rope_base=10000.0):
+                   QH, R, D, chunk, window=0, rope=False):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -667,10 +685,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
         if rope:
-            qf = _rope_rotate(qf, i_q * block_q, D,
-                              rope_base).astype(qf.dtype)
-            kf = _rope_rotate(kf, i_kv * block_k, D,
-                              rope_base).astype(kf.dtype)
+            qf = _rope_rotate(qf, tq_ref[:], D).astype(qf.dtype)
+            kf = _rope_rotate(kf, tk_ref[:], D).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -693,15 +709,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _finalize():
         dq = jnp.concatenate([dq_scr[g] for g in range(QH)], axis=-1)
         if rope:
-            dq = _rope_rotate(dq, i_q * block_q, D, rope_base, inverse=True)
+            dq = _rope_rotate(dq, tq_ref[:], D, inverse=True)
         dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
-                         dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
+                         tab_ref, dq_ref, dk_ref, dv_ref,
+                         dq_scr, dk_scr, dv_scr,
                          *, sm_scale, causal, block_q, block_k, n_kv, n_q,
                          seq_len, T, QH, R, D, KVB, chunk, window=0,
-                         rope=False, rope_base=10000.0):
+                         rope=False):
     """Single-pass GQA backward: grid (B, kvblk, kv, q); p computed once per
     tile feeds dk/dv (per-KV-HEAD block scratch) and dq (whole-sequence
     (QH, T, D) scratch persisting across the kv sweep)."""
@@ -726,10 +743,12 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
         if rope:
-            qf = _rope_rotate(qf, i_q * block_q, D,
-                              rope_base).astype(qf.dtype)
-            kf = _rope_rotate(kf, i_kv * block_k, D,
-                              rope_base).astype(kf.dtype)
+            # one whole-sequence table ref, sliced per block (the dq
+            # epilogue spans all of T); counted by the admission estimate
+            qf = _rope_rotate(qf, tab_ref[pl.ds(i_q * block_q, block_q)],
+                              D).astype(qf.dtype)
+            kf = _rope_rotate(kf, tab_ref[pl.ds(i_kv * block_k, block_k)],
+                              D).astype(kf.dtype)
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
@@ -762,7 +781,8 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _write_dkv():
         dk = jnp.concatenate([dk_scr[k] for k in range(KVB)], axis=-1)
         if rope:
-            dk = _rope_rotate(dk, i_kv * block_k, D, rope_base, inverse=True)
+            dk = _rope_rotate(dk, tab_ref[pl.ds(i_kv * block_k, block_k)],
+                              D, inverse=True)
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = jnp.concatenate([dv_scr[k] for k in range(KVB)],
                                     axis=-1).astype(dv_ref.dtype)
@@ -771,8 +791,8 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     def _write_dq():
         dq = jnp.concatenate([dq_scr[g] for g in range(QH)], axis=-1)
         if rope:
-            # whole-sequence dq scratch: rows span all of T, offset 0
-            dq = _rope_rotate(dq, 0, D, rope_base, inverse=True)
+            # whole-sequence dq scratch: rows span all of T
+            dq = _rope_rotate(dq, tab_ref[:], D, inverse=True)
         dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -801,8 +821,8 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
     Wq = QH * D
     chunk = _bwd_chunk(QH, block_q)
     n_q, n_kv = T // block_q, T // block_k
-    semantics = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"))
+    semantics = _sems(rope, "parallel", "parallel", "parallel",
+                      "arbitrary")
 
     # dKV pass: grid (B, kvblk, kv, q) — q sequential
     q_spec, k_spec, v_spec = _gqa_specs(n_kvblk, Wq, C, kvd_pad, block_q,
@@ -815,6 +835,8 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
     kv_out_spec = pl.BlockSpec((1, block_k, LANES),
                                lambda b, h, i, j: (b, i, h),
                                memory_space=pltpu.VMEM)
+
+    tab = _rope_table(T, D, rope_base, qkv.dtype) if rope else None
 
     # combined single-pass admission: a REAL per-cell VMEM estimate — the
     # MHA kernel's 6-bytes/elem rule under-counts the QH-scaled lse block
@@ -829,21 +851,29 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
                   + 3 * block_q * Wq * 2                # q/do/o
                   + 2 * block_k * LANES * 2             # k/v
                   + 2 * block_k * LANES * 2))           # dk/dv out
+    if rope:
+        est += 2 * T * 2 * LANES * qkv.dtype.itemsize  # whole-seq rope table
     if est <= COMBINED_GQA_BUDGET:
         dq_out_spec = pl.BlockSpec((1, T, Wq), lambda b, h, i, j: (b, 0, h),
                                    memory_space=pltpu.VMEM)
-        combined_semantics = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary"))
+        combined_semantics = _sems(rope, "parallel", "parallel",
+                                   "arbitrary", "arbitrary")
+        kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
+                  block_k=block_k, n_kv=n_kv, n_q=n_q, seq_len=seq_len,
+                  T=T, QH=QH, R=R, D=D, KVB=KVB, chunk=chunk, window=window,
+                  rope=rope)
+        if rope:
+            kern = functools.partial(_bwd_combined_kernel, **kw)
+            tab_ops = (tab,)
+            tab_specs = [_rope_tab_spec(T, lambda b, h, i, j: (0, 0))]
+        else:
+            kern = _no_tab(_bwd_combined_kernel, 6, 1, **kw)
+            tab_ops, tab_specs = (), []
         dq, dk, dv = pl.pallas_call(
-            functools.partial(_bwd_combined_kernel, sm_scale=sm_scale,
-                              causal=causal, block_q=block_q,
-                              block_k=block_k, n_kv=n_kv, n_q=n_q,
-                              seq_len=seq_len, T=T, QH=QH, R=R, D=D, KVB=KVB,
-                              chunk=chunk, window=window, rope=rope,
-                              rope_base=rope_base),
+            kern,
             grid=(B, n_kvblk, n_kv, n_q),
-            in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
+            in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec]
+                     + tab_specs,
             out_specs=(dq_out_spec, kv_out_spec, kv_out_spec),
             out_shape=(jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
                        jax.ShapeDtypeStruct((B, T, kvd_pad), qkv.dtype),
@@ -853,17 +883,26 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
                             pltpu.VMEM((KVB, block_k, D), jnp.float32)],
             compiler_params=combined_semantics,
             interpret=interpret,
-        )(qkv, qkv, qkv, do, lse, out)
+        )(qkv, qkv, qkv, do, lse, out, *tab_ops)
         return dq, dk, dv
 
+    kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
+              block_k=block_k, n_q=n_q, seq_len=seq_len, T=T, QH=QH, R=R,
+              D=D, KVB=KVB, chunk=chunk, window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_bwd_dkv_kernel, **kw)
+        tab_ops = (tab, tab)
+        # grid (B, kvblk, kv, q): grid dim 3 (j) is the q-block index
+        tab_specs = [_rope_tab_spec(block_q, lambda b, h, i, j: (j, 0)),
+                     _rope_tab_spec(block_k, lambda b, h, i, j: (i, 0))]
+    else:
+        kern = _no_tab(_bwd_dkv_kernel, 6, 2, **kw)
+        tab_ops, tab_specs = (), []
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
-                          block_q=block_q, block_k=block_k, n_q=n_q,
-                          seq_len=seq_len, T=T, QH=QH, R=R, D=D, KVB=KVB,
-                          chunk=chunk, window=window, rope=rope,
-                          rope_base=rope_base),
+        kern,
         grid=(B, n_kvblk, n_kv, n_q),
-        in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec],
+        in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec]
+                 + tab_specs,
         out_specs=(kv_out_spec, kv_out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, T, kvd_pad), qkv.dtype),
                    jax.ShapeDtypeStruct((B, T, kvd_pad), qkv.dtype)),
@@ -871,7 +910,7 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
                         pltpu.VMEM((KVB, block_k, D), jnp.float32)],
         compiler_params=semantics,
         interpret=interpret,
-    )(qkv, qkv, qkv, do, lse, out)
+    )(qkv, qkv, qkv, do, lse, out, *tab_ops)
 
     # dQ pass: grid (B, kvblk, q, kv) — kv sequential
     q_spec2, k_spec2, v_spec2 = _gqa_specs(n_kvblk, Wq, C, kvd_pad, block_q,
@@ -882,17 +921,26 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
     row_spec2 = pl.BlockSpec((1, QH, block_q, LANES),
                              lambda b, h, i, j: (b, h, i, 0),
                              memory_space=pltpu.VMEM)
+    kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
+              block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, QH=QH, R=R,
+              D=D, chunk=chunk, window=window, rope=rope)
+    if rope:
+        kern = functools.partial(_bwd_dq_kernel, **kw)
+        tab_ops = (tab, tab)
+        tab_specs = [_rope_tab_spec(block_q, lambda b, h, i, j: (i, 0)),
+                     _rope_tab_spec(block_k, lambda b, h, i, j: (j, 0))]
+    else:
+        kern = _no_tab(_bwd_dq_kernel, 6, 2, **kw)
+        tab_ops, tab_specs = (), []
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
-                          block_q=block_q, block_k=block_k, n_kv=n_kv,
-                          seq_len=seq_len, T=T, QH=QH, R=R, D=D, chunk=chunk,
-                          window=window, rope=rope, rope_base=rope_base),
+        kern,
         grid=(B, n_kvblk, n_q, n_kv),
-        in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, do_spec2],
+        in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, do_spec2]
+                 + tab_specs,
         out_specs=do_spec2,
         out_shape=jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((QH, block_q, D), jnp.float32)],
         compiler_params=semantics,
         interpret=interpret,
-    )(qkv, qkv, qkv, do, lse, out)
+    )(qkv, qkv, qkv, do, lse, out, *tab_ops)
     return dq, dk, dv
