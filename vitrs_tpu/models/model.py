@@ -43,10 +43,10 @@ def _project_and_attend(ln1: jax.Array, p: Dict[str, jax.Array],
     if (cfg.use_flash and not cfg.quirks and _flash_available()
             and padded_num_heads(cfg.num_heads, D) is not None):
         # one fused projection+attention op for every variant: rope rotates
-        # between the projection and the kernel inside the op (inverse
-        # rotation in its VJP); GQA projects SMALL and expands K/V
-        # activations (measured faster than group-expanded weights — the
-        # 44%-smaller projection matmul wins, CLAUDE.md negatives #3)
+        # INSIDE the flash kernels (streamed cos/sin table; inverse
+        # rotation in the flush epilogues); GQA projects SMALL and expands
+        # K/V activations (measured faster than group-expanded weights —
+        # the 44%-smaller projection matmul wins, CLAUDE.md negatives #3)
         from ..ops.fused_qkv_attention import qkv_attention
         return qkv_attention(ln1, p["qkvw"], p["qkvb"], cfg.num_heads,
                              causal, False, cfg.window, rope,

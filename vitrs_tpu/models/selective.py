@@ -112,21 +112,22 @@ def attn_branch(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
     projection is C + 2*kv_dim wide and K/V are expanded to the full head
     count before the kernel (the expansion is recomputed in backward — it
     is free relative to the matmuls, and the saved out+lse stay (B,T,C)).
-    rope=True rotates q/k post-projection (recomputed in backward; the VJP
-    transpose is the inverse rotation — R is orthogonal)."""
+    rope=True rotates q/k INSIDE the flash kernels (streamed-table path;
+    dq/dk come back inverse-rotated from the kernel epilogues); the dense
+    fallback rotates post-projection."""
     out, _ = _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
                               num_heads, causal, interpret, allow_flash,
                               kv_heads, rope, window)
     return out
 
 
-def _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope=False):
+def _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D):
     """Recomputable projection: returns padded packed (B, T, 3·H·D).
     MHA pads at the WEIGHT level (phantom rows come straight off the MXU);
     GQA projects with the raw (C+2kv_dim, C) weight, expands K/V on the
     activations, then pads each third (flash_attention_qkv's own trick).
-    rope rotates the q/k thirds at the padded width (phantom zeros rotate
-    to zeros; rotate-then-repeat == repeat-then-rotate for shared KV)."""
+    rope needs no handling here: rotation lives INSIDE the flash kernels
+    (streamed-table path), so the recomputed projection stays unrotated."""
     C = num_heads * D
     Cp = H * D
     if not kv_heads or kv_heads == num_heads:
@@ -141,13 +142,6 @@ def _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope=False):
             qkv = jnp.concatenate(
                 [t for i in range(3)
                  for t in (qkv[:, :, i * C:(i + 1) * C], pad)], axis=-1)
-    if rope:
-        from ..ops.rope import apply_rope
-        pos = jnp.arange(qkv.shape[1])
-        qkv = jnp.concatenate(
-            [apply_rope(qkv[..., :Cp], pos, H),
-             apply_rope(qkv[..., Cp:2 * Cp], pos, H),
-             qkv[..., 2 * Cp:]], axis=-1)
     return qkv
 
 
@@ -170,19 +164,22 @@ def _attn_branch_fwd(x, ln1w, ln1b, qkvw, qkvb, attprojw, attprojb,
     if _native_gqa(num_heads, kv_heads, D):
         # GQA-native kernels: small projection, K/V at kv width in kernel
         # (ops/flash_attention_gqa.py) — no activation expansion to
-        # recompute in backward either
+        # recompute in backward either.  rope rotates INSIDE the kernels
+        # (streamed-table path, ops/flash_attention._rope_table): the
+        # projection emits unrotated activations and the grads come back
+        # unrotated, so the recompute is rotation-free too
         qkv = FG.project_gqa_packed(ln1, qkvw, qkvb, num_heads, kv_heads,
-                                    D, rope)
+                                    D, rope=False)
         bq0, bk0 = FG.gqa_blocks(num_heads, kv_heads, D)
         qkv_k, bq, bk = FA.prep_blocks(qkv, bq0, bk0)
         out, lse = FG._fwd(qkv_k, num_heads, kv_heads, D, sm_scale, causal,
-                           T, bq, bk, interpret, window)
+                           T, bq, bk, interpret, window, rope=rope)
     else:
-        qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope)
+        qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D)
         qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q,
                                        FA.DEFAULT_BLOCK_K)
         out, lse = FA._fwd(qkv_k, H, sm_scale, causal, T, bq, bk, interpret,
-                           window)
+                           window, rope=rope)
     atty = out[:, :T, :C]
     branch = basic.linear(atty, attprojw, attprojb)
     res = (x, ln1w, ln1b, qkvw, qkvb, attprojw, mean, rstd,
@@ -212,11 +209,11 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
     ln1 = _norm_from_stats(x, ln1w, ln1b, mean, rstd)
     if native:
         qkv = FG.project_gqa_packed(ln1, qkvw, qkvb, num_heads, kv_heads,
-                                    D, rope)
+                                    D, rope=False)
         bq0, bk0 = FG.gqa_blocks(num_heads, kv_heads, D)
         qkv_k, bq, bk = FA.prep_blocks(qkv, bq0, bk0)
     else:
-        qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D, rope)
+        qkv = _packed_qkv(ln1, qkvw, qkvb, num_heads, kv_heads, H, D)
         qkv_k, bq, bk = FA.prep_blocks(qkv, FA.DEFAULT_BLOCK_Q,
                                        FA.DEFAULT_BLOCK_K)
     assert qkv_k.shape[1] == T_pad, (qkv_k.shape, T_pad)
@@ -241,29 +238,18 @@ def _attn_branch_bwd(num_heads, causal, interpret, allow_flash, kv_heads,
     if native:
         dq, dk, dv = FG._bwd_parts(qkv_k, num_heads, kv_heads, D, out, lse,
                                    do, sm_scale, causal, T, bq, bk,
-                                   interpret, window)
+                                   interpret, window, rope=rope)
         kvd = kv_heads * D
         dq = dq[:, :T, :C]
         dk, dv = dk[:, :T, :kvd], dv[:, :T, :kvd]
-        if rope:
-            from ..ops.rope import apply_rope
-            pos = jnp.arange(T)
-            dq = apply_rope(dq, pos, num_heads, inverse=True)
-            dk = apply_rope(dk, pos, kv_heads, inverse=True)
         from ..ops.fused_qkv_attention import qkv_projection_bwd
         dln1, dqkvw, dqkvb = qkv_projection_bwd(dq, dk, dv, ln1, qkvw)
         dx, dln1w, dln1b = basic.layernorm_bwd_from_stats(
             x, ln1w, mean, rstd, dln1)
         return dx, dln1w, dln1b, dqkvw, dqkvb, dattprojw, dattprojb
     dq, dk, dv = FA._bwd_parts(qkv_k, H, out, lse, do, sm_scale, causal,
-                               T, bq, bk, interpret, window)
+                               T, bq, bk, interpret, window, rope=rope)
     dq, dk, dv = (g[:, :T, :C] for g in (dq, dk, dv))
-    if rope:
-        # pull dq/dk back through the rotation (R orthogonal: VJP = R(−θ))
-        from ..ops.rope import apply_rope
-        pos = jnp.arange(T)
-        dq = apply_rope(dq, pos, num_heads, inverse=True)
-        dk = apply_rope(dk, pos, num_heads, inverse=True)
     if kv_heads and kv_heads != num_heads:
         # GQA: the expansion's transpose — sum each query group's dk/dv
         # back onto its shared KV head

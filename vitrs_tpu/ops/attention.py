@@ -27,16 +27,29 @@ def _flash_available() -> bool:
 
 def attention(qkv: jax.Array, num_heads: int, causal: bool = True,
               quirks: bool = False, use_flash: bool = True,
-              window: int = 0) -> jax.Array:
+              window: int = 0, rope: bool = False) -> jax.Array:
     """Multi-head attention over packed qkv (B, T, 3C) -> (B, T, C).
-    window > 0 (causal only) = sliding-window attention."""
+    window > 0 (causal only) = sliding-window attention.
+
+    rope=True takes UNROTATED qkv and applies rotary embeddings at
+    positions 0..T-1 — inside the flash kernels on the Pallas path
+    (streamed-table rotation, ops/flash_attention._rope_table; dq/dk come
+    back inverse-rotated), via an explicit rope_qk pass on the dense path.
+    One contract for both, so callers (e.g. the TP block) never rotate."""
     assert causal or not window, "sliding-window attention is causal-only"
     if quirks or not use_flash or not _flash_available():
+        if rope:
+            from .rope import rope_qk
+            C = num_heads * (qkv.shape[-1] // (3 * num_heads))
+            q, k = rope_qk(qkv[..., :C], qkv[..., C:2 * C],
+                           jnp.arange(qkv.shape[1]), num_heads, num_heads)
+            qkv = jnp.concatenate([q, k, qkv[..., 2 * C:]], axis=-1)
         out, _ = basic.attention_dense(qkv, num_heads, causal=causal,
                                        quirks=quirks, window=window)
         return out
     from .flash_attention import flash_attention_qkv
-    return flash_attention_qkv(qkv, num_heads, causal=causal, window=window)
+    return flash_attention_qkv(qkv, num_heads, causal=causal, window=window,
+                               rope=rope)
 
 
 def expand_kv_heads(kv: jax.Array, kv_heads: int, num_heads: int) -> jax.Array:

@@ -58,15 +58,38 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 MASK_VALUE = -1e30
 LANES = 128
-# Combined single-pass multi-tile backward holds a whole-sequence (G, T, D)
-# fp32 dq scratch PLUS the (T, G*D) bf16 dq output block it flushes into in
-# VMEM (6 bytes/element total); above this byte budget fall back to the
-# two-kernel (dKV + dQ) decomposition.  2.5 MB admits T<=2048 at GPT-2
-# shape (1.57 MB) and rejects T=4096 (3.14 MB — which blew the 16 MB
-# scoped-vmem stack by 424 KB when forced; note 3.14 MB == 3<<20 exactly,
-# so a 3 MB budget would re-admit it).  Module-level so tests can force
-# either path.
-COMBINED_BWD_VMEM_LIMIT = 5 << 19
+# Multi-tile backward runs with a 32 MB Mosaic scoped-vmem stack (the
+# 16 MB default is a compiler knob, not hardware — v5e VMEM is 128 MB):
+# that admits the G=4 phase-split backward (more independent head chains
+# for MXU/VPU overlap; did not compile at 16 MB) and the whole-sequence
+# combined kernel out to T=8192.  Measured at GPT-2 124M (ms/step or
+# tok/s, B as in BASELINE.md): T=1024 226.8 -> 225.0; T=2048 119.6k ->
+# 121.3k; T=4096 82.5k -> 96.3k (combined admitted, was pair); T=8192
+# 54.6k -> 66.4k.  64 MB measured no better than 32 (T=4096: 95.5 vs
+# 96.3k).
+BWD_VMEM_LIMIT = 32 << 20
+# Combined single-pass admission: _combined_bwd_est's per-cell VMEM
+# estimate against this budget (0 forces the dKV/dQ pair — tests).
+# Calibration at D=64, block 512 under the 32 MB stack: G=4/T=2048 est
+# 26.8 MB compiles AND wins; G=4/T=4096 est 31.0 MB fails to compile;
+# G=2/T=8192 est 19.7 MB compiles and wins by 21%.
+COMBINED_BWD_VMEM_LIMIT = 28 << 20
+
+
+def _combined_bwd_est(G, T, D, block_q, block_k, itemsize, tab_bytes):
+    """Estimated scoped-VMEM bytes of one combined-backward grid cell:
+    the 4 per-phase (block_q, block_k) f32 lists per head of the group,
+    the whole-sequence f32 dq scratch, and the double-buffered blocks
+    (dq out spans all of T; lse/q/do/o/k/v/dk/dv scratch per tile)."""
+    W = G * D
+    return (4 * G * block_q * block_k * 4          # ss/dps/ps/dss lists
+            + G * T * D * 4                        # dq scratch
+            + 2 * T * W * itemsize                 # dq out block (dbl-buf)
+            + 2 * G * block_q * LANES * 4          # lse block (dbl-buf)
+            + 2 * 3 * block_q * W * itemsize       # q/do/o tiles (dbl-buf)
+            + 2 * 2 * block_k * W * itemsize       # k/v tiles (dbl-buf)
+            + 2 * G * block_k * D * 4 * 2          # dk/dv scratch + out
+            + tab_bytes)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -123,12 +146,14 @@ def _heads_per_block(head_dim: int) -> int:
 
 
 def _heads_per_block_multi_fwd(head_dim: int, num_heads: int) -> int:
-    """Multi-tile FORWARD head group: largest lane-aligned G <= 4 dividing
+    """Multi-tile head group: largest lane-aligned G <= 4 dividing
     num_heads.  Measured at GPT-2 shape (T=1024, block 512): G=4 runs
-    1.434 vs 1.803 ms/layer (-20%) — the phase-split schedule again.  The
-    multi-tile BACKWARD keeps the minimum G: its per-phase (block, block)
-    f32 intermediates x4 lists do not compile at G=4 (VMEM); the lse/di
-    layouts are per-head, so fwd and bwd choose G independently."""
+    1.434 vs 1.803 ms/layer (-20%) forward — the phase-split schedule
+    again (G=6/G=12 with a raised vmem stack measured no further gain).
+    The multi-tile BACKWARD also prefers this G now that its 32 MB scoped
+    stack (BWD_VMEM_LIMIT) fits the 4x per-phase list sets, falling to the
+    minimum G only when the combined kernel's whole-sequence dq scratch
+    would not fit at G=4 (see _bwd_parts policy)."""
     base = _heads_per_block(head_dim)
     for g in range(min(4, num_heads), base - 1, -1):
         if num_heads % g == 0 and (g * head_dim) % LANES == 0:
@@ -214,11 +239,13 @@ def _rope_tab_spec(block, index_map):
 ROPE_VMEM_LIMIT = 32 << 20
 
 
-def _sems(rope, *sems):
-    """CompilerParams with the rope-mode scoped-vmem override."""
+def _sems(rope, *sems, vmem=None):
+    """CompilerParams: `vmem` (bytes) sets the Mosaic scoped-vmem stack
+    explicitly; otherwise rope mode raises it to ROPE_VMEM_LIMIT for the
+    streamed-table blocks."""
     kw = {"dimension_semantics": sems}
-    if rope:
-        kw["vmem_limit_bytes"] = ROPE_VMEM_LIMIT
+    if vmem or rope:
+        kw["vmem_limit_bytes"] = vmem or ROPE_VMEM_LIMIT
     return pltpu.CompilerParams(**kw)
 
 
@@ -763,8 +790,9 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, tab_ref,
     p is computed ONCE per (kv, q) tile and feeds dv/dk (accumulated per-kv
     in block scratch) and dq (accumulated for the WHOLE sequence in a
     (G, T, D) scratch that persists across the kv sweep) — the two-kernel
-    decomposition recomputes p twice and walks the qkv inputs twice.  VMEM
-    bounds this to T <= ~2048 at D=64."""
+    decomposition recomputes p twice and walks the qkv inputs twice.  The
+    32 MB scoped stack (BWD_VMEM_LIMIT) admits T <= 8192 at D=64/G=2,
+    T <= 2048 at G=4 (see _combined_bwd_est)."""
     i_kv, i_q = pl.program_id(2), pl.program_id(3)
 
     @pl.when(jnp.logical_and(i_kv == 0, i_q == 0))
@@ -975,7 +1003,19 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                            seq_len, interpret, window, rope, rope_base)
     C = C3 // 3
     D = C // num_heads
-    G = _heads_per_block(D)
+    # head-group policy (measured, see BWD_VMEM_LIMIT note): prefer the G=4
+    # phase-split at whichever G the combined single-pass kernel still fits
+    # the 32 MB stack; when combined fits at NO group size, the dKV/dQ pair
+    # runs at the large group (T=4096 pair: 83.4k at G=4 vs 82.5k at G=2)
+    tab_bytes_probe = 2 * T * 2 * LANES * qkv.dtype.itemsize if rope else 0
+    G_big = _heads_per_block_multi_fwd(D, num_heads)
+    use_combined = False
+    G = G_big
+    for g in dict.fromkeys((G_big, _heads_per_block(D))):
+        if _combined_bwd_est(g, T, D, block_q, block_k, qkv.dtype.itemsize,
+                             tab_bytes_probe) <= COMBINED_BWD_VMEM_LIMIT:
+            G, use_combined = g, True
+            break
     W = G * D
     n_hblk = num_heads // G
     n_q, n_kv = T // block_q, T // block_k
@@ -986,7 +1026,7 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
     # layer at GPT-2 B=32
 
     semantics = _sems(rope, "parallel", "parallel", "parallel",
-                      "arbitrary")
+                      "arbitrary", vmem=BWD_VMEM_LIMIT)
 
     # dKV pass: grid (B, hblk, kv, q) — q is the sequential axis
     q_spec, k_spec, v_spec = _qkv_specs(n_hblk, block_q, block_k, W,
@@ -1000,11 +1040,8 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                                memory_space=pltpu.VMEM)
 
     tab = _rope_table(T, D, rope_base, qkv.dtype) if rope else None
-    # the combined kernel's rope table is a whole-sequence VMEM resident
-    # (double-buffered by the pipeline like any input block) — count it
-    tab_bytes = 2 * T * 2 * LANES * qkv.dtype.itemsize if rope else 0
 
-    if G * T * D * 6 + tab_bytes <= COMBINED_BWD_VMEM_LIMIT:
+    if use_combined:
         # combined single-pass backward: dq accumulates in a whole-sequence
         # VMEM scratch; p computed once per tile instead of twice
         dq_out_spec = pl.BlockSpec((1, T, W), lambda b, h, i, j: (b, 0, h),
@@ -1016,7 +1053,8 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
         # flushed.  The separate dKV/dQ kernels below only accumulate across
         # their innermost axis and keep the wider 'parallel' declaration.
         combined_semantics = _sems(rope, "parallel", "parallel",
-                                   "arbitrary", "arbitrary")
+                                   "arbitrary", "arbitrary",
+                                   vmem=BWD_VMEM_LIMIT)
         kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
                   block_k=block_k, n_kv=n_kv, n_q=n_q, seq_len=seq_len,
                   T=T, G=G, D=D, window=window, rope=rope)
@@ -1171,7 +1209,12 @@ def flash_attention_qkv(qkv: jax.Array, num_heads: int, causal: bool = True,
         Hp = padded_num_heads(num_heads, D)
         if Hp is None:
             from . import basic
-            assert not rope, "in-kernel rope requires a kernel geometry"
+            if rope:
+                # non-tileable geometry: rotate explicitly, same math
+                from .rope import rope_qk
+                q, k = rope_qk(qkv[..., :C], qkv[..., C:2 * C],
+                               jnp.arange(T), num_heads, num_heads)
+                qkv = jnp.concatenate([q, k, qkv[..., 2 * C:]], axis=-1)
             out, _ = basic.attention_dense(qkv, num_heads, causal=causal,
                                            window=window)
             return out

@@ -853,6 +853,9 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
                   + 2 * block_k * LANES * 2))           # dk/dv out
     if rope:
         est += 2 * T * 2 * LANES * qkv.dtype.itemsize  # whole-seq rope table
+    # (raising the budget to admit combined at GPT-2 kv=4 via a 32 MB stack
+    # measured WORSE: 143.5k vs the pair's 144.9k tok/s — the QH-wide dq
+    # scratch residency beats the saved p recompute here; gate unchanged)
     if est <= COMBINED_GQA_BUDGET:
         dq_out_spec = pl.BlockSpec((1, T, Wq), lambda b, h, i, j: (b, 0, h),
                                    memory_space=pltpu.VMEM)

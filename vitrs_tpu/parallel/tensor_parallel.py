@@ -197,16 +197,17 @@ scatter_seq.defvjp(_scatter_seq_fwd, _scatter_seq_bwd)
 
 
 def _tp_qkv(ln1, p, cfg: ViTConfig):
-    """Local q/k/v from the shard's projection leaves.  MHA: head-aligned
-    thirds of qkv3w.  GQA: separate qw/kw/vw leaves, each column-sharded on
-    its own head dim; each device owns WHOLE query groups (tp | kv_heads and
-    head blocks are contiguous), so the K/V expansion is shard-local.
-    rope rotates the local q/k heads — the rotation is identical per head,
-    so the shard's contiguous head slice rotates exactly like the full
-    tensor (ln1 carries the FULL sequence in both TP variants: plain TP is
-    replicated on T; SP gathers before the projection)."""
+    """Local q/k/v from the shard's projection leaves, UNROTATED.  MHA:
+    head-aligned thirds of qkv3w.  GQA: separate qw/kw/vw leaves, each
+    column-sharded on its own head dim; each device owns WHOLE query groups
+    (tp | kv_heads and head blocks are contiguous), so the K/V expansion is
+    shard-local.  rope is applied by M.attention (in-kernel on the flash
+    path) — the rotation is identical per head, so the shard's contiguous
+    head slice rotates exactly like the full tensor, and it commutes with
+    the K/V group expansion (ln1 carries the FULL sequence in both TP
+    variants: plain TP is replicated on T; SP gathers before the
+    projection, so kernel positions 0..T-1 are the true positions)."""
     D = cfg.head_size
-    rope = cfg.pos_emb == "rope"
     if "qw" in p:                         # GQA leaves (to_tp_params)
         from ..ops.attention import expand_kv_heads
         q = basic.linear(ln1, p["qw"], p["qb"])
@@ -214,22 +215,12 @@ def _tp_qkv(ln1, p, cfg: ViTConfig):
         v = basic.linear(ln1, p["vw"], p["vb"])
         heads_local = q.shape[-1] // D
         kvh_local = k.shape[-1] // D
-        if rope:
-            from ..ops.rope import apply_rope
-            pos = jnp.arange(ln1.shape[1])
-            q = apply_rope(q, pos, heads_local)
-            k = apply_rope(k, pos, kvh_local)
         return (q, expand_kv_heads(k, kvh_local, heads_local),
                 expand_kv_heads(v, kvh_local, heads_local), heads_local)
     q = basic.linear(ln1, p["qkv3w"][0], p["qkv3b"][0])
     k = basic.linear(ln1, p["qkv3w"][1], p["qkv3b"][1])
     v = basic.linear(ln1, p["qkv3w"][2], p["qkv3b"][2])
     heads_local = q.shape[-1] // D
-    if rope:
-        from ..ops.rope import apply_rope
-        pos = jnp.arange(ln1.shape[1])
-        q = apply_rope(q, pos, heads_local)
-        k = apply_rope(k, pos, heads_local)
     return q, k, v, heads_local
 
 
@@ -242,7 +233,7 @@ def _tp_sp_block(x_s, p, cfg: ViTConfig, causal: bool, axis: str, tp: int):
         qkv_local = jnp.concatenate([q, k, v], axis=-1)
         atty = M.attention(qkv_local, heads_local, causal=causal,
                            quirks=False, use_flash=cfg.use_flash,
-                           window=cfg.window)
+                           window=cfg.window, rope=cfg.pos_emb == "rope")
         attproj_s = scatter_seq_sum(
             basic.linear(atty, p["attprojw"], None), axis, tp) + p["attprojb"]
         x_s = x_s + attproj_s.astype(x_s.dtype)
@@ -270,7 +261,7 @@ def _tp_block(x, p, cfg: ViTConfig, causal: bool, axis: str):
         qkv_local = jnp.concatenate([q, k, v], axis=-1)   # (B,T,3*C/tp)
         atty = M.attention(qkv_local, heads_local, causal=causal,
                            quirks=False, use_flash=cfg.use_flash,
-                           window=cfg.window)
+                           window=cfg.window, rope=cfg.pos_emb == "rope")
         attproj = reduce_out(
             basic.linear(atty, p["attprojw"], None), axis) + p["attprojb"]
         x = x + attproj.astype(x.dtype)
