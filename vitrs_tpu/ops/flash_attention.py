@@ -166,8 +166,10 @@ def _heads_per_block_single(head_dim: int, num_heads: int) -> int:
     divides num_heads (≤6 heads: VMEM for the per-phase (T, T) f32
     intermediates).  More heads per block = more independent chains for the
     phase-split schedule to overlap — measured 0.649 (G=6) vs 0.705 (G=2)
-    ms/call at ViT-B shape.  The multi-tile path keeps the minimum G: its
-    (block_q, block_k) tiles are 7x larger, so big G would blow VMEM."""
+    ms/call at ViT-B shape; whole-model ViT-B at G=12 and ViT-L at G=8/16
+    under a raised 32-64 MB scoped stack measured NO further gain (1171
+    vs 1169 img/s; 337.5/331.3 vs 335), so 6 stays.  The multi-tile path
+    caps at G=4 (see _heads_per_block_multi_fwd)."""
     base = _heads_per_block(head_dim)
     for g in range(min(6, num_heads), base - 1, -1):
         if num_heads % g == 0 and (g * head_dim) % LANES == 0:
