@@ -14,6 +14,10 @@ import json
 import os
 import sys
 
+# the worker runs as a plain script (sys.path[0] = tests/), so the repo
+# root must be added explicitly — an editable install is NOT assumed
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
