@@ -1,0 +1,278 @@
+"""Mixture-of-Experts: routing/dispatch correctness, model integration,
+checkpoint round-trip, and expert-parallel gradient parity.
+
+The reference's MLP is dense (rusty_vit.rs:112-117); MoE (ops/moe.py,
+parallel/expert_parallel.py) is the beyond-reference sparse-scaling axis.
+Test strategy follows SURVEY.md §4: exact-value oracles at tiny scale
+(dispatch vs a capacity-free dense-equivalent), composition smoke, and
+parallel-vs-single-device gradient parity on the virtual CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitrs_tpu.config import ViTConfig, get_config
+from vitrs_tpu import params as PRM
+from vitrs_tpu.models import model as M
+from vitrs_tpu.ops import moe
+from vitrs_tpu.parallel import expert_parallel as EP
+
+
+def _cfg(**kw):
+    base = dict(max_seq_len=16, vocab_size=97, num_layers=2, num_heads=2,
+                channels=16, num_experts=4, moe_top_k=2, use_flash=False)
+    base.update(kw)
+    return ViTConfig(**base).validate()
+
+
+def _expert_weights(key, E, C, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    return dict(
+        routerw=jax.random.normal(ks[0], (E, C), dtype) * 0.1,
+        fcw=jax.random.normal(ks[1], (E, 4 * C, C), dtype) * 0.05,
+        fcb=jax.random.normal(ks[2], (E, 4 * C), dtype) * 0.01,
+        fcprojw=jax.random.normal(ks[3], (E, C, 4 * C), dtype) * 0.05,
+        fcprojb=jax.random.normal(ks[4], (E, C), dtype) * 0.01)
+
+
+# ---------------------------------------------------------------------------
+# ops/moe.py unit behavior
+# ---------------------------------------------------------------------------
+
+def test_dispatch_matches_dense_equivalent_exactly():
+    """At capacity high enough that nothing drops, the scatter/gather
+    dispatch path must equal the run-every-expert oracle bit-for-bit (both
+    compute each expert's FFN at the same dtype and combine in fp32)."""
+    C, E = 16, 4
+    w = _expert_weights(jax.random.PRNGKey(0), E, C)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, C))
+    for k in (1, 2, 3):
+        out, aux = moe.moe_mlp(x, w["routerw"], w["fcw"], w["fcb"],
+                               w["fcprojw"], w["fcprojb"], top_k=k,
+                               cap_factor=float(E))  # cap = S*k >= demand
+        ref = moe.dense_equivalent(x, w["routerw"], w["fcw"], w["fcb"],
+                                   w["fcprojw"], w["fcprojb"], top_k=k)
+        # same expert FFNs, same fp32 combine — only the k-term summation
+        # ORDER differs between the two paths, so agreement is to the ulp
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-7)
+        assert float(aux.kept_fraction) == 1.0
+
+
+def test_single_expert_is_dense_mlp():
+    """E=1, top_k=1: softmax over one expert is 1.0 and nothing can drop, so
+    the MoE layer must reproduce the dense MLP exactly."""
+    from vitrs_tpu.ops import basic
+    C = 16
+    w = _expert_weights(jax.random.PRNGKey(2), 1, C)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, C))
+    out, _ = moe.moe_mlp(x, w["routerw"], w["fcw"], w["fcb"], w["fcprojw"],
+                         w["fcprojb"], top_k=1, cap_factor=1.0)
+    dense = basic.linear(basic.gelu(basic.linear(x, w["fcw"][0], w["fcb"][0])),
+                         w["fcprojw"][0], w["fcprojb"][0])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(dense))
+
+
+def test_capacity_drops_are_bounded_and_finite():
+    """cap_factor << 1 forces drops: kept_fraction < 1, and a dropped
+    token's output is exactly the weighted sum of its surviving experts."""
+    C, E = 16, 4
+    w = _expert_weights(jax.random.PRNGKey(4), E, C)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 64, C))
+    out, aux = moe.moe_mlp(x, w["routerw"], w["fcw"], w["fcb"],
+                           w["fcprojw"], w["fcprojb"], top_k=2,
+                           cap_factor=0.25)
+    assert float(aux.kept_fraction) < 1.0
+    assert np.isfinite(np.asarray(out)).all()
+    # capacity respected exactly: no slot written twice (scatter is set, not
+    # add) — per-expert occupancy equals min(demand, cap) by construction;
+    # check via the router's own bookkeeping
+    S = 64
+    cap = moe.capacity(S, E, 2, 0.25)
+    dst, _, keep, _ = moe.router(x.reshape(S, C), w["routerw"], 2, cap)
+    used = np.asarray(dst)[np.asarray(keep)]
+    assert len(np.unique(used)) == len(used), "slot collision"
+
+
+def test_router_aux_near_one_at_uniform():
+    """Random tiny router weights ≈ uniform probs → load-balance ≈ 1.0
+    (its minimum under a uniform distribution)."""
+    C, E = 16, 8
+    w = _expert_weights(jax.random.PRNGKey(6), E, C)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 32, C))
+    _, aux = moe.moe_mlp(x, w["routerw"] * 0.01, w["fcw"], w["fcb"],
+                         w["fcprojw"], w["fcprojb"], top_k=2, cap_factor=2.0)
+    assert 0.9 < float(aux.load_balance) < 1.3
+    assert float(aux.z_loss) >= 0.0
+
+
+def test_capacity_is_static_and_sublane_aligned():
+    assert moe.capacity(1024, 8, 2, 1.25) % 8 == 0
+    assert moe.capacity(8, 8, 1, 1.0) == 8          # floor
+    assert moe.capacity(64, 4, 2, 1.0) == 32        # exact fit
+
+
+# ---------------------------------------------------------------------------
+# model integration
+# ---------------------------------------------------------------------------
+
+def test_moe_param_model():
+    cfg = _cfg()
+    shapes = PRM.param_shapes(cfg)
+    L, E, C = cfg.num_layers, cfg.num_experts, cfg.channels
+    assert shapes["fcw"] == (L, E, 4 * C, C)
+    assert shapes["routerw"] == (L, E, C)
+    assert PRM.tensor_order(cfg)[-1] == "routerw"
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    flat = PRM.flatten_params(p, cfg)
+    assert flat.shape[0] == PRM.num_parameters(cfg)
+    back = PRM.unflatten_params(flat, cfg)
+    for k in p:
+        np.testing.assert_array_equal(np.asarray(p[k]), np.asarray(back[k]))
+
+
+def test_moe_gpt_loss_and_grads_finite():
+    cfg = _cfg()
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 97)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 97)
+    loss, g = jax.value_and_grad(M.gpt_loss)(p, toks, tgt, cfg)
+    assert np.isfinite(float(loss))
+    for k, v in g.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # the router must actually receive gradient (it only gets one through
+    # the combine weights — a silent zero here means the routing is dead)
+    assert float(jnp.max(jnp.abs(g["routerw"]))) > 0.0
+
+
+def test_moe_aux_weight_moves_loss():
+    cfg = _cfg()
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 97)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 97)
+    l0 = float(M.gpt_loss(p, toks, tgt, cfg.replace(moe_aux_weight=0.0,
+                                                    moe_zloss_weight=0.0)))
+    l1 = float(M.gpt_loss(p, toks, tgt, cfg))
+    assert l1 > l0  # aux terms are positive
+
+
+def test_moe_remat_full_matches_no_remat():
+    cfg = _cfg()
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 97)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 97)
+    g0 = jax.grad(M.gpt_loss)(p, toks, tgt, cfg)
+    g1 = jax.grad(M.gpt_loss)(p, toks, tgt, cfg.replace(remat="full"))
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_moe_vit_mode():
+    """V-MoE-style vision path: same ops/moe.py layer under the vit block."""
+    cfg = ViTConfig(mode="vit", img_size=16, patch_size=4, num_classes=10,
+                    max_seq_len=17, vocab_size=10, num_layers=2, num_heads=2,
+                    channels=16, num_experts=4, use_flash=False).validate()
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    labels = jnp.array([3, 7])
+    loss, g = jax.value_and_grad(M.vit_loss)(p, imgs, labels, cfg)
+    assert np.isfinite(float(loss))
+    assert float(jnp.max(jnp.abs(g["routerw"]))) > 0.0
+
+
+def test_moe_checkpoint_round_trip(tmp_path):
+    from vitrs_tpu import checkpoint as CKPT
+    cfg = _cfg()
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "moe.bin")
+    CKPT.save_checkpoint(path, p, cfg, step=7, seed=3)
+    p2, cfg2, extras = CKPT.load_checkpoint(path)
+    assert cfg2.num_experts == 4 and cfg2.moe_top_k == 2
+    assert extras["step"] == 7
+    for k in p:
+        np.testing.assert_array_equal(np.asarray(p[k]), np.asarray(p2[k]))
+
+
+def test_moe_preset_validates():
+    cfg = get_config("gpt2-moe-8e")
+    assert cfg.num_experts == 8 and cfg.moe_top_k == 2
+    n = PRM.num_parameters(cfg)
+    assert n > 4 * 124_439_808  # ~8x the dense MLP block of 124M
+
+
+# ---------------------------------------------------------------------------
+# expert parallelism (8-virtual-device CPU mesh)
+# ---------------------------------------------------------------------------
+
+def _ep_grads(cfg, pnp, toks, tgt, dp, ep):
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    mesh = EP.make_mesh_dp_ep(dp, ep)
+    specs = EP.ep_param_specs(cfg)
+
+    def spmd(params, inputs, targets):
+        def gl(pa):
+            return jax.lax.pmean(
+                M.gpt_loss(pa, inputs, targets, cfg, ep_axis="expert",
+                           ep=mesh.shape["expert"]), ("data", "expert"))
+        l, g = jax.value_and_grad(gl)(params)
+        inv = 1.0 / mesh.size
+        g = {k: jax.lax.psum(gr, ("data",) if k in EP.EXPERT_KEYS
+                             else ("data", "expert")) * inv
+             for k, gr in g.items()}
+        return l, g
+
+    f = jax.jit(shard_map(spmd, mesh=mesh,
+                          in_specs=(specs, P(("data", "expert")),
+                                    P(("data", "expert"))),
+                          out_specs=(P(), specs), check_rep=False))
+    pp = {k: jax.device_put(v, jax.NamedSharding(mesh, specs[k]))
+          for k, v in pnp.items()}
+    l, g = f(pp, EP.shard_batch(toks, mesh), EP.shard_batch(tgt, mesh))
+    return float(l), {k: np.asarray(jax.device_get(v)) for k, v in g.items()}
+
+
+@pytest.mark.parametrize("dp,ep", [(2, 4), (4, 2)])
+def test_ep_grad_parity_vs_single_device(dp, ep):
+    """dp×ep gradients == single-device gradients when nothing drops.
+    aux_weight=0 isolates the linear part of the loss (the load-balance
+    term is intentionally per-device-local — see expert_parallel.py)."""
+    cfg = _cfg(moe_cap_factor=8.0, moe_aux_weight=0.0)
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    pnp = {k: np.asarray(v) for k, v in p.items()}
+    toks = np.asarray(jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 97))
+    tgt = np.asarray(jax.random.randint(jax.random.PRNGKey(2), (8, 16), 0, 97))
+    loss_ref, g_ref = jax.value_and_grad(M.gpt_loss)(p, jnp.asarray(toks),
+                                                     jnp.asarray(tgt), cfg)
+    l, g = _ep_grads(cfg, pnp, toks, tgt, dp, ep)
+    assert abs(l - float(loss_ref)) < 1e-5
+    for k in g_ref:
+        a = np.asarray(g_ref[k], np.float64)
+        np.testing.assert_allclose(g[k], a, rtol=2e-4,
+                                   atol=2e-6 * max(1.0, np.abs(a).max()),
+                                   err_msg=k)
+
+
+def test_ep_train_step_loss_decreases():
+    cfg = _cfg(moe_cap_factor=4.0)
+    mesh = EP.make_mesh_dp_ep(2, 4)
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    pp = EP.place_ep_params(p, cfg, mesh)
+    m, v = EP.init_ep_opt_state(pp, cfg, mesh)
+    step_fn = EP.make_ep_train_step(cfg, mesh)
+    toks = EP.shard_batch(np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 97)), mesh)
+    tgt = EP.shard_batch(np.asarray(
+        jax.random.randint(jax.random.PRNGKey(2), (8, 16), 0, 97)), mesh)
+    losses = []
+    for i in range(8):
+        pp, m, v, loss = step_fn(pp, m, v, toks, tgt, jnp.asarray(i + 1),
+                                 1e-2, 0.0)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5, losses
+    # expert slabs and their moments stayed sharded over "expert"
+    spec = pp["fcw"].sharding.spec
+    assert tuple(spec)[:2] == (None, "expert"), spec

@@ -29,6 +29,10 @@ Header layout (i32 little-endian, 256 entries = 1024 bytes):
                       (L, C+2·k·D, C) instead of (L, 3C, C))
   h[17] pos_emb       0=learned wpe | 1=rope (wpe tensor present but unused)
   h[18] window        0=full attention | W = sliding-window width
+  h[19] num_experts   0=dense MLP | E = MoE experts/layer (fcw/fcb/fcprojw/
+                      fcprojb grow a leading E axis; a routerw (L,E,C)
+                      tensor follows the other extension tensors)
+  h[20] moe_top_k     experts run per token (0 when dense)
 
 Payload: all parameter tensors as contiguous f32 in canonical order — the 16
 reference tensors first, then (v2, vit mode) the VIT_EXT tensors.  If
@@ -107,6 +111,8 @@ def _header(cfg: ViTConfig, version: int, step: int, has_opt: bool, seed: int) -
         h[16] = cfg.num_kv_heads
         h[17] = 1 if cfg.pos_emb == "rope" else 0
         h[18] = cfg.window
+        h[19] = cfg.num_experts
+        h[20] = cfg.moe_top_k if cfg.num_experts else 0
     return h
 
 
@@ -124,6 +130,8 @@ def config_from_header(h: np.ndarray) -> ViTConfig:
         kw.update(pos_emb="rope")
     if version >= 2 and int(h[18]):
         kw.update(window=int(h[18]))
+    if version >= 2 and int(h[19]):
+        kw.update(num_experts=int(h[19]), moe_top_k=int(h[20]))
     return ViTConfig(**kw).validate()
 
 
@@ -140,7 +148,7 @@ def save_checkpoint(path: str,
     has_opt = m is not None and v is not None
     version = 2 if (cfg.mode == "vit" or has_opt or step or seed
                     or cfg.num_kv_heads or cfg.pos_emb == "rope"
-                    or cfg.window) else 1
+                    or cfg.window or cfg.num_experts) else 1
     h = _header(cfg, version, step, has_opt, seed)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

@@ -50,6 +50,10 @@ def main():
                    choices=["learned", "rope"])
     p.add_argument("--window", type=int, default=0,
                    help="sliding-window attention width (gpt mode; 0 = full)")
+    p.add_argument("--num-experts", type=int, default=0,
+                   help="MoE experts per layer (0 = dense MLP; ops/moe.py)")
+    p.add_argument("--moe-top-k", type=int, default=2,
+                   help="experts run per token under --num-experts")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient-accumulation micro-batches per step")
     p.add_argument("--ra-ops", type=int, default=0,
@@ -118,7 +122,10 @@ def main():
             k: v for k, v in (("drop_path", args.drop_path),
                               ("num_kv_heads", args.kv_heads),
                               ("pos_emb", args.pos_emb),
-                              ("window", args.window))
+                              ("window", args.window),
+                              ("num_experts", args.num_experts),
+                              ("moe_top_k",
+                               args.moe_top_k if args.num_experts else 0))
             if v not in (0, 0.0, "learned")} or None)
     summary = train(tc)
     print("[done]", summary)

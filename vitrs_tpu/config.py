@@ -35,6 +35,19 @@ class ViTConfig:
                                       # num_heads/k query heads each; 1 = MQA.
                                       # KV cache memory scales with this.
 
+    # --- mixture-of-experts MLP (beyond-reference: the reference MLP is a
+    # single dense fc/fcproj pair, rusty_vit.rs:112-117; ops/moe.py) ---
+    num_experts: int = 0              # 0 = dense MLP; E>0 = E experts per
+                                      # layer, fcw/fcb/fcprojw/fcprojb grow a
+                                      # leading E axis and a routerw (L,E,C)
+                                      # tensor appears
+    moe_top_k: int = 2                # experts run per token
+    moe_cap_factor: float = 1.25      # static per-expert capacity =
+                                      # ceil(S·K/E · factor); overflow tokens
+                                      # are dropped (Switch-style)
+    moe_aux_weight: float = 0.01      # load-balance loss weight
+    moe_zloss_weight: float = 1e-3    # router z-loss weight
+
     # --- vision front-end (the undefined-encoder seam, rusty_vit.rs:282) ---
     mode: str = "gpt"                 # "gpt" | "vit"
     img_size: int = 224
@@ -106,6 +119,10 @@ class ViTConfig:
         return self.kv_heads != self.num_heads
 
     @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    @property
     def num_patches(self) -> int:
         assert self.img_size % self.patch_size == 0
         return (self.img_size // self.patch_size) ** 2
@@ -135,6 +152,16 @@ class ViTConfig:
             assert self.mode == "gpt", "window attention is causal-only"
             assert not self.quirks, "quirks mode uses full attention"
             assert self.window > 0
+        if self.num_experts:
+            assert not self.quirks, "quirks mode is dense-MLP-only"
+            assert 1 <= self.moe_top_k <= self.num_experts, (
+                self.moe_top_k, self.num_experts)
+            assert self.moe_cap_factor > 0.0
+            # remat: False or blanket "full"; the selective per-branch VJPs
+            # (models/selective.py) do not cover the MoE branch yet
+            assert self.remat in (False, "full"), (
+                "MoE supports remat=False|'full' (selective policy has no "
+                "MoE branch)")
         assert self.pos_emb in ("learned", "rope"), self.pos_emb
         if self.pos_emb == "rope":
             assert self.mode == "gpt", "rope is a gpt-mode option"
@@ -178,6 +205,9 @@ PRESETS = {
     # wpe = max_seq_len, rusty_vit.rs:107 — same table, 4x the length);
     # selective remat recommended at this activation footprint
     "gpt2-124m-4k": ViTConfig(max_seq_len=4096, remat=True).validate(),
+    # sparse-MLP GPT-2: 124M geometry, 8 experts/layer, top-2 routing —
+    # ~520M params at ~2x the dense per-token MLP FLOPs (ops/moe.py)
+    "gpt2-moe-8e": ViTConfig(num_experts=8).validate(),
     # tiny GPT config for parity/gradient tests
     "gpt-nano": ViTConfig(max_seq_len=16, vocab_size=97, num_layers=2,
                           num_heads=2, channels=16).validate(),

@@ -76,6 +76,19 @@ def _drop_path(branch: jax.Array, key: jax.Array, rate: jax.Array
     return jnp.where(keep, branch / (1.0 - rate), 0.0)
 
 
+def _attn_residual(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
+                   causal: bool, dp: bool) -> jax.Array:
+    """x + drop_path(attproj(attention(qkv(ln1(x))))) — the first half of
+    the 10-op block, shared by the dense and MoE block bodies."""
+    with jax.named_scope("attn"):
+        ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
+        atty = _project_and_attend(ln1, p, cfg, causal)
+        attproj = basic.linear(atty, p["attprojw"], p["attprojb"])
+        if dp:
+            attproj = _drop_path(attproj, p["_dp_key"][0], p["_dp_rate"])
+        return x + attproj
+
+
 def _block(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
            causal: bool) -> jax.Array:
     """The 10-op pre-LN block, exact op order of rusty_vit.rs:322-331.
@@ -84,13 +97,7 @@ def _block(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
     When the scan leaves carry `_dp_rate`/`_dp_key` (train-time stochastic
     depth, see `transformer`), each residual branch is dropped per-sample."""
     dp = "_dp_rate" in p
-    with jax.named_scope("attn"):
-        ln1 = basic.layernorm_cv(x, p["ln1w"], p["ln1b"])
-        atty = _project_and_attend(ln1, p, cfg, causal)
-        attproj = basic.linear(atty, p["attprojw"], p["attprojb"])
-        if dp:
-            attproj = _drop_path(attproj, p["_dp_key"][0], p["_dp_rate"])
-        x = x + attproj
+    x = _attn_residual(x, p, cfg, causal, dp)
     with jax.named_scope("mlp"):
         ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
         fch = basic.linear(ln2, p["fcw"], p["fcb"])
@@ -102,18 +109,68 @@ def _block(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
         return x + fcproj
 
 
+def _block_moe(x: jax.Array, p: Dict[str, jax.Array], cfg: ViTConfig,
+               causal: bool, ep_axis=None, ep: int = 1):
+    """The block with the dense MLP replaced by the MoE layer (ops/moe.py).
+    Returns (x, aux) where aux is this layer's WEIGHTED router loss
+    (cfg.moe_aux_weight · load_balance + cfg.moe_zloss_weight · z_loss).
+    ep_axis/ep: expert-parallel mesh axis (inside shard_map) — the expert
+    leaves of p arrive as local (L, E/ep, ...) shards."""
+    from ..ops.moe import moe_mlp
+    dp = "_dp_rate" in p
+    x = _attn_residual(x, p, cfg, causal, dp)
+    with jax.named_scope("moe"):
+        ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
+        out, aux = moe_mlp(ln2, p["routerw"], p["fcw"], p["fcb"],
+                           p["fcprojw"], p["fcprojb"], top_k=cfg.moe_top_k,
+                           cap_factor=cfg.moe_cap_factor,
+                           erf=cfg.act == "gelu_erf",
+                           ep_axis=ep_axis, ep=ep)
+        if dp:
+            out = _drop_path(out, p["_dp_key"][1], p["_dp_rate"])
+        a = (cfg.moe_aux_weight * aux.load_balance
+             + cfg.moe_zloss_weight * aux.z_loss)
+        return x + out, a
+
+
 def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
-                causal: bool, rng: Optional[jax.Array] = None) -> jax.Array:
+                causal: bool, rng: Optional[jax.Array] = None,
+                return_aux: bool = False, ep_axis=None, ep: int = 1):
     """Scan the block over the stacked-L parameter slabs.
 
     rng != None and cfg.drop_path > 0 enables stochastic depth: layer l
     drops each residual branch with prob linspace(0, drop_path, L)[l]
-    (timm's ViT recipe), keys folded per (layer, branch)."""
+    (timm's ViT recipe), keys folded per (layer, branch).
+
+    return_aux=True additionally returns the mean per-layer weighted MoE
+    router loss (a zero scalar for dense configs) — the loss functions add
+    it to the CE objective.  Callers that only need activations (generation,
+    feature extraction) leave it off; dropping aux is harmless outside
+    training."""
     L = cfg.num_layers
-    blocks = {k: params[k] for k in BLOCK_KEYS}
+    keys = BLOCK_KEYS + (("routerw",) if cfg.is_moe else ())
+    blocks = {k: params[k] for k in keys}
     if rng is not None and cfg.drop_path > 0.0:
         blocks["_dp_rate"] = jnp.linspace(0.0, cfg.drop_path, L)
         blocks["_dp_key"] = jax.random.split(rng, 2 * L).reshape(L, 2, 2)
+    unroll = True if cfg.scan_unroll == 0 else cfg.scan_unroll
+
+    if cfg.is_moe:
+        body = functools.partial(_block_moe, cfg=cfg, causal=causal,
+                                 ep_axis=ep_axis, ep=ep)
+        if cfg.remat == "full":
+            body = jax.checkpoint(body)
+
+        def step_moe(carry, p):
+            h, aux = carry
+            h, a = body(h, p)
+            return (h, aux + a), None
+
+        (x, aux), _ = jax.lax.scan(
+            step_moe, (x, jnp.zeros((), jnp.float32)), blocks, unroll=unroll)
+        aux = aux / L
+        return (x, aux) if return_aux else x
+
     body = functools.partial(_block, cfg=cfg, causal=causal)
     if cfg.remat == "full" or (cfg.remat and cfg.quirks):
         body = jax.checkpoint(body)  # blanket recompute (incl. attention)
@@ -127,9 +184,8 @@ def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
     def step(carry, p):
         return body(carry, p), None
 
-    unroll = True if cfg.scan_unroll == 0 else cfg.scan_unroll
     x, _ = jax.lax.scan(step, x, blocks, unroll=unroll)
-    return x
+    return (x, jnp.zeros((), jnp.float32)) if return_aux else x
 
 
 # ---------------------------------------------------------------------------
@@ -148,11 +204,17 @@ def gpt_encode(tokens: jax.Array, params: Dict[str, jax.Array],
 
 
 def gpt_trunk(params: Dict[str, jax.Array], tokens: jax.Array,
-              cfg: ViTConfig) -> jax.Array:
-    """Everything up to (and including) the final layernorm; (B, T, C)."""
+              cfg: ViTConfig, return_aux: bool = False,
+              ep_axis=None, ep: int = 1):
+    """Everything up to (and including) the final layernorm; (B, T, C).
+    return_aux adds the mean weighted MoE router loss (0.0 when dense)."""
     dtype = jnp.dtype(cfg.dtype)
     x = gpt_encode(tokens, params, dtype, rope=cfg.pos_emb == "rope")
-    x = transformer(x, params, cfg, causal=True)
+    x = transformer(x, params, cfg, causal=True, return_aux=return_aux,
+                    ep_axis=ep_axis, ep=ep)
+    if return_aux:
+        x, aux = x
+        return basic.layernorm_cv(x, params["lnfw"], params["lnfb"]), aux
     return basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
 
 
@@ -165,7 +227,8 @@ def gpt_forward(params: Dict[str, jax.Array], tokens: jax.Array,
 
 
 def gpt_loss(params: Dict[str, jax.Array], tokens: jax.Array,
-             targets: jax.Array, cfg: ViTConfig) -> jax.Array:
+             targets: jax.Array, cfg: ViTConfig,
+             ep_axis=None, ep: int = 1) -> jax.Array:
     """Mean CE over B*T (rusty_vit.rs:342-347).  quirks=True uses the
     reference's literal -p loss (gap G6) for oracle parity.
 
@@ -184,15 +247,16 @@ def gpt_loss(params: Dict[str, jax.Array], tokens: jax.Array,
         return jnp.mean(basic.cross_entropy_quirk(probs, targets))
     V = cfg.vocab_size
     Vp = fused_ce.pad_vocab(V)
-    lnf = gpt_trunk(params, tokens, cfg)
+    lnf, aux = gpt_trunk(params, tokens, cfg, return_aux=True,
+                         ep_axis=ep_axis, ep=ep)
     from ..ops.attention import _flash_available
     if (cfg.use_flash and _flash_available()
             and fused_ce.supports(lnf.shape[0] * lnf.shape[1], Vp)):
         wte_p = jnp.pad(params["wte"].astype(lnf.dtype), ((0, Vp - V), (0, 0)))
         logits = basic.linear(lnf, wte_p, None)
-        return fused_ce.cross_entropy_mean(logits, targets, real_vocab=V)
+        return fused_ce.cross_entropy_mean(logits, targets, real_vocab=V) + aux
     logits = basic.linear(lnf, params["wte"].astype(lnf.dtype), None)
-    return jnp.mean(basic.cross_entropy_from_logits(logits, targets))
+    return jnp.mean(basic.cross_entropy_from_logits(logits, targets)) + aux
 
 
 # ---------------------------------------------------------------------------
@@ -227,13 +291,20 @@ def vit_encode(images: jax.Array, params: Dict[str, jax.Array],
 def vit_forward(params: Dict[str, jax.Array], images: jax.Array,
                 cfg: ViTConfig,
                 train: bool = False,
-                rng: Optional[jax.Array] = None) -> jax.Array:
-    """Returns class logits (B, num_classes)."""
+                rng: Optional[jax.Array] = None,
+                return_aux: bool = False):
+    """Returns class logits (B, num_classes); return_aux adds the mean
+    weighted MoE router loss (0.0 for dense configs — V-MoE-style vision
+    MoE rides the same ops/moe.py layer)."""
     x = vit_encode(images, params, cfg)
     dp_rng = head_rng = None
     if train and rng is not None:
         dp_rng, head_rng = jax.random.split(rng)
-    x = transformer(x, params, cfg, causal=False, rng=dp_rng)
+    x = transformer(x, params, cfg, causal=False, rng=dp_rng,
+                    return_aux=return_aux)
+    aux = None
+    if return_aux:
+        x, aux = x
     lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
     if cfg.pool == "cls":
         pooled = lnf[:, 0, :]
@@ -243,18 +314,21 @@ def vit_forward(params: Dict[str, jax.Array], images: jax.Array,
         keep = jax.random.bernoulli(head_rng, 1.0 - cfg.drop_rate,
                                     pooled.shape)
         pooled = jnp.where(keep, pooled / (1.0 - cfg.drop_rate), 0.0)
-    return basic.linear(pooled, params["headw"], params["headb"]).astype(jnp.float32)
+    logits = basic.linear(pooled, params["headw"],
+                          params["headb"]).astype(jnp.float32)
+    return (logits, aux) if return_aux else logits
 
 
 def vit_loss(params: Dict[str, jax.Array], images: jax.Array,
              labels: jax.Array, cfg: ViTConfig,
              train: bool = True,
              rng: Optional[jax.Array] = None) -> jax.Array:
-    logits = vit_forward(params, images, cfg, train=train, rng=rng)
+    logits, aux = vit_forward(params, images, cfg, train=train, rng=rng,
+                              return_aux=True)
     if train and cfg.label_smoothing > 0.0:
         return jnp.mean(basic.cross_entropy_smoothed(logits, labels,
-                                                     cfg.label_smoothing))
-    return jnp.mean(basic.cross_entropy_from_logits(logits, labels))
+                                                     cfg.label_smoothing)) + aux
+    return jnp.mean(basic.cross_entropy_from_logits(logits, labels)) + aux
 
 
 def loss_fn(params, batch_inputs, batch_targets, cfg: ViTConfig,

@@ -1,0 +1,216 @@
+"""Mixture-of-Experts MLP — top-k token routing with static capacity.
+
+The reference's MLP is a single dense fc/fcproj pair per layer
+(/root/reference/rusty_vit.rs:112-117 fcw/fcprojw, consumed at
+rusty_vit.rs:326-328); MoE is the beyond-reference scaling axis: L layers of
+E experts each, only top_k of which run per token, so parameter count grows
+~E× while per-token FLOPs stay ~top_k× the dense MLP.
+
+TPU-first design (everything is static-shaped and jit-traceable):
+
+  * routing:   one (S, E) fp32 router matmul + `lax.top_k`; the per-expert
+               slot assignment is a cumulative-sum over a one-hot assignment
+               matrix — no data-dependent shapes, no host round trips.
+  * dispatch:  a single scatter (`.at[dst].set(..., mode='drop')`) into a
+               dense (E·cap, C) buffer; tokens routed past an expert's
+               capacity are dropped (their combine weight contributes 0),
+               exactly the Switch/GShard static-capacity contract.
+  * experts:   ONE batched dot_general over the stacked (E, 4C, C) /
+               (E, C, 4C) expert weights — E independent matmuls become a
+               single MXU-friendly batched contraction, fp32-accumulated
+               like every other matmul in the framework (ops/basic.linear).
+  * combine:   a gather back to token order (`jnp.take(..., mode='fill')`)
+               weighted by the renormalized top-k router probabilities,
+               accumulated in fp32.
+
+Priority order for capacity is k-major (all first choices across the batch
+claim slots before any second choice), the Switch transformer rule — a
+token's top-1 assignment is never evicted by another token's top-2.
+
+Auxiliary losses returned to the caller (weighted in models/model.gpt_loss):
+  * load-balance (Switch eq. 4 generalized to top-k): E · Σ_e f_e · P_e
+    where f_e is the fraction of the S·K assignments routed to expert e and
+    P_e the mean router probability; equals 1.0 at perfect uniformity.
+  * router z-loss (ST-MoE): mean(logsumexp(logits)²), keeps router logits
+    from drifting large and saturating the softmax.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MoEAux(NamedTuple):
+    """Router health: auxiliary losses + occupancy diagnostic."""
+    load_balance: jax.Array   # scalar, 1.0 at uniform routing
+    z_loss: jax.Array         # scalar, mean squared router logsumexp
+    # fraction of the S·top_k assignments that fit within capacity (1.0 = no
+    # token dropped); diagnostic only — NOT differentiable routing signal
+    kept_fraction: jax.Array
+
+
+def capacity(num_tokens: int, num_experts: int, top_k: int,
+             cap_factor: float) -> int:
+    """Static per-expert slot count: ceil(S·K/E · factor), rounded up to the
+    TPU sublane multiple (8) so the (E, cap, C) dispatch buffer tiles."""
+    import math
+    cap = math.ceil(num_tokens * top_k * cap_factor / num_experts)
+    cap = max(cap, 8)
+    return -(-cap // 8) * 8
+
+
+def router(x_flat: jax.Array, routerw: jax.Array, top_k: int,
+           cap: int) -> Tuple[jax.Array, jax.Array, jax.Array, MoEAux]:
+    """Route S tokens to top_k of E experts under a static capacity.
+
+    Returns (dst, weight, keep, aux):
+      dst    (K, S) i32 — flat slot index into the (E·cap) dispatch buffer;
+                           E·cap (one past the end) where the token was
+                           dropped, so scatter mode='drop' discards it.
+      weight (K, S) f32 — renormalized top-k router probability (mass of
+                           dropped assignments is lost, the standard
+                           static-capacity behavior).
+      keep   (K, S) bool — assignment fit within capacity.
+    """
+    S, _ = x_flat.shape
+    E = routerw.shape[0]
+    K = top_k
+    # router always in fp32: the softmax over experts is the load-bearing
+    # decision — bf16 logits visibly perturb top-k order at init
+    logits = jax.lax.dot_general(
+        x_flat.astype(jnp.float32), routerw.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (S, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, K)               # (S, K)
+    weight = (topv / jnp.sum(topv, axis=-1, keepdims=True)).T   # (K, S)
+
+    # slot assignment: one-hot over experts, k-major priority order
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.int32)  # (S, K, E)
+    oh_km = onehot.transpose(1, 0, 2).reshape(K * S, E)
+    # 0-based position of each assignment within its expert's queue
+    pos = (jnp.cumsum(oh_km, axis=0) - 1) * oh_km      # (K·S, E)
+    slot = jnp.sum(pos.reshape(K, S, E), axis=-1)      # (K, S)
+    expert = topi.T                                    # (K, S)
+    keep = slot < cap
+    dst = jnp.where(keep, expert * cap + slot, E * cap)
+
+    # aux: fraction-of-assignments × mean-probability per expert
+    f = jnp.mean(oh_km.astype(jnp.float32), axis=0)    # (E,)
+    p_mean = jnp.mean(probs, axis=0)                   # (E,)
+    lb = E * jnp.sum(f * p_mean)
+    zl = jnp.mean(jnp.square(jax.scipy.special.logsumexp(logits, axis=-1)))
+    aux = MoEAux(lb, zl, jnp.mean(keep.astype(jnp.float32)))
+    return dst, weight, keep, aux
+
+
+def _expert_ffn(xe: jax.Array, fcw: jax.Array, fcb: jax.Array,
+                fcprojw: jax.Array, fcprojb: jax.Array,
+                erf: bool) -> jax.Array:
+    """Batched expert MLP: (E, cap, C) → (E, cap, C) in two batched
+    dot_generals (E is a batch dim → one MXU pass per matmul, not E)."""
+    from . import basic
+    dt = xe.dtype
+    h = jax.lax.dot_general(
+        xe, fcw.astype(dt),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dt)  # (E, cap, 4C)
+    h = h + fcb.astype(dt)[:, None, :]
+    hg = basic.gelu_erf_cv(h) if erf else basic.gelu_cv(h)
+    y = jax.lax.dot_general(
+        hg, fcprojw.astype(dt),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dt)  # (E, cap, C)
+    return y + fcprojb.astype(dt)[:, None, :]
+
+
+def moe_mlp(x: jax.Array, routerw: jax.Array, fcw: jax.Array, fcb: jax.Array,
+            fcprojw: jax.Array, fcprojb: jax.Array, *, top_k: int,
+            cap_factor: float, erf: bool = False,
+            ep_axis=None, ep: int = 1
+            ) -> Tuple[jax.Array, MoEAux]:
+    """The MoE replacement for the dense MLP branch.
+
+    x (B, T, C) or (S, C); expert-stacked weights routerw (E, C),
+    fcw (E, 4C, C), fcb (E, 4C), fcprojw (E, C, 4C), fcprojb (E, C) — the
+    per-expert (OC, C) row-major convention of every matmul in the framework
+    (rusty_vit.rs:484-498).  Returns (out, aux) with out shaped like x.
+
+    Expert parallelism (inside shard_map): ep_axis names the mesh axis over
+    which the E axis of the expert weights is sharded (fcw et al. arrive as
+    the LOCAL (E/ep, ...) shard; routerw stays replicated — it is tiny and
+    every token must score every expert).  The dispatch buffer makes one
+    `all_to_all` hop out over ICI — each device sends the slots bound for
+    other devices' experts and receives every ep-peer's slots for its own —
+    and one hop home after the expert FFN.  Per-device expert FLOPs and
+    weight memory scale 1/ep; the wire cost is 2·(E·cap·C)/ep per device,
+    the canonical GShard dispatch pattern.
+    """
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    xs = x.reshape(-1, C)
+    S = xs.shape[0]
+    E = routerw.shape[0]
+    if ep_axis is not None:
+        assert E % ep == 0 and fcw.shape[0] == E // ep, (E, ep, fcw.shape)
+    cap = capacity(S, E, top_k, cap_factor)
+
+    dst, weight, keep, aux = router(xs, routerw, top_k, cap)
+
+    # dispatch: scatter local tokens into the per-expert slot buffer; dst
+    # rows E·cap (dropped) fall off the end under mode='drop'
+    buf = jnp.zeros((E * cap, C), xs.dtype)
+    for k in range(top_k):
+        # a token assigned to multiple experts occupies one slot in each
+        buf = buf.at[dst[k]].set(xs, mode="drop")
+    if ep_axis is not None:
+        # (E, cap, C) -> (E/ep, ep·cap, C): device e receives every peer's
+        # slot block for ITS experts, stacked along the slot axis
+        be = jax.lax.all_to_all(buf.reshape(E, cap, C), ep_axis,
+                                split_axis=0, concat_axis=1, tiled=True)
+        y = _expert_ffn(be, fcw, fcb, fcprojw, fcprojb, erf)
+        # inverse hop: every peer's output slots come home
+        y = jax.lax.all_to_all(y, ep_axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+    else:
+        y = _expert_ffn(buf.reshape(E, cap, C), fcw, fcb, fcprojw, fcprojb,
+                        erf)
+
+    # combine: gather expert outputs back to token order, weight, sum over k
+    ys = y.reshape(E * cap, C)
+    out = jnp.zeros((S, C), jnp.float32)
+    for k in range(top_k):
+        g = jnp.take(ys, dst[k], axis=0, mode="fill",
+                     fill_value=0)                     # (S, C)
+        out = out + weight[k][:, None] * g.astype(jnp.float32)
+    return out.astype(x.dtype).reshape(orig_shape), aux
+
+
+def dense_equivalent(x: jax.Array, routerw: jax.Array, fcw: jax.Array,
+                     fcb: jax.Array, fcprojw: jax.Array, fcprojb: jax.Array,
+                     *, top_k: int, erf: bool = False) -> jax.Array:
+    """Capacity-free oracle: every token runs ALL experts densely, combined
+    by the same renormalized top-k weights.  O(S·E) FLOPs — test-only; the
+    dispatch path must match this exactly whenever nothing is dropped."""
+    from . import basic
+    C = x.shape[-1]
+    xs = x.reshape(-1, C)
+    logits = xs.astype(jnp.float32) @ routerw.astype(jnp.float32).T
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, top_k)
+    w_full = jnp.zeros_like(probs)
+    for k in range(top_k):
+        w_full = w_full + jax.nn.one_hot(topi[:, k], probs.shape[-1],
+                                         dtype=jnp.float32) * (
+            topv[:, k] / jnp.sum(topv, axis=-1))[:, None]
+    outs = []
+    for e in range(routerw.shape[0]):
+        h = basic.linear(xs, fcw[e], fcb[e])
+        hg = basic.gelu_erf(h) if erf else basic.gelu(h)
+        outs.append(basic.linear(hg, fcprojw[e], fcprojb[e]))
+    stack = jnp.stack(outs, axis=1).astype(jnp.float32)   # (S, E, C)
+    out = jnp.sum(w_full[..., None] * stack, axis=1)
+    return out.astype(x.dtype).reshape(x.shape)

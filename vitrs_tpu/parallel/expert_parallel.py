@@ -1,0 +1,142 @@
+"""Expert parallelism — MoE expert shards over an ICI mesh axis.
+
+The reference is single-threaded and dense (SURVEY.md §2 rows 26-27); MoE
+(ops/moe.py) is the beyond-reference sparse-scaling axis, and this module is
+its scale-out story:
+
+  * mesh ("data", "expert"): the batch is sharded over BOTH axes (every
+    device is a data worker), expert weights are sharded over "expert" only
+    — device (d, e) holds experts [e·E/ep, (e+1)·E/ep) and is replicated
+    across the data rows;
+  * inside the jitted step the MoE layer makes one `all_to_all` hop out over
+    the "expert" axis (each device ships the capacity slots bound for peers'
+    experts and receives every peer's slots for its own) and one hop home —
+    the GShard dispatch pattern, riding ICI;
+  * routing itself (the (S, E) router matmul + top-k + slot cumsum) stays
+    local to each device — only the dispatched activations move;
+  * gradients: `jax.grad` differentiates straight through the all_to_all
+    pair (its transpose is the reverse all_to_all).  Expert-shard grads are
+    completed with a psum over "data" (each data row contributed its own
+    tokens); replicated-tensor grads psum over both axes;
+  * optimizer: tree-form AdamW (ops/optimizer.adamw_tree) with m/v sharded
+    exactly like the parameters — expert moments never materialize
+    unsharded, so optimizer memory for the expert slabs also scales 1/ep.
+
+Gradient parity vs the single-device MoE model is exact when no assignment
+drops (capacity ≥ local demand); with drops the two legitimately differ —
+capacity is computed over each device's LOCAL token set (tests/test_moe.py
+pins the no-drop parity).
+
+Two semantics are intentionally LOCAL per device (both standard distributed-
+MoE practice, both covered by the parity test's aux_weight=0 mode):
+  * the load-balance aux loss balances each device's own token set (it is
+    quadratic in the token distribution, so the mean of per-shard values
+    differs slightly from the global-batch value — the Switch/GShard
+    formulation is likewise computed per dispatch group);
+  * capacity: each device drops against its own cap = ceil(S_loc·K/E·f).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import ViTConfig
+from ..models import model as M
+from ..ops import optimizer as opt
+
+# parameter leaves carrying a (L, E, ...) expert axis (params.param_shapes)
+EXPERT_KEYS = ("fcw", "fcb", "fcprojw", "fcprojb")
+
+
+def make_mesh_dp_ep(dp: int, ep: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:dp * ep]
+    return Mesh(np.asarray(devices).reshape(dp, ep),
+                axis_names=("data", "expert"))
+
+
+def ep_param_specs(cfg: ViTConfig):
+    """PartitionSpec per tensor: expert slabs sharded on their E axis (dim 1
+    after the stacked-L dim), everything else replicated."""
+    from ..params import param_shapes
+    assert cfg.is_moe
+    return {name: (P(None, "expert") if name in EXPERT_KEYS else P())
+            for name in param_shapes(cfg)}
+
+
+def place_ep_params(params, cfg: ViTConfig, mesh: Mesh):
+    specs = ep_param_specs(cfg)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in params.items()}
+
+
+def init_ep_opt_state(params, cfg: ViTConfig, mesh: Mesh):
+    """Tree-form AdamW moments, sharded like the parameters (fp32)."""
+    specs = ep_param_specs(cfg)
+
+    def zeros(k, p):
+        return jax.jit(
+            lambda: jnp.zeros(p.shape, jnp.float32),
+            out_shardings=NamedSharding(mesh, specs[k]))()
+
+    m = {k: zeros(k, p) for k, p in params.items()}
+    v = {k: zeros(k, p) for k, p in params.items()}
+    return m, v
+
+
+def make_ep_train_step(cfg: ViTConfig, mesh: Mesh,
+                       weight_decay_2d_only: bool = True):
+    """Jitted dp×ep SPMD training step for a MoE GPT config.
+
+    Signature: (params, m, v, inputs, targets, step, lr, wd)
+            -> (params, m, v, loss)
+    with the expert slabs (and their m/v) sharded over "expert", everything
+    else replicated, and the batch sharded over (data, expert) jointly.
+    """
+    assert cfg.is_moe and cfg.mode == "gpt", "EP serves MoE gpt configs"
+    ep = mesh.shape["expert"]
+    assert cfg.num_experts % ep == 0, (cfg.num_experts, ep)
+    specs = ep_param_specs(cfg)
+
+    def spmd_step(params, m, v, inputs, targets, step, lr, wd):
+        def global_loss(p):
+            local = M.gpt_loss(p, inputs, targets, cfg,
+                               ep_axis="expert", ep=ep)
+            return jax.lax.pmean(local, ("data", "expert"))
+
+        loss, grads = jax.value_and_grad(global_loss)(params)
+        # complete the per-device grads.  JAX's collective-transpose
+        # convention (transpose(psum) = psum) means grad-of-pmean delivers
+        # each device an UNSCALED cotangent: the raw grad of a leaf is the
+        # sum of dl_dev/dleaf over every device its copy served, with NO 1/N.
+        # Summing over the axes the leaf is replicated on (expert shards:
+        # "data" only — each shard is a distinct logical param per "expert"
+        # index; everything else: both axes) and dividing once by mesh.size
+        # reassembles d(global mean loss)/dleaf exactly — pinned against the
+        # single-device gradient in tests/test_moe.py.
+        inv = 1.0 / mesh.size
+        grads = {k: jax.lax.psum(g, ("data",) if k in EXPERT_KEYS
+                                 else ("data", "expert")) * inv
+                 for k, g in grads.items()}
+        mask = opt.decay_mask_2d(params) if weight_decay_2d_only else None
+        params, m, v = opt.adamw_tree(params, grads, m, v, step, lr,
+                                      weight_decay=wd, decay_mask=mask)
+        return params, m, v, loss
+
+    pspec = {k: specs[k] for k in specs}
+    mapped = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, P(("data", "expert")),
+                  P(("data", "expert")), P(), P(), P()),
+        out_specs=(pspec, pspec, pspec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1, 2))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Leading dim sharded jointly over (data, expert)."""
+    return jax.device_put(batch, NamedSharding(mesh, P(("data", "expert"))))

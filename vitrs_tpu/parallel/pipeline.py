@@ -404,6 +404,9 @@ def make_pp_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
     schedule: "gpipe" (autodiff through the forward scan) or "1f1b"
     (explicit fwd/bwd interleave, depth-bounded activation memory)."""
     S = mesh.shape["pipe"]
+    assert not cfg.is_moe, (
+        "MoE under pipeline parallelism is not wired (the stage transformer "
+        "drops router aux losses) — use dp/ep (parallel/expert_parallel.py)")
     assert cfg.num_layers % (S * virtual_stages) == 0, (
         cfg.num_layers, S, virtual_stages)
     assert schedule in ("gpipe", "1f1b", "1f1b-interleaved"), schedule

@@ -395,6 +395,9 @@ def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
     Signature: (tp_params, m, v, inputs, targets, step, lr, wd)
             -> (tp_params, m, v, loss)
     """
+    assert not cfg.is_moe, (
+        "MoE under TP is not wired (the TP block is dense-MLP-sharded) — "
+        "use dp/ep (parallel/expert_parallel.py)")
     specs = tp_param_specs(cfg)
     param_spec_tree = dict(specs)
     tp_size = mesh.shape["model"]

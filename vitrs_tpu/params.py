@@ -39,6 +39,12 @@ CANONICAL_16 = (
 # ViT-mode extension tensors (v2 checkpoint section), canonical order.
 VIT_EXT = ("patchw", "patchb", "cls", "headw", "headb")
 
+# MoE extension tensor (v2 checkpoint section, after any VIT_EXT): the
+# router.  The expert-stacked MLP weights keep their canonical names/slots —
+# fcw/fcb/fcprojw/fcprojb simply grow a leading E axis (header h[19] declares
+# num_experts, so the payload layout stays self-describing).
+MOE_EXT = ("routerw",)
+
 
 def param_shapes(cfg: ViTConfig) -> Dict[str, Tuple[int, ...]]:
     """Shapes in canonical order. Leading L axis on per-layer tensors."""
@@ -56,6 +62,13 @@ def param_shapes(cfg: ViTConfig) -> Dict[str, Tuple[int, ...]]:
         "fcprojw": (L, C, 4 * C), "fcprojb": (L, C),
         "lnfw": (C,), "lnfb": (C,),
     }
+    if cfg.num_experts:
+        E = cfg.num_experts
+        shapes.update({
+            "fcw": (L, E, 4 * C, C), "fcb": (L, E, 4 * C),
+            "fcprojw": (L, E, C, 4 * C), "fcprojb": (L, E, C),
+            "routerw": (L, E, C),
+        })
     if cfg.mode == "vit":
         P, IC, NC = cfg.patch_size, cfg.in_chans, cfg.num_classes
         shapes.update({
@@ -69,7 +82,8 @@ def param_shapes(cfg: ViTConfig) -> Dict[str, Tuple[int, ...]]:
 
 
 def tensor_order(cfg: ViTConfig) -> Tuple[str, ...]:
-    return CANONICAL_16 + (VIT_EXT if cfg.mode == "vit" else ())
+    return (CANONICAL_16 + (VIT_EXT if cfg.mode == "vit" else ())
+            + (MOE_EXT if cfg.num_experts else ()))
 
 
 def num_parameters(cfg: ViTConfig, core_only: bool = False) -> int:
