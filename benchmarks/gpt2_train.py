@@ -44,6 +44,14 @@ def main():
                     help="GQA/MQA K/V head count (0 = MHA)")
     ap.add_argument("--pos-emb", default="learned",
                     choices=["learned", "rope"])
+    ap.add_argument("--num-experts", type=int, default=0,
+                    help="MoE experts per layer (0 = dense MLP)")
+    ap.add_argument("--moe-top-k", type=int, default=2)
+    ap.add_argument("--scan-unroll", type=int, default=0,
+                    help="layer-scan unroll factor (0 = full unroll — "
+                         "fastest steady-state; 1 = rolled scan, O(1) "
+                         "compile size in depth: use for MoE whose "
+                         "top-k/scatter HLO is large per layer)")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -52,6 +60,8 @@ def main():
         dtype="bfloat16" if on_tpu else "float32",
         use_flash=on_tpu, max_seq_len=args.seq, remat=args.remat,
         window=args.window, num_kv_heads=args.kv_heads, pos_emb=args.pos_emb,
+        num_experts=args.num_experts, scan_unroll=args.scan_unroll,
+        **({"moe_top_k": args.moe_top_k} if args.num_experts else {}),
         **({"param_dtype": args.param_dtype} if args.param_dtype else {}))
     B, T = args.batch, cfg.max_seq_len
 

@@ -276,3 +276,40 @@ def test_ep_train_step_loss_decreases():
     # expert slabs and their moments stayed sharded over "expert"
     spec = pp["fcw"].sharding.spec
     assert tuple(spec)[:2] == (None, "expert"), spec
+
+
+# ---------------------------------------------------------------------------
+# generation: KV-cache decode with the MoE MLP
+# ---------------------------------------------------------------------------
+
+def test_moe_cache_decode_matches_full_forward():
+    """Prefill + incremental decode through the MoE block must reproduce the
+    full-forward logits (same tokens, same routing decisions per position —
+    decode routes each token alone, so capacity can never drop it)."""
+    from vitrs_tpu.models import generate as G
+    cfg = _cfg(moe_cap_factor=8.0)  # no train-side drops either
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 97)
+    full = M.gpt_forward(p, prompt, cfg)
+    caches = G.init_kv_cache(cfg, 2, 16)
+    lg, caches = G.forward_with_cache(p, prompt, caches, 0, cfg)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(full),
+                               rtol=2e-5, atol=2e-5)
+    # one decode step
+    nxt = jnp.argmax(lg[:, -1], axis=-1)[:, None]
+    lg1, _ = G.forward_with_cache(p, nxt, caches, 8, cfg)
+    full2 = M.gpt_forward(p, jnp.concatenate([prompt, nxt], 1), cfg)
+    np.testing.assert_allclose(np.asarray(lg1[:, 0]),
+                               np.asarray(full2[:, -1]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_greedy_generation_runs():
+    from vitrs_tpu.models import generate as G
+    cfg = _cfg()
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (1, 4), 0, 97)
+    out = G.generate(p, prompt, cfg, max_new=6, key=jax.random.PRNGKey(3),
+                     temperature=0.0)
+    assert out.shape == (1, 10)
+    assert np.asarray((out >= 0) & (out < 97)).all()

@@ -93,6 +93,32 @@ def _plin(p: Dict, wkey: str, bkey, x: jax.Array) -> jax.Array:
     return basic.linear(x, p[wkey], b)
 
 
+def _block_keys(params: Dict, cfg: ViTConfig) -> tuple:
+    """Per-layer stacked leaves consumed by the decode scans: the standard
+    block keys, + routerw under MoE, + any int8 '_scale' companions."""
+    keys = M.BLOCK_KEYS + (("routerw",) if cfg.is_moe else ())
+    return keys + tuple(k + "_scale" for k in M.BLOCK_KEYS
+                        if k + "_scale" in params)
+
+
+def _mlp(p: Dict, cfg: ViTConfig, ln2: jax.Array) -> jax.Array:
+    """The block's MLP half for every decode path: dense fc/gelu/fcproj
+    (int8-weight aware via _plin) or the MoE layer (config.num_experts —
+    router aux losses are dropped at inference; expert weights stay at
+    full precision: weight-only int8 quantization of the expert slabs is
+    not wired)."""
+    if cfg.is_moe:
+        from ..ops.moe import moe_mlp
+        out, _ = moe_mlp(ln2, p["routerw"], p["fcw"], p["fcb"],
+                         p["fcprojw"], p["fcprojb"], top_k=cfg.moe_top_k,
+                         cap_factor=cfg.moe_cap_factor,
+                         erf=cfg.act == "gelu_erf")
+        return out
+    h = _plin(p, "fcw", "fcb", ln2)
+    hg = basic.gelu_erf_cv(h) if cfg.act == "gelu_erf" else basic.gelu_cv(h)
+    return _plin(p, "fcprojw", "fcprojb", hg)
+
+
 def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     """One block step that reads/updates its (B, Tmax, C) cache slice.
 
@@ -144,8 +170,7 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
 
     x = x + _plin(p, "attprojw", "attprojb", atty)
     ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
-    fch_gelu = basic.gelu_cv(_plin(p, "fcw", "fcb", ln2))
-    x = x + _plin(p, "fcprojw", "fcprojb", fch_gelu)
+    x = x + _mlp(p, cfg, ln2)
     return x, k_cache, v_cache
 
 
@@ -177,10 +202,7 @@ def forward_with_cache(params: Dict, tokens: jax.Array, caches, pos,
     else:
         x = emb + jax.lax.dynamic_slice_in_dim(
             params["wpe"], pos, S, 0)[None].astype(dtype)
-    bkeys = M.BLOCK_KEYS + tuple(
-        k + "_scale" for k in M.BLOCK_KEYS
-        if k + "_scale" in params)
-    blocks = {k: params[k] for k in bkeys}
+    blocks = {k: params[k] for k in _block_keys(params, cfg)}
 
     def step(x, layer):
         p, kc, vc = layer
@@ -379,8 +401,7 @@ def _block_with_kv_ring(x, p, cfg, k_cache, v_cache, pos):
     atty = atty.transpose(0, 2, 1, 3).reshape(B, S, C)
     x = x + _plin(p, "attprojw", "attprojb", atty)
     ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
-    fch_gelu = basic.gelu_cv(_plin(p, "fcw", "fcb", ln2))
-    x = x + _plin(p, "fcprojw", "fcprojb", fch_gelu)
+    x = x + _mlp(p, cfg, ln2)
     return x, k_cache, v_cache
 
 
@@ -397,9 +418,7 @@ def forward_with_ring(params: Dict, tokens: jax.Array, caches, pos,
     else:
         x = emb + jax.lax.dynamic_slice_in_dim(
             params["wpe"], pos, S, 0)[None].astype(dtype)
-    bkeys = M.BLOCK_KEYS + tuple(
-        k + "_scale" for k in M.BLOCK_KEYS if k + "_scale" in params)
-    blocks = {k: params[k] for k in bkeys}
+    blocks = {k: params[k] for k in _block_keys(params, cfg)}
 
     def step(x, layer):
         p, kc, vc = layer
@@ -488,8 +507,7 @@ def _block_decode_multi(x, p, cfg, k_cache, v_cache, pos):
     atty = atty.transpose(0, 2, 1, 3).reshape(B, 1, C)
     x = x + _plin(p, "attprojw", "attprojb", atty)
     ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
-    fch_gelu = basic.gelu_cv(_plin(p, "fcw", "fcb", ln2))
-    x = x + _plin(p, "fcprojw", "fcprojb", fch_gelu)
+    x = x + _mlp(p, cfg, ln2)
     return x, k_cache, v_cache
 
 
@@ -509,9 +527,7 @@ def decode_step_multi(params: Dict, tokens: jax.Array, caches, pos,
         emb = emb * params["wte_scale"][tokens][..., None].astype(dtype)
     x = (emb if cfg.pos_emb == "rope"
          else emb + params["wpe"][pos].astype(dtype))[:, None, :]
-    bkeys = M.BLOCK_KEYS + tuple(
-        k + "_scale" for k in M.BLOCK_KEYS if k + "_scale" in params)
-    blocks = {k: params[k] for k in bkeys}
+    blocks = {k: params[k] for k in _block_keys(params, cfg)}
 
     def step(x, layer):
         p, kc, vc = layer
@@ -612,8 +628,7 @@ def _block_decode_paged(x, p, cfg, kp, vp, table, pos):
     atty = atty.transpose(0, 2, 1, 3).reshape(B, 1, C)
     x = x + _plin(p, "attprojw", "attprojb", atty)
     ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
-    fch_gelu = basic.gelu_cv(_plin(p, "fcw", "fcb", ln2))
-    x = x + _plin(p, "fcprojw", "fcprojb", fch_gelu)
+    x = x + _mlp(p, cfg, ln2)
     return x, kp, vp
 
 
@@ -628,9 +643,7 @@ def decode_step_paged(params: Dict, tokens: jax.Array, caches, table,
         emb = emb * params["wte_scale"][tokens][..., None].astype(dtype)
     x = (emb if cfg.pos_emb == "rope"
          else emb + params["wpe"][pos].astype(dtype))[:, None, :]
-    bkeys = M.BLOCK_KEYS + tuple(
-        k + "_scale" for k in M.BLOCK_KEYS if k + "_scale" in params)
-    blocks = {k: params[k] for k in bkeys}
+    blocks = {k: params[k] for k in _block_keys(params, cfg)}
 
     def step(x, layer):
         p, kp, vp = layer

@@ -253,6 +253,12 @@ def gpt_loss(params: Dict[str, jax.Array], tokens: jax.Array,
     if (cfg.use_flash and _flash_available()
             and fused_ce.supports(lnf.shape[0] * lnf.shape[1], Vp)):
         wte_p = jnp.pad(params["wte"].astype(lnf.dtype), ((0, Vp - V), (0, 0)))
+        from ..ops import fused_head_ce
+        R = lnf.shape[0] * lnf.shape[1]
+        if fused_head_ce.supports(R, Vp, lnf.shape[-1]):
+            # head matmul with the CE statistics folded into the MXU
+            # epilogue: the standalone streaming-CE read pass disappears
+            return fused_head_ce.head_ce_mean(lnf, wte_p, targets, V) + aux
         logits = basic.linear(lnf, wte_p, None)
         return fused_ce.cross_entropy_mean(logits, targets, real_vocab=V) + aux
     logits = basic.linear(lnf, params["wte"].astype(lnf.dtype), None)

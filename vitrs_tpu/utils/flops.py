@@ -26,8 +26,15 @@ def forward_flops_per_example(cfg: ViTConfig) -> float:
     """Matmul FLOPs for one example's forward pass (2·MACs)."""
     C, L = cfg.channels, cfg.num_layers
     T = cfg.seq_len
-    # qkv (C+2*kv_dim wide under GQA; 3C for MHA), proj, fc, fcproj
-    per_tok_layer = 2 * (cfg.qkv_dim * C + C * C + 4 * C * C + 4 * C * C)
+    # qkv (C+2*kv_dim wide under GQA; 3C for MHA), proj, fc, fcproj.
+    # MoE: each token runs top_k expert MLPs plus the (C, E) router —
+    # the standard sparse-MFU convention counts only EXECUTED FLOPs
+    # (dropped assignments still occupy their dispatch slot, so this is
+    # the ceiling of useful work, matching Switch/GShard reporting)
+    mlp_mult = cfg.moe_top_k if cfg.is_moe else 1
+    router = 2 * C * cfg.num_experts if cfg.is_moe else 0
+    per_tok_layer = 2 * (cfg.qkv_dim * C + C * C
+                         + mlp_mult * (4 * C * C + 4 * C * C)) + router
     # QK^T + PV: 2 matmuls x 2 flops.  Convention: the full T x T square is
     # counted for causal (the standard MFU convention — llm.c/PaLM count
     # unmasked FLOPs); the windowed analogue is the full T x window band, so
