@@ -313,3 +313,17 @@ def test_moe_greedy_generation_runs():
                      temperature=0.0)
     assert out.shape == (1, 10)
     assert np.asarray((out >= 0) & (out < 97)).all()
+
+
+def test_moe_selective_remat_matches_no_remat():
+    """remat=True for MoE: lean attention branch + checkpointed MoE half
+    (models/selective.block_moe_selective) — same grads as the plain path."""
+    cfg = _cfg()
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 97)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 97)
+    g0 = jax.grad(M.gpt_loss)(p, toks, tgt, cfg)
+    g1 = jax.grad(M.gpt_loss)(p, toks, tgt, cfg.replace(remat=True))
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)

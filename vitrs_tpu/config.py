@@ -157,11 +157,6 @@ class ViTConfig:
             assert 1 <= self.moe_top_k <= self.num_experts, (
                 self.moe_top_k, self.num_experts)
             assert self.moe_cap_factor > 0.0
-            # remat: False or blanket "full"; the selective per-branch VJPs
-            # (models/selective.py) do not cover the MoE branch yet
-            assert self.remat in (False, "full"), (
-                "MoE supports remat=False|'full' (selective policy has no "
-                "MoE branch)")
         assert self.pos_emb in ("learned", "rope"), self.pos_emb
         if self.pos_emb == "rope":
             assert self.mode == "gpt", "rope is a gpt-mode option"

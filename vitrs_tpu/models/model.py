@@ -160,6 +160,11 @@ def transformer(x: jax.Array, params: Dict[str, jax.Array], cfg: ViTConfig,
                                  ep_axis=ep_axis, ep=ep)
         if cfg.remat == "full":
             body = jax.checkpoint(body)
+        elif cfg.remat:
+            # selective: lean attention branch + checkpointed MoE half
+            from .selective import block_moe_selective
+            body = functools.partial(block_moe_selective, cfg=cfg,
+                                     causal=causal, ep_axis=ep_axis, ep=ep)
 
         def step_moe(carry, p):
             h, aux = carry
@@ -255,9 +260,11 @@ def gpt_loss(params: Dict[str, jax.Array], tokens: jax.Array,
         wte_p = jnp.pad(params["wte"].astype(lnf.dtype), ((0, Vp - V), (0, 0)))
         from ..ops import fused_head_ce
         R = lnf.shape[0] * lnf.shape[1]
-        if fused_head_ce.supports(R, Vp, lnf.shape[-1]):
+        if (fused_head_ce.ENABLE
+                and fused_head_ce.supports(R, Vp, lnf.shape[-1])):
             # head matmul with the CE statistics folded into the MXU
-            # epilogue: the standalone streaming-CE read pass disappears
+            # epilogue — measured NEUTRAL at 124M B=32 (144.2-144.5k vs
+            # 145.1k tok/s two-op), default off; see ops/fused_head_ce.py
             return fused_head_ce.head_ce_mean(lnf, wte_p, targets, V) + aux
         logits = basic.linear(lnf, wte_p, None)
         return fused_ce.cross_entropy_mean(logits, targets, real_vocab=V) + aux

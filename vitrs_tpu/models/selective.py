@@ -339,6 +339,47 @@ mlp_branch.defvjp(_mlp_branch_fwd, _mlp_branch_bwd)
 # block assembly (drop-path composed OUTSIDE the branches, like models/model)
 # ---------------------------------------------------------------------------
 
+def block_moe_selective(x, p, cfg: ViTConfig, causal: bool, ep_axis=None,
+                        ep: int = 1):
+    """MoE block under the selective policy: the attention residual uses
+    the lean custom-VJP branch (flash out+lse+LN stats saved, no kernel
+    re-run in backward); the MoE half is wrapped in `jax.checkpoint` — its
+    dispatch buffers and expert activations (the E·cap·4C hidden, ~10
+    (B,T,C)-equivalents per layer at top-2/1.25x) are recomputed in
+    backward instead of stashed.  Returns (x, weighted_aux) like
+    model._block_moe."""
+    from .model import _drop_path
+    dp = "_dp_rate" in p
+    with jax.named_scope("attn"):
+        a = attn_branch(x, p["ln1w"], p["ln1b"], p["qkvw"], p["qkvb"],
+                        p["attprojw"], p["attprojb"], cfg.num_heads, causal,
+                        False, cfg.use_flash, cfg.kv_heads,
+                        cfg.pos_emb == "rope", cfg.window)
+        if dp:
+            a = _drop_path(a, p["_dp_key"][0], p["_dp_rate"])
+        x = x + a
+
+    def moe_half(x_, ln2w, ln2b, routerw, fcw, fcb, fcprojw, fcprojb):
+        from ..ops.moe import moe_mlp
+        ln2 = basic.layernorm_cv(x_, ln2w, ln2b)
+        out, aux = moe_mlp(ln2, routerw, fcw, fcb, fcprojw, fcprojb,
+                           top_k=cfg.moe_top_k,
+                           cap_factor=cfg.moe_cap_factor,
+                           erf=cfg.act == "gelu_erf",
+                           ep_axis=ep_axis, ep=ep)
+        w = (cfg.moe_aux_weight * aux.load_balance
+             + cfg.moe_zloss_weight * aux.z_loss)
+        return out, w
+
+    with jax.named_scope("moe"):
+        out, aw = jax.checkpoint(moe_half)(
+            x, p["ln2w"], p["ln2b"], p["routerw"], p["fcw"], p["fcb"],
+            p["fcprojw"], p["fcprojb"])
+        if dp:
+            out = _drop_path(out, p["_dp_key"][1], p["_dp_rate"])
+    return x + out, aw
+
+
 def block_selective(x, p, cfg: ViTConfig, causal: bool):
     """The 10-op block (rusty_vit.rs:322-331) with lean-residual branches.
     Semantically identical to model._block; used when cfg.remat is truthy

@@ -22,8 +22,18 @@ Grid: (row blocks, vocab blocks), vocab innermost and sequential
 ("arbitrary") so the online statistics accumulate in VMEM scratch; rows
 parallel.  The row panel of lnf stays resident across the vocab sweep
 (Pallas refetches an input block only when its index changes), so HBM
-traffic is wte re-streamed once per ROW PANEL — R_blk=1024 keeps that at
-2.5 GB against the 16.6 ms of matmul compute (compute-bound, measured).
+traffic is wte re-streamed once per ROW PANEL — R_blk=2048 keeps that at
+1.2 GB against the 16.6 ms of matmul compute (compute-bound).
+
+MEASURED NEUTRAL-TO-NEGATIVE at GPT-2 124M B=32 on v5e (ENABLE=False):
+144.2k tok/s at R_blk=1024 and 144.5k at R_blk=2048 vs 145.1k for the
+two-op path (XLA head matmul + ops/fused_ce one-pass CE).  The standalone
+CE read pass this kernel eliminates is evidently already overlapped with
+neighboring work at the step level, and XLA's GEMM schedule is a touch
+faster than this Mosaic one — the same verdict as the fused-LN+matmul and
+Pallas-CE-backward attempts (CLAUDE.md negative results).  Kept as a
+correct, tested op for programs where the surrounding schedule denies XLA
+that overlap.
 
 Reference anchor: the head projection + CE is rusty_vit.rs:336-347 (tied
 wte head, mean CE); the padded-vocab convention is llm.c's 50304 pad
@@ -42,8 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_ce import NEG_INF, pad_vocab  # noqa: F401  (shared convention)
 
 LANES = 128
-BLOCK_R = 1024    # row panel: lnf block resident across the vocab sweep
+ENABLE = False    # measured neutral at 124M B=32 — see module docstring
+BLOCK_R = 2048    # row panel: lnf block resident across the vocab sweep
 BLOCK_V = 384     # vocab tile: 50304 = 131 * 384 (384 = 3 lanes of 128)
+VMEM_LIMIT = 64 * 1024 * 1024   # f32 epilogue tiles at R_blk=2048 overflow
+                                # the 16 MB default scoped-vmem stack
 
 
 def supports(n_rows: int, vocab_padded: int, channels: int) -> bool:
@@ -115,7 +128,8 @@ def _head_ce_fwd(lnf2, wte_p, targets, real_vocab, interpret=False):
                         pltpu.VMEM((BLOCK_R, 1), jnp.float32),
                         pltpu.VMEM((BLOCK_R, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(lnf2, wte_p, tgt2)
 
