@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--num-experts", type=int, default=0,
                     help="MoE experts per layer (0 = dense MLP)")
     ap.add_argument("--moe-top-k", type=int, default=2)
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "adafactor"],
+                    help="adafactor = sublinear optimizer state "
+                         "(ops/adafactor.py) — the big-model memory mode")
     ap.add_argument("--scan-unroll", type=int, default=0,
                     help="layer-scan unroll factor (0 = full unroll — "
                          "fastest steady-state; 1 = rolled scan, O(1) "
@@ -68,12 +72,44 @@ def main():
     key = jax.random.PRNGKey(0)
     params = PRM.init_params(cfg, key)
     state_dtype = jnp.dtype(args.state_dtype)
-    zeros = lambda: jax.tree_util.tree_map(
-        lambda p: jnp.zeros(p.shape, state_dtype), params)
-    m, v = zeros(), zeros()
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T + 1)))
     x, y = tokens[:, :-1], tokens[:, 1:]
+
+    if args.optimizer == "adafactor":
+        from vitrs_tpu.ops import adafactor as AF
+        af_state = AF.init_state(params)
+        mask = opt.decay_mask_2d(params)
+        print({"adafactor_state_mb":
+               round(AF.state_bytes(af_state) / 2**20, 1)})
+
+        def train_step(p, st, x, y, step, lr):
+            loss, grads = jax.value_and_grad(M.loss_fn)(p, x, y, cfg)
+            p, st = AF.step(p, grads, st, step, lr, weight_decay=0.1,
+                            decay_mask=mask)
+            return p, st, loss
+
+        step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+        s = lambda i: (jnp.asarray(i, jnp.int32),
+                       jnp.asarray(1e-2, jnp.float32))
+        params, af_state, loss = step_fn(params, af_state, x, y, *s(1))
+        float(loss)
+        t0 = time.perf_counter()
+        for i in range(2, args.iters + 2):
+            params, af_state, loss = step_fn(params, af_state, x, y, *s(i))
+        loss_val = float(loss)
+        dt = (time.perf_counter() - t0) / args.iters
+        tok_per_sec = B * T / dt
+        mfu = F.mfu(tok_per_sec / T, cfg, dev.device_kind, n_chips=1,
+                    train=True)
+        print({"tok_per_sec": round(tok_per_sec),
+               "step_ms": round(dt * 1e3, 2), "mfu": round(mfu, 4),
+               "loss": round(loss_val, 4), "B": B, "T": T})
+        return
+
+    zeros = lambda: jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, state_dtype), params)
+    m, v = zeros(), zeros()
 
     def train_step(p, m, v, x, y, step, lr):
         loss, grads = jax.value_and_grad(M.loss_fn)(p, x, y, cfg)

@@ -1,0 +1,165 @@
+"""Adafactor (ops/adafactor.py): factored-second-moment exactness on
+rank-1 g² structure, vector full-v parity, stacked-layout semantics,
+memory footprint, and end-to-end loss decrease."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitrs_tpu.ops import adafactor as AF
+
+
+def test_rank1_g2_factored_equals_full():
+    """When g² is exactly rank-1 (g²_ij = a_i·b_j), the factored estimate
+    (vr⊗vc)/mean(vr) reconstructs the full second moment exactly at step 1,
+    so the update must equal the unfactored g/sqrt(v̂) (then RMS-clipped)."""
+    a = jnp.asarray([1.0, 4.0, 9.0, 16.0])
+    b = jnp.asarray([0.25, 1.0, 2.25])
+    g = jnp.sqrt(a[:, None] * b[None, :])           # g² = a⊗b exactly
+    p = jnp.zeros((4, 3))
+    st = AF.init_state({"w": p})
+    newp, st2 = AF.step({"w": p}, {"w": g}, st, jnp.asarray(1), 0.1,
+                        relative_step=False)
+    # β2_1 = 1 - 1^-0.8 = 0 → vr/vc are exactly the row/col means of g²+eps
+    g2 = np.asarray(g) ** 2 + AF.EPS1
+    vhat = (g2.mean(1, keepdims=True) * g2.mean(0, keepdims=True)
+            / g2.mean())
+    u = np.asarray(g) / np.sqrt(vhat)
+    u = u / max(1.0, np.sqrt((u ** 2).mean()) / AF.CLIP_D)
+    np.testing.assert_allclose(np.asarray(newp["w"]), -0.1 * u, rtol=1e-5)
+
+
+def test_vector_full_second_moment():
+    g = jnp.asarray([3.0, -4.0])
+    p = jnp.zeros((2,))
+    st = AF.init_state({"b": p})
+    newp, _ = AF.step({"b": p}, {"b": g}, st, jnp.asarray(1), 0.5,
+                      relative_step=False)
+    u = np.asarray(g) / np.sqrt(np.asarray(g) ** 2 + AF.EPS1)
+    u = u / max(1.0, np.sqrt((u ** 2).mean()) / AF.CLIP_D)
+    np.testing.assert_allclose(np.asarray(newp["b"]), -0.5 * u, rtol=1e-5)
+
+
+def test_stacked_factorization_is_per_matrix():
+    """(L, OC, IC) leaves factor each layer's matrix independently — the
+    stacked step must equal L separate 2-D steps."""
+    key = jax.random.PRNGKey(0)
+    L, OC, IC = 3, 8, 5
+    p = jax.random.normal(key, (L, OC, IC))
+    g = jax.random.normal(jax.random.PRNGKey(1), (L, OC, IC))
+    st = AF.init_state({"w": p})
+    stacked, _ = AF.step({"w": p}, {"w": g}, st, jnp.asarray(3), 0.01,
+                         relative_step=False)
+    for l in range(L):
+        st_l = AF.init_state({"w": p[l]})
+        # neutralize the per-leaf RMS clip difference: clip at the stacked
+        # RMS by checking the PRE-clip direction via a tiny lr instead —
+        # compare the factored v̂ itself through the update ratio
+        one, _ = AF.step({"w": p[l]}, {"w": g[l]}, st_l, jnp.asarray(3),
+                         0.01, relative_step=False)
+        # updates are parallel (same v̂) even if clip scale differs
+        du_s = np.asarray(stacked["w"][l] - p[l]).ravel()
+        du_1 = np.asarray(one["w"] - p[l]).ravel()
+        cos = du_s @ du_1 / (np.linalg.norm(du_s) * np.linalg.norm(du_1))
+        assert cos > 0.99999, cos
+
+
+def test_state_is_sublinear():
+    from vitrs_tpu.config import get_config
+    from vitrs_tpu import params as PRM
+    cfg = get_config("gpt-nano")
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    st = AF.init_state(p)
+    n_param_bytes = sum(a.size * 4 for a in p.values())
+    assert AF.state_bytes(st) < 0.2 * n_param_bytes
+    # beta1 > 0 adds one param-copy of momentum
+    st_m = AF.init_state(p, beta1=0.9)
+    assert AF.state_bytes(st_m) > n_param_bytes
+
+
+def test_gpt_nano_loss_decreases():
+    from vitrs_tpu.config import get_config
+    from vitrs_tpu import params as PRM
+    from vitrs_tpu.models import model as M
+    from vitrs_tpu.ops import optimizer as OPT
+    cfg = get_config("gpt-nano", use_flash=False)
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    st = AF.init_state(p)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (4, 16), 0, 97)
+    mask = OPT.decay_mask_2d(p)
+
+    @jax.jit
+    def train(p, st, t):
+        loss, g = jax.value_and_grad(M.gpt_loss)(p, toks, tgt, cfg)
+        p, st = AF.step(p, g, st, t, 0.05, weight_decay=1e-4,
+                        decay_mask=mask)
+        return p, st, loss
+
+    losses = []
+    for i in range(25):
+        p, st, loss = train(p, st, jnp.asarray(i + 1))
+        losses.append(float(loss))
+    # relative-step scaling (alpha = lr·RMS(p)) starts slow at trunc-normal
+    # init — steady monotone descent is the contract, not a fixed drop
+    assert losses[-1] < losses[0] - 0.5, losses
+    assert all(b < a + 1e-3 for a, b in zip(losses, losses[1:])), losses
+
+
+def test_dp_adafactor_step_matches_single_device():
+    """The shard_map DP Adafactor step must equal a single-device step on
+    the full batch (pmean'd tree grads == full-batch grads)."""
+    from vitrs_tpu.config import get_config
+    from vitrs_tpu import params as PRM
+    from vitrs_tpu.models import model as M
+    from vitrs_tpu.ops import optimizer as OPT
+    from vitrs_tpu.parallel import data_parallel as dp
+    cfg = get_config("gpt-nano", use_flash=False)
+    mesh = dp.make_mesh(4)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(4))
+    state = AF.init_state(params)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 16)))
+    y = jnp.asarray(np.roll(np.asarray(x), -1, axis=1))
+
+    loss, g = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+    p_1, _ = AF.step(params, g, state, jnp.asarray(1), 0.01,
+                     weight_decay=0.1, decay_mask=OPT.decay_mask_2d(params))
+    p_1 = jax.device_get(p_1)
+
+    step_fn = dp.make_dp_train_step_adafactor(cfg, mesh)
+    p_dp, st_dp, loss_dp = step_fn(
+        dp.replicate(params, mesh), dp.replicate(state, mesh),
+        dp.shard_batch(x, mesh), dp.shard_batch(y, mesh),
+        jnp.asarray(1, jnp.int32), jnp.asarray(0.01, jnp.float32),
+        jnp.asarray(0.1, jnp.float32))
+    np.testing.assert_allclose(float(loss_dp), float(loss), rtol=1e-6)
+    for k in p_1:
+        # u = g·rsqrt(v̂) amplifies the fp32 reduction-order difference
+        # (pmean-of-shard-means vs full-batch mean) to ±1-scale sign flips
+        # where g ≈ 0; the |update| scale here is ~1e-2·lr, so a wiring
+        # error would be O(1e-4) absolute — assert well below that
+        np.testing.assert_allclose(np.asarray(p_dp[k]), np.asarray(p_1[k]),
+                                   rtol=1e-4, atol=5e-5, err_msg=k)
+
+
+def test_train_loop_adafactor_resume(tmp_path):
+    """Kill-and-resume under --optimizer adafactor: the side-tree state
+    (vr/vc/vf + cursor in its meta) must make 2+2 == 4 straight steps."""
+    import os
+    from vitrs_tpu import checkpoint as C
+    from vitrs_tpu.train.loop import TrainConfig, train
+    common = dict(preset="gpt-nano", dataset="tokens", steps=4,
+                  batch_size=8, lr=0.01, warmup=2, dtype="float32",
+                  log_every=2, eval_every=0, seed=3, optimizer="adafactor",
+                  async_ckpt=False, model_overrides=dict(use_flash=False))
+    w1 = str(tmp_path / "straight")
+    train(TrainConfig(workdir=w1, ckpt_every=4, **common))
+    w2 = str(tmp_path / "resumed")
+    train(TrainConfig(workdir=w2, ckpt_every=2, run_steps=2, **common))
+    train(TrainConfig(workdir=w2, ckpt_every=2, **common))
+    p1, _, _ = C.load_checkpoint(os.path.join(w1, "ckpt_00000004.bin"))
+    p2, _, _ = C.load_checkpoint(os.path.join(w2, "ckpt_00000004.bin"))
+    for k in p1:
+        np.testing.assert_allclose(p1[k], p2[k], rtol=2e-6, atol=1e-7,
+                                   err_msg=k)

@@ -65,9 +65,11 @@ def main():
     p.add_argument("--init-ckpt", default=None,
                    help="warm-start weights (e.g. MAE-pretrained encoder)")
     p.add_argument("--optimizer", default="adamw",
-                   choices=["adamw", "muon"],
+                   choices=["adamw", "muon", "adafactor"],
                    help="muon = hybrid Muon/AdamW (ops/muon.py); --lr then "
-                        "sets the MATRIX lr (~0.02 scale)")
+                        "sets the MATRIX lr (~0.02 scale).  adafactor = "
+                        "sublinear optimizer state (ops/adafactor.py); "
+                        "--lr is the relative step size (~1e-2 scale)")
     p.add_argument("--muon-adamw-lr", type=float, default=6e-4,
                    help="AdamW lr for non-matrix leaves under --optimizer "
                         "muon")

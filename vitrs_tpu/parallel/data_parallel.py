@@ -262,6 +262,38 @@ def make_dp_train_step_muon(cfg: ViTConfig, mesh: Mesh,
     return jax.jit(mapped, donate_argnums=(0, 1))
 
 
+def make_dp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
+                                 weight_decay_2d_only: bool = True,
+                                 relative_step: bool = True):
+    """DP training step with Adafactor (ops/adafactor.py).
+
+    Signature: (params, state: AdafactorState, inputs, targets, step, lr,
+                wd) -> (params, state, loss)
+    params and the (sublinear — O(rows+cols) per matrix) factored state stay
+    replicated: at ~1/2000 of a param-copy there is nothing worth sharding.
+    Gradients are pmean'd in tree form like the Muon step."""
+    from ..ops import adafactor as AF
+
+    def spmd_step(params, state, inputs, targets, step, lr, wd):
+        loss, grads = jax.value_and_grad(M.loss_fn, argnums=0)(
+            params, inputs, targets, cfg)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "data"), grads)
+        loss = jax.lax.pmean(loss, "data")
+        mask = opt.decay_mask_2d(params) if weight_decay_2d_only else None
+        params, state = AF.step(params, grads, state, step, lr,
+                                weight_decay=wd, decay_mask=mask,
+                                relative_step=relative_step)
+        return params, state, loss
+
+    mapped = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
 @functools.lru_cache(maxsize=None)
 def _decay_mask_flat(cfg: ViTConfig, n_pad: int):
     """Flat 0/1 mask over the canonical parameter vector: 1 where the

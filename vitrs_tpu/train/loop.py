@@ -71,7 +71,10 @@ class TrainConfig:
     optimizer: str = "adamw"       # "adamw" (fused ZeRO-1 default) | "muon"
                                    # (hybrid Muon/AdamW, ops/muon.py; tc.lr
                                    # becomes the MATRIX lr — ~0.02 scale —
-                                   # and muon_adamw_lr drives the rest)
+                                   # and muon_adamw_lr drives the rest) |
+                                   # "adafactor" (sublinear state,
+                                   # ops/adafactor.py; tc.lr is the relative
+                                   # step size — ~1e-2 scale)
     muon_adamw_lr: float = 6e-4    # AdamW lr for non-matrix leaves (muon)
     ra_ops: int = 0                # RandAugment ops per image (imagenet path)
     ra_mag: float = 0.0            # RandAugment magnitude in [0, 1]
@@ -200,8 +203,30 @@ def train(tc: TrainConfig) -> dict:
         norm_stats = (_ds_for_stats.mean, _ds_for_stats.std)
 
     use_muon = tc.optimizer == "muon"
-    mu_state = None
-    if use_muon:
+    use_af = tc.optimizer == "adafactor"
+    mu_state = af_state = None
+    if use_af:
+        assert tc.accum_steps == 1 and tc.mixup_alpha == 0.0 and \
+            not tc.log_grad_norm, \
+            "adafactor path keeps the lean step (accum/mixup/norm: adamw)"
+        from ..ops import adafactor as AF
+        step_fn = dp.make_dp_train_step_adafactor(
+            cfg, mesh, weight_decay_2d_only=True)
+        from .. import checkpoint_tree as CT
+        af_path = (os.path.join(tc.workdir, f"adafactor_{start_step:08d}.tree")
+                   if latest else None)
+        if af_path and os.path.exists(af_path):
+            host_af, af_meta = CT.load_tree(af_path)
+            # the m dict is empty at beta1=0 and empty pytrees do not
+            # survive the tree writer — default it back
+            af_state = AF.AdafactorState(
+                **{k: jax.tree.map(jnp.asarray, host_af.get(k, {}))
+                   for k in ("vr", "vc", "vf", "m")})
+            cursor = int(af_meta.get("cursor", cursor))
+            print(f"[resume] adafactor state from {af_path}, cursor {cursor}")
+        else:
+            af_state = AF.init_state(params)
+    elif use_muon:
         assert tc.accum_steps == 1 and tc.mixup_alpha == 0.0 and \
             not tc.log_grad_norm, \
             "muon path wires clip_norm only (accum/mixup/grad-norm: adamw)"
@@ -297,14 +322,16 @@ def train(tc: TrainConfig) -> dict:
         # loader.cursor, which runs ahead by the prefetch depth
         consumed = cursor + (step - start_step) * tc.batch_size
         path = os.path.join(tc.workdir, f"ckpt_{step:08d}.bin")
-        if use_muon:
-            # flat m/v is the AdamW layout; muon state rides a side tree
+        if use_muon or use_af:
+            # flat m/v is the AdamW layout; these states ride a side tree
             from .. import checkpoint_tree as CT
             ckpt_io.save_checkpoint(
                 path, jax.device_get(params), cfg, step=step, seed=tc.seed,
                 cursor=consumed)
-            CT.save_tree(os.path.join(tc.workdir, f"muon_{step:08d}.tree"),
-                         jax.device_get(mu_state._asdict()),
+            name = "muon" if use_muon else "adafactor"
+            st = mu_state if use_muon else af_state
+            CT.save_tree(os.path.join(tc.workdir, f"{name}_{step:08d}.tree"),
+                         jax.device_get(st._asdict()),
                          meta={"step": step, "cursor": consumed})
         elif ckpt_async is not None:
             # device-side snapshot, write overlaps the next train steps
@@ -332,7 +359,12 @@ def train(tc: TrainConfig) -> dict:
             # ~10 RPC roundtrips/step on a relay-attached TPU)
             lr = opt.cosine_lr_host(step, tc.lr, tc.warmup, tc.steps,
                                     tc.min_lr)
-            if use_muon:
+            if use_af:
+                params, af_state, loss = step_fn(
+                    params, af_state, images, labels, np.int32(step),
+                    np.float32(lr), wd_host)
+                gnorm = None
+            elif use_muon:
                 # same cosine SHAPE for both halves of the hybrid: min_lr
                 # scales proportionally so it is honored on the AdamW side
                 aux_lr = opt.cosine_lr_host(
