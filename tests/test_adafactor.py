@@ -163,3 +163,20 @@ def test_train_loop_adafactor_resume(tmp_path):
     for k in p1:
         np.testing.assert_allclose(p1[k], p2[k], rtol=2e-6, atol=1e-7,
                                    err_msg=k)
+
+
+def test_wsd_schedule_shape():
+    from vitrs_tpu.ops.optimizer import wsd_lr_host
+    total, warmup = 1000, 100
+    assert wsd_lr_host(0, 1.0, warmup, total) == 0.0
+    assert wsd_lr_host(50, 1.0, warmup, total) == 0.5
+    # plateau: flat at base_lr from warmup to the cooldown start
+    for s in (100, 300, 600, 899):
+        assert wsd_lr_host(s, 1.0, warmup, total) == 1.0
+    # linear cooldown over the last 10%
+    assert abs(wsd_lr_host(950, 1.0, warmup, total) - 0.5) < 1e-6
+    assert abs(wsd_lr_host(1000, 1.0, warmup, total, min_lr=0.1) - 0.1) < 1e-6
+    # extending `total` preserves every pre-cooldown value (the WSD point)
+    for s in (100, 300, 600, 899):
+        assert wsd_lr_host(s, 1.0, warmup, 2000) == \
+            wsd_lr_host(s, 1.0, warmup, total)

@@ -136,3 +136,24 @@ def cosine_lr_host(step: int, base_lr: float, warmup: int, total: int,
     return float(np.float32(min_lr) + np.float32(0.5)
                  * (np.float32(base_lr) - np.float32(min_lr))
                  * (np.float32(1.0) + np.cos(np.float32(np.pi) * prog)))
+
+
+def wsd_lr_host(step: int, base_lr: float, warmup: int, total: int,
+                decay_frac: float = 0.1, min_lr: float = 0.0) -> float:
+    """Warmup-Stable-Decay schedule (host-side, like cosine_lr_host): linear
+    warmup, a long FLAT plateau at base_lr, then a linear cooldown over the
+    final `decay_frac` of training.  The modern continued-pretraining
+    schedule — unlike cosine, the plateau means a checkpoint taken at any
+    mid-training step is a valid starting point for a longer run (only the
+    cooldown must be re-done), so `total` can be extended after the fact."""
+    s = np.float32(step)
+    if s < warmup:
+        return float(np.float32(base_lr) * s / np.float32(max(1.0, warmup)))
+    decay_steps = np.float32(max(1.0, decay_frac * total))
+    decay_start = np.float32(total) - decay_steps
+    if s < decay_start:
+        return float(base_lr)
+    prog = np.clip((s - decay_start) / decay_steps, np.float32(0),
+                   np.float32(1))
+    return float(np.float32(base_lr)
+                 + (np.float32(min_lr) - np.float32(base_lr)) * prog)
