@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--num-experts", type=int, default=0,
                     help="MoE experts per layer (0 = dense MLP)")
     ap.add_argument("--moe-top-k", type=int, default=2)
+    ap.add_argument("--cap-factor", type=float, default=0.0,
+                    help="MoE static-capacity factor (0 = config default "
+                         "1.25; 1.0 trades routing drops for ~20% fewer "
+                         "padded expert rows)")
     ap.add_argument("--optimizer", default="adamw",
                     choices=["adamw", "adafactor"],
                     help="adafactor = sublinear optimizer state "
@@ -66,6 +70,7 @@ def main():
         window=args.window, num_kv_heads=args.kv_heads, pos_emb=args.pos_emb,
         num_experts=args.num_experts, scan_unroll=args.scan_unroll,
         **({"moe_top_k": args.moe_top_k} if args.num_experts else {}),
+        **({"moe_cap_factor": args.cap_factor} if args.cap_factor else {}),
         **({"param_dtype": args.param_dtype} if args.param_dtype else {}))
     B, T = args.batch, cfg.max_seq_len
 

@@ -261,3 +261,132 @@ def test_tp_gqa_training_decreases_loss():
                                   jnp.asarray(0.0, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+# --- vocab parallelism (Megatron VocabParallelEmbedding + parallel CE) -------
+
+VP_CFG = get_config("gpt-nano", use_flash=False, num_heads=4, channels=32)
+# vocab 97 pads to 128; tp=2 -> shard 1 is part-real/part-pad, tp=4 -> shard 3
+# holds ONE real row (96) and 31 pad rows — both edge shapes exercised below.
+
+
+def _vp_data(B=8, seed=0, cfg=None):
+    cfg = cfg or VP_CFG
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 16)))
+    return x, jnp.asarray(np.roll(np.asarray(x), -1, axis=1))
+
+
+def test_vp_param_round_trip():
+    from vitrs_tpu.ops import fused_ce
+    params = PRM.init_params(VP_CFG, jax.random.PRNGKey(7))
+    tpp = tp.to_tp_params(params, VP_CFG, vocab_parallel=True)
+    assert tpp["wte"].shape[0] == fused_ce.pad_vocab(VP_CFG.vocab_size)
+    back = tp.from_tp_params(tpp, VP_CFG, vocab_parallel=True)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]),
+                                      np.asarray(back[k]))
+
+
+@pytest.mark.parametrize("tp_size,pos_emb", [(2, "learned"), (4, "learned"),
+                                             (2, "rope")])
+def test_vp_loss_and_grads_match_single_device(tp_size, pos_emb):
+    """Vocab-parallel embedding + head + CE vs the replicated single-device
+    model: loss and ALL gradients (wte recovered from its vocab-row shards)
+    must match; pad-row wte gradients must be exactly zero."""
+    cfg = VP_CFG.replace(pos_emb=pos_emb)
+    mesh = tp.make_mesh_2d(dp=8 // tp_size, tp=tp_size)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(8))
+    x, y = _vp_data(seed=8, cfg=cfg)
+    loss_ref, grads_ref = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+
+    specs = tp.tp_param_specs(cfg, vocab_parallel=True)
+
+    def spmd_grads(p, inputs, targets):
+        loss, g = jax.value_and_grad(tp.tp_loss)(
+            p, inputs, targets, cfg, "model", False, tp_size,
+            vocab_parallel=True)
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    from jax.experimental.shard_map import shard_map
+    fn = jax.jit(shard_map(
+        spmd_grads, mesh=mesh,
+        in_specs=(dict(specs), P("data"), P("data")),
+        out_specs=(P(), dict(specs)), check_rep=False))
+    tpp = tp.place_tp_params(params, cfg, mesh, vocab_parallel=True)
+    data_sh = NamedSharding(mesh, P("data"))
+    loss, tp_grads = fn(tpp, jax.device_put(x, data_sh),
+                        jax.device_put(y, data_sh))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    tp_grads = jax.device_get(tp_grads)
+    np.testing.assert_array_equal(
+        np.asarray(tp_grads["wte"][cfg.vocab_size:]), 0.0)
+    got = tp.from_tp_params(tp_grads, cfg, vocab_parallel=True)
+    for k in grads_ref:
+        g_ref = np.asarray(grads_ref[k])
+        scale = max(np.abs(g_ref).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(got[k]), g_ref,
+                                   rtol=5e-4, atol=2e-5 * scale, err_msg=k)
+
+
+def test_vp_sp_loss_and_grads_match_single_device():
+    """Vocab parallelism composed with sequence parallelism."""
+    cfg = VP_CFG
+    tp_size = 2
+    mesh = tp.make_mesh_2d(dp=4, tp=tp_size)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(9))
+    x, y = _vp_data(seed=9)
+    loss_ref, grads_ref = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+
+    specs = tp.tp_param_specs(cfg, vocab_parallel=True)
+
+    def spmd_grads(p, inputs, targets):
+        loss, g = jax.value_and_grad(tp.tp_loss)(
+            p, inputs, targets, cfg, "model", True, tp_size,
+            vocab_parallel=True)
+        for k in tp.SP_PARTIAL_GRADS:
+            g[k] = jax.lax.psum(g[k], "model")
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    from jax.experimental.shard_map import shard_map
+    fn = jax.jit(shard_map(
+        spmd_grads, mesh=mesh,
+        in_specs=(dict(specs), P("data"), P("data")),
+        out_specs=(P(), dict(specs)), check_rep=False))
+    tpp = tp.place_tp_params(params, cfg, mesh, vocab_parallel=True)
+    data_sh = NamedSharding(mesh, P("data"))
+    loss, tp_grads = fn(tpp, jax.device_put(x, data_sh),
+                        jax.device_put(y, data_sh))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    got = tp.from_tp_params(jax.device_get(tp_grads), cfg,
+                            vocab_parallel=True)
+    for k in grads_ref:
+        g_ref = np.asarray(grads_ref[k])
+        scale = max(np.abs(g_ref).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(got[k]), g_ref,
+                                   rtol=5e-4, atol=2e-5 * scale, err_msg=k)
+
+
+def test_vp_wte_sharded_and_training_decreases_loss():
+    from vitrs_tpu.ops import fused_ce
+    mesh = tp.make_mesh_2d(dp=4, tp=2)
+    params = PRM.init_params(VP_CFG, jax.random.PRNGKey(10))
+    x, y = _vp_data(seed=10)
+    tpp = tp.place_tp_params(params, VP_CFG, mesh, vocab_parallel=True)
+    Vp = fused_ce.pad_vocab(VP_CFG.vocab_size)
+    assert ({s.data.shape for s in tpp["wte"].addressable_shards}
+            == {(Vp // 2, VP_CFG.channels)})
+    step_fn = tp.make_tp_train_step(VP_CFG, mesh, vocab_parallel=True)
+    m, v = tp.init_tp_opt_state(tpp, mesh, VP_CFG, vocab_parallel=True)
+    data_sh = NamedSharding(mesh, P("data"))
+    xd, yd = jax.device_put(x, data_sh), jax.device_put(y, data_sh)
+    losses = []
+    for s in range(8):
+        tpp, m, v, loss = step_fn(tpp, m, v, xd, yd,
+                                  jnp.asarray(s + 1, jnp.int32),
+                                  jnp.asarray(3e-3, jnp.float32),
+                                  jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

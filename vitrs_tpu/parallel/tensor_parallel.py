@@ -246,6 +246,70 @@ def _tp_sp_block(x_s, p, cfg: ViTConfig, causal: bool, axis: str, tp: int):
         return x_s + fcproj_s.astype(x_s.dtype)
 
 
+# --- vocab parallelism (Megatron VocabParallelEmbedding + parallel CE) ------
+#
+# Without it, the final-LN → head matmul → cross-entropy tail runs
+# REDUNDANTLY on every model shard: at GPT-2 the (B·T, C)×(C, 50304) head is
+# ~1/6 of forward FLOPs and the (B, T, V) logits are the largest activation
+# in the program (3.07 GB at B=32 — the top allocation in the OOM report
+# that motivated this).  Vocab parallelism shards the weight-tied wte table
+# over the PADDED vocab rows (fused_ce.pad_vocab → Vp % tp == 0), so each
+# device computes only its (B, T, Vp/tp) logits slice and the full softmax
+# statistics are assembled from two scalar-field collectives:
+#
+#   embedding:  e = psum_m( in_shard(tokens) · wte_local[tokens - v0] )
+#   head/CE:    m  = pmax_m(max_v logits_local)        (stop-gradient: the
+#               z  = psum_m(Σ_v exp(logits_local - m))  max shift cancels in
+#               t  = psum_m(in_shard(tgt) · logit_tgt)  ∂(log z + m − t))
+#               loss = mean(log z + m − t)
+#
+# `reduce_out` (psum fwd / identity bwd) is the right conjugate for z and t —
+# their downstream consumers are replicated; `copy_in` guards lnf entering
+# the column-parallel head so its partial (vocab-slice) cotangents are
+# psum'd.  wte gradients are per-shard-local by construction (embedding rows
+# via the masked scatter-add transpose, head rows via dlogitsᵀ·lnf), so the
+# train step applies AdamW to them unsummed, like every sharded leaf.
+
+def _vp_gpt_encode(tokens, p, cfg: ViTConfig, axis: str, dtype):
+    """gpt_encode (models/model.py:200-208 semantics) with wte sharded
+    (Vp/tp, C) over `axis`.  Out-of-shard lookups contribute exact zeros, so
+    the psum reproduces the replicated lookup bitwise."""
+    wte_l = p["wte"]
+    Vl = wte_l.shape[0]
+    v0 = jax.lax.axis_index(axis) * Vl
+    loc = jnp.clip(tokens - v0, 0, Vl - 1)
+    in_shard = ((tokens >= v0) & (tokens < v0 + Vl))[..., None]
+    emb = reduce_out(jnp.where(in_shard, wte_l[loc], 0), axis)
+    if cfg.pos_emb == "rope":
+        return emb.astype(dtype)
+    T = tokens.shape[-1]
+    return (emb + p["wpe"][None, :T, :]).astype(dtype)
+
+
+def _vp_head_ce(lnf, wte_l, targets, axis: str, V: int):
+    """Weight-tied head matmul on the local vocab shard + parallel CE.
+    Matches jnp.mean(cross_entropy_from_logits(lnf·wteᵀ, targets)) (the
+    gpt_loss tail, models/model.py:270-272) without ever materializing the
+    full (B, T, V) logits on any device.  Pad rows (zero weights, possibly
+    whole shards when Vp/tp ≥ V − v0) are masked to −inf and contribute
+    exp(−inf)=0 to z and zero gradient."""
+    Vl = wte_l.shape[0]
+    v0 = jax.lax.axis_index(axis) * Vl
+    lnf_c = copy_in(lnf, axis)                      # bwd: psum partial dlnf
+    logits = basic.linear(lnf_c, wte_l.astype(lnf.dtype), None)
+    lg = logits.astype(jnp.float32)
+    col = v0 + jnp.arange(Vl)
+    lg = jnp.where(col[None, None, :] < V, lg, -jnp.inf)
+    m_loc = jnp.max(lg, axis=-1)
+    m_glob = jax.lax.pmax(jax.lax.stop_gradient(m_loc), axis)   # (B, T)
+    z = reduce_out(jnp.sum(jnp.exp(lg - m_glob[..., None]), axis=-1), axis)
+    t_loc = jnp.take_along_axis(
+        lg, jnp.clip(targets - v0, 0, Vl - 1)[..., None], axis=-1)[..., 0]
+    in_shard = (targets >= v0) & (targets < v0 + Vl)
+    t = reduce_out(jnp.where(in_shard, t_loc, 0.0), axis)
+    return jnp.mean(jnp.log(z) + m_glob - t)
+
+
 # --- the tensor-parallel block ----------------------------------------------
 
 def _tp_block(x, p, cfg: ViTConfig, causal: bool, axis: str):
@@ -292,13 +356,20 @@ TP_BLOCK_SPECS = {
 }
 
 
-def to_tp_params(params, cfg: ViTConfig):
+def to_tp_params(params, cfg: ViTConfig, vocab_parallel: bool = False):
     """Canonical pytree -> TP pytree.  MHA: qkvw/qkvb reshaped (L, 3, C, C)
     so the model axis slices head-aligned parts instead of raw packed rows.
     GQA: the packed projection splits into separate qw/kw/vw leaves, each
-    column-sharded on its own (different-sized) head dimension."""
+    column-sharded on its own (different-sized) head dimension.
+    vocab_parallel pads wte to (pad_vocab(V), C) so the model axis slices
+    even lane-aligned vocab-row shards."""
     out = dict(params)
     L, C = cfg.num_layers, cfg.channels
+    if vocab_parallel:
+        from ..ops import fused_ce
+        V = cfg.vocab_size
+        Vp = fused_ce.pad_vocab(V)
+        out["wte"] = jnp.pad(params["wte"], ((0, Vp - V), (0, 0)))
     if cfg.is_gqa:
         kvd = cfg.kv_dim
         w, b = params["qkvw"], params["qkvb"]
@@ -312,9 +383,11 @@ def to_tp_params(params, cfg: ViTConfig):
     return out
 
 
-def from_tp_params(tp_params, cfg: ViTConfig):
+def from_tp_params(tp_params, cfg: ViTConfig, vocab_parallel: bool = False):
     out = dict(tp_params)
     L, C = cfg.num_layers, cfg.channels
+    if vocab_parallel:
+        out["wte"] = tp_params["wte"][:cfg.vocab_size]
     if cfg.is_gqa:
         out["qkvw"] = jnp.concatenate(
             [tp_params["qw"], tp_params["kw"], tp_params["vw"]], axis=1)
@@ -341,22 +414,28 @@ def tp_block_specs(cfg: ViTConfig):
     return specs
 
 
-def tp_param_specs(cfg: ViTConfig):
+def tp_param_specs(cfg: ViTConfig, vocab_parallel: bool = False):
     """PartitionSpec per TP-pytree leaf (replicated for non-block tensors)."""
     specs = {k: P() for k in PRM.tensor_order(cfg)
              if k not in M.BLOCK_KEYS}
     specs.update(tp_block_specs(cfg))
     specs.pop("qkvw", None)
     specs.pop("qkvb", None)
+    if vocab_parallel:
+        specs["wte"] = P("model", None)      # padded vocab rows sharded
     return specs
 
 
 def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str,
-                sequence_parallel: bool = False, tp: int = 1):
+                sequence_parallel: bool = False, tp: int = 1,
+                vocab_parallel: bool = False):
     dtype = jnp.dtype(cfg.dtype)
     if cfg.mode == "vit":
         h = M.vit_encode(x_or_tokens, p, cfg)
         causal = False
+    elif vocab_parallel:
+        h = _vp_gpt_encode(x_or_tokens, p, cfg, axis, dtype)
+        causal = True
     else:
         h = M.gpt_encode(x_or_tokens, p, dtype,
                          rope=cfg.pos_emb == "rope")
@@ -378,17 +457,24 @@ def _tp_forward(x_or_tokens, p, cfg: ViTConfig, axis: str,
     if cfg.mode == "vit":
         pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
         return basic.linear(pooled, p["headw"], p["headb"]).astype(jnp.float32)
+    if vocab_parallel:
+        return lnf                      # head+CE fuse in tp_loss (_vp_head_ce)
     return basic.linear(lnf, p["wte"].astype(dtype), None)
 
 
 def tp_loss(p, inputs, targets, cfg: ViTConfig, axis: str = "model",
-            sequence_parallel: bool = False, tp: int = 1):
-    logits = _tp_forward(inputs, p, cfg, axis, sequence_parallel, tp)
-    return jnp.mean(basic.cross_entropy_from_logits(logits, targets))
+            sequence_parallel: bool = False, tp: int = 1,
+            vocab_parallel: bool = False):
+    out = _tp_forward(inputs, p, cfg, axis, sequence_parallel, tp,
+                      vocab_parallel)
+    if vocab_parallel:
+        return _vp_head_ce(out, p["wte"], targets, axis, cfg.vocab_size)
+    return jnp.mean(basic.cross_entropy_from_logits(out, targets))
 
 
 def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
-                       sequence_parallel: bool = False):
+                       sequence_parallel: bool = False,
+                       vocab_parallel: bool = False):
     """2-D SPMD train step: batch sharded over "data", block weights sharded
     over "model", AdamW state sharded like the weights.
 
@@ -398,7 +484,7 @@ def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
     assert not cfg.is_moe, (
         "MoE under TP is not wired (the TP block is dense-MLP-sharded) — "
         "use dp/ep (parallel/expert_parallel.py)")
-    specs = tp_param_specs(cfg)
+    specs = tp_param_specs(cfg, vocab_parallel)
     param_spec_tree = dict(specs)
     tp_size = mesh.shape["model"]
     assert cfg.num_heads % tp_size == 0, (cfg.num_heads, tp_size)
@@ -406,11 +492,16 @@ def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
         assert cfg.kv_heads % tp_size == 0, (
             f"GQA under TP needs kv_heads ({cfg.kv_heads}) divisible by the "
             f"model-axis size ({tp_size}) so each shard owns whole groups")
+    if vocab_parallel:
+        from ..ops import fused_ce
+        assert cfg.mode == "gpt", "vocab parallelism is the gpt head/CE path"
+        Vp = fused_ce.pad_vocab(cfg.vocab_size)
+        assert Vp % tp_size == 0, (Vp, tp_size)
 
     def spmd(p, m, v, inputs, targets, step, lr, wd):
         loss, grads = jax.value_and_grad(tp_loss)(p, inputs, targets, cfg,
                                                   "model", sequence_parallel,
-                                                  tp_size)
+                                                  tp_size, vocab_parallel)
         if sequence_parallel:
             # params whose compute lives on sequence shards produce partial
             # grads — sum them over the model axis (Megatron's SP LN-grad
@@ -432,16 +523,18 @@ def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 
 
-def place_tp_params(params, cfg: ViTConfig, mesh: Mesh):
+def place_tp_params(params, cfg: ViTConfig, mesh: Mesh,
+                    vocab_parallel: bool = False):
     """Canonical params -> TP layout, device_put with the TP shardings."""
-    tp = to_tp_params(params, cfg)
-    specs = tp_param_specs(cfg)
+    tp = to_tp_params(params, cfg, vocab_parallel)
+    specs = tp_param_specs(cfg, vocab_parallel)
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
             for k, v in tp.items()}
 
 
-def init_tp_opt_state(tp_params, mesh: Mesh, cfg: ViTConfig):
-    specs = tp_param_specs(cfg)
+def init_tp_opt_state(tp_params, mesh: Mesh, cfg: ViTConfig,
+                      vocab_parallel: bool = False):
+    specs = tp_param_specs(cfg, vocab_parallel)
 
     def zeros():
         # distinct buffers per tree — m and v must not alias (donation)
