@@ -327,3 +327,71 @@ def test_moe_selective_remat_matches_no_remat():
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Adafactor under EP (sharded factored optimizer state)
+# ---------------------------------------------------------------------------
+
+def test_ep_adafactor_parity_vs_single_device():
+    """One dp×ep Adafactor step == one single-device AF.step on the
+    full-batch gradients: the factored stats and RMS scalars are per
+    trailing matrix/vector, so sharding the leading E axis is exactly
+    semantics-preserving (the property documented in ops/adafactor.py)."""
+    from vitrs_tpu.ops import adafactor as AF
+    from vitrs_tpu.ops import optimizer as OPT
+    cfg = _cfg(moe_cap_factor=8.0, moe_aux_weight=0.0)
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    toks = np.asarray(jax.random.randint(jax.random.PRNGKey(1), (8, 16),
+                                         0, 97))
+    tgt = np.asarray(jax.random.randint(jax.random.PRNGKey(2), (8, 16),
+                                        0, 97))
+    _, g_ref = jax.value_and_grad(M.gpt_loss)(p, jnp.asarray(toks),
+                                              jnp.asarray(tgt), cfg)
+    st0 = AF.init_state(p)
+    p_1, _ = AF.step(p, g_ref, st0, jnp.asarray(1), 0.01, weight_decay=0.1,
+                     decay_mask=OPT.decay_mask_2d(p))
+    p_1 = jax.device_get(p_1)
+
+    mesh = EP.make_mesh_dp_ep(2, 4)
+    pp = EP.place_ep_params({k: np.asarray(v) for k, v in p.items()},
+                            cfg, mesh)
+    st = EP.init_ep_af_state(pp, cfg, mesh)
+    step_fn = EP.make_ep_train_step_adafactor(cfg, mesh)
+    pp, st, _ = step_fn(pp, st, EP.shard_batch(toks, mesh),
+                        EP.shard_batch(tgt, mesh),
+                        jnp.asarray(1, jnp.int32),
+                        jnp.asarray(0.01, jnp.float32),
+                        jnp.asarray(0.1, jnp.float32))
+    for k in p_1:
+        a = np.asarray(p_1[k], np.float64)
+        np.testing.assert_allclose(np.asarray(jax.device_get(pp[k])), a,
+                                   rtol=1e-4,
+                                   atol=5e-5 * max(1.0, np.abs(a).max()),
+                                   err_msg=k)
+
+
+def test_ep_adafactor_state_sharded_and_loss_decreases():
+    cfg = _cfg(moe_cap_factor=4.0)
+    mesh = EP.make_mesh_dp_ep(2, 4)
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    pp = EP.place_ep_params(p, cfg, mesh)
+    st = EP.init_ep_af_state(pp, cfg, mesh)
+    # expert full-v (bias stacks) and factored stats stay expert-sharded
+    assert tuple(st.vf["fcb"].sharding.spec)[:2] == (None, "expert")
+    step_fn = EP.make_ep_train_step_adafactor(cfg, mesh)
+    toks = EP.shard_batch(np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 97)), mesh)
+    tgt = EP.shard_batch(np.asarray(
+        jax.random.randint(jax.random.PRNGKey(2), (8, 16), 0, 97)), mesh)
+    losses = []
+    for i in range(20):
+        # relative-step alpha (lr·RMS(p)) ramps slowly from trunc-normal
+        # init — 20 steps for a clear drop (same contract as the dense
+        # Adafactor loss test)
+        pp, st, loss = step_fn(pp, st, toks, tgt,
+                               jnp.asarray(i + 1, jnp.int32),
+                               jnp.asarray(0.05, jnp.float32),
+                               jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5, losses

@@ -13,15 +13,25 @@ in BASELINE.md is state-bound, not weight-bound).
 Implementation notes (the standard formulation):
   * beta2 schedule: β2_t = 1 − t^−0.8 — debiasing-free (the paper's decay).
   * factored v̂ = (R ⊗ C) / mean(R): R row-EMA, C col-EMA of g² + eps1.
-    Tensors with ndim < 2 (biases, LN) keep a full v.  Stacked layouts —
+    A leaf factors only when BOTH trailing dims reach MIN_FACTOR (=128, the
+    optax/T5X `min_dim_size_to_factor` convention) — true weight matrices
+    factor, while biases/LN stacks like (L, 4C) or (L, E, 4C) keep a full
+    elementwise v (rank-factoring across a stack axis is not a meaningful
+    low-rank structure, and elementwise v is what makes the expert-parallel
+    step exactly invariant to sharding the E axis).  Stacked layouts —
     (L, OC, IC) blocks and (L, E, OC, IC) expert slabs — factor over the
     LAST TWO dims, keeping the leading stack axes (each layer/expert matrix
     is its own factorization, exactly the per-matrix semantics).
   * update clipping: u ← u / max(1, RMS(u)/d) with d = 1.0 — the paper's
-    replacement for global grad-norm clipping.
+    replacement for global grad-norm clipping, applied per PARAMETER in the
+    paper's sense: per trailing matrix for factored leaves, per trailing
+    vector for non-factored ndim≥2 stacks, whole-tensor for true vectors.
+    (Also the property that makes the step invariant to leading-axis
+    sharding — the expert-parallel Adafactor mode depends on it.)
   * relative step size (optional, on by default like the paper): the
     caller's lr is multiplied by max(RMS(param), eps2) so one scalar works
-    across embedding/matrix scales.
+    across embedding/matrix scales; RMS(param) at the same granularity as
+    the clip.
   * first moment: OFF by default (the memory-saving configuration); set
     beta1 > 0 for momentum at one param-copy of extra state.
   * decoupled weight decay, masked to matrix-shaped leaves by the caller
@@ -40,6 +50,7 @@ import jax.numpy as jnp
 EPS1 = 1e-30     # inside-sqrt regularizer on g²
 EPS2 = 1e-3      # RMS(param) floor for the relative step size
 CLIP_D = 1.0
+MIN_FACTOR = 128  # min trailing-dim size to rank-factor (optax convention)
 
 
 class AdafactorState(NamedTuple):
@@ -53,15 +64,15 @@ class AdafactorState(NamedTuple):
     m: Dict[str, jax.Array]
 
 
-def _factored(p: jax.Array) -> bool:
-    return p.ndim >= 2
+def _factored(p: jax.Array, min_factor: int = MIN_FACTOR) -> bool:
+    return p.ndim >= 2 and min(p.shape[-2:]) >= min_factor
 
 
-def init_state(params: Dict[str, jax.Array], beta1: float = 0.0
-               ) -> AdafactorState:
+def init_state(params: Dict[str, jax.Array], beta1: float = 0.0,
+               min_factor: int = MIN_FACTOR) -> AdafactorState:
     vr, vc, vf = {}, {}, {}
     for k, p in params.items():
-        if _factored(p):
+        if _factored(p, min_factor):
             vr[k] = jnp.zeros(p.shape[:-1], jnp.float32)       # (…, OC)
             vc[k] = jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32)
             vf[k] = jnp.zeros((), jnp.float32)
@@ -82,7 +93,7 @@ def step(params: Dict[str, jax.Array], grads: Dict[str, jax.Array],
          state: AdafactorState, t: jax.Array, lr,
          beta1: float = 0.0, weight_decay: float = 0.0,
          decay_mask: Optional[Dict[str, bool]] = None,
-         relative_step: bool = True):
+         relative_step: bool = True, min_factor: int = MIN_FACTOR):
     """One Adafactor step over the parameter pytree.
 
     t is the 1-based step count (drives the β2 schedule); lr is the
@@ -95,7 +106,7 @@ def step(params: Dict[str, jax.Array], grads: Dict[str, jax.Array],
     for k, p in params.items():
         g = grads[k].astype(jnp.float32)
         g2 = jnp.square(g) + EPS1
-        if _factored(p):
+        if _factored(p, min_factor):
             vr = beta2 * state.vr[k] + (1.0 - beta2) * jnp.mean(g2, axis=-1)
             vc = beta2 * state.vc[k] + (1.0 - beta2) * jnp.mean(g2, axis=-2)
             # v̂ = outer(vr, vc) / mean(vr) per trailing matrix
@@ -104,18 +115,43 @@ def step(params: Dict[str, jax.Array], grads: Dict[str, jax.Array],
                   * jax.lax.rsqrt(vc)[..., None, :]
             new_vr[k], new_vc[k] = vr, vc
             new_vf[k] = state.vf[k]
+            # RMS scalars (update clip, relative step size) are PER TRAILING
+            # MATRIX, the paper's unit of clipping (each weight matrix is
+            # its own parameter there) — which also makes the step exactly
+            # invariant to sharding stacked leaves on their leading batch
+            # dims (the expert-parallel Adafactor mode relies on this:
+            # every (L, E)-indexed matrix sees identical scalars whether it
+            # lives on one device or an "expert" shard)
+            rms_u = jnp.sqrt(jnp.mean(jnp.square(u), axis=(-2, -1),
+                                      keepdims=True))
         else:
             vf = beta2 * state.vf[k] + (1.0 - beta2) * g2
             u = g * jax.lax.rsqrt(vf)
             new_vf[k] = vf
             new_vr[k], new_vc[k] = state.vr[k], state.vc[k]
-        u = u / jnp.maximum(1.0, _rms(u) / CLIP_D)
+            # per trailing VECTOR for stacked bias/LN leaves (each (l[, e])
+            # slice is its own parameter), whole-tensor for true vectors
+            rms_u = (jnp.sqrt(jnp.mean(jnp.square(u), axis=-1,
+                                       keepdims=True))
+                     if p.ndim >= 2 else _rms(u))
+        u = u / jnp.maximum(1.0, rms_u / CLIP_D)
         if beta1 > 0.0:
             mu = beta1 * state.m[k] + (1.0 - beta1) * u
             new_m[k] = mu
             u = mu
         pf = p.astype(jnp.float32)
-        alpha = lr * jnp.maximum(_rms(pf), EPS2) if relative_step else lr
+        if relative_step:
+            if _factored(p, min_factor):
+                rms_p = jnp.sqrt(jnp.mean(jnp.square(pf), axis=(-2, -1),
+                                          keepdims=True))
+            elif p.ndim >= 2:
+                rms_p = jnp.sqrt(jnp.mean(jnp.square(pf), axis=-1,
+                                          keepdims=True))
+            else:
+                rms_p = _rms(pf)
+            alpha = lr * jnp.maximum(rms_p, EPS2)
+        else:
+            alpha = lr
         wd = weight_decay if (decay_mask is None or decay_mask[k]) else 0.0
         pf = pf - alpha * u - lr * wd * pf
         new_p[k] = pf.astype(p.dtype)

@@ -140,3 +140,101 @@ def make_ep_train_step(cfg: ViTConfig, mesh: Mesh,
 def shard_batch(batch, mesh: Mesh):
     """Leading dim sharded jointly over (data, expert)."""
     return jax.device_put(batch, NamedSharding(mesh, P(("data", "expert"))))
+
+
+# --- Adafactor under EP ------------------------------------------------------
+#
+# The natural pairing: MoE expert slabs are the parameter bulk (~E× the dense
+# MLP), so their optimizer state is the first memory wall EP hits.  Adafactor
+# (ops/adafactor.py) is exactly leading-axis-sharding-invariant by
+# construction — factored stats and RMS scalars live per trailing matrix
+# (weights) / per trailing vector (bias stacks, full elementwise v), and the
+# expert axis is a leading batch dim of every expert leaf — so each device
+# running the plain AF.step on its LOCAL (L, E/ep, ...) shard reproduces the
+# single-device update for its experts bit-for-bit given the same grads
+# (pinned by tests/test_moe.py::test_ep_adafactor_parity_vs_single_device).
+
+def af_state_specs(params, cfg: ViTConfig):
+    """PartitionSpecs for an AdafactorState mirroring ep_param_specs: vr
+    drops the last param dim, vc the second-to-last, full-v/momentum shard
+    like the param, factored leaves' placeholder vf is scalar-replicated."""
+    from ..ops import adafactor as AF
+    pspecs = ep_param_specs(cfg)
+
+    def pad(k, nd):
+        s = tuple(pspecs[k])
+        return s + (None,) * (nd - len(s))
+
+    vr, vc, vf = {}, {}, {}
+    for k, p in params.items():
+        sp = pad(k, p.ndim)
+        if AF._factored(p):
+            vr[k] = P(*sp[:-1])
+            vc[k] = P(*(sp[:-2] + sp[-1:]))
+            vf[k] = P()
+        else:
+            vr[k], vc[k] = P(), P()
+            vf[k] = P(*sp)
+    return AF.AdafactorState(vr, vc, vf, {})
+
+
+def init_ep_af_state(params, cfg: ViTConfig, mesh: Mesh):
+    """Adafactor state sharded like the parameters (expert stats never
+    materialize unsharded)."""
+    from ..ops import adafactor as AF
+    host = {k: jax.device_get(v) for k, v in params.items()}
+    st = AF.init_state(host)
+    sp = af_state_specs(host, cfg)
+
+    def place(tree, spt):
+        return {k: jax.device_put(v, NamedSharding(mesh, spt[k]))
+                for k, v in tree.items()}
+
+    return AF.AdafactorState(place(st.vr, sp.vr), place(st.vc, sp.vc),
+                             place(st.vf, sp.vf), {})
+
+
+def make_ep_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
+                                 weight_decay_2d_only: bool = True):
+    """dp×ep training step with Adafactor state sharded over "expert".
+
+    Signature: (params, af_state, inputs, targets, step, lr, wd)
+            -> (params, af_state, loss)
+    """
+    from ..ops import adafactor as AF
+    assert cfg.is_moe and cfg.mode == "gpt", "EP serves MoE gpt configs"
+    ep = mesh.shape["expert"]
+    assert cfg.num_experts % ep == 0, (cfg.num_experts, ep)
+    specs = ep_param_specs(cfg)
+
+    def spmd_step(params, st, inputs, targets, step, lr, wd):
+        def global_loss(p):
+            local = M.gpt_loss(p, inputs, targets, cfg,
+                               ep_axis="expert", ep=ep)
+            return jax.lax.pmean(local, ("data", "expert"))
+
+        loss, grads = jax.value_and_grad(global_loss)(params)
+        # same grad completion as the AdamW step (see make_ep_train_step)
+        inv = 1.0 / mesh.size
+        grads = {k: jax.lax.psum(g, ("data",) if k in EXPERT_KEYS
+                                 else ("data", "expert")) * inv
+                 for k, g in grads.items()}
+        mask = opt.decay_mask_2d(params) if weight_decay_2d_only else None
+        params, st = AF.step(params, grads, st, step, lr, weight_decay=wd,
+                             decay_mask=mask)
+        return params, st, loss
+
+    # dummy params only to enumerate leaves/ndims for the state spec tree
+    from ..params import param_shapes
+    shapes = param_shapes(cfg)
+    stspec = af_state_specs(
+        {k: jax.ShapeDtypeStruct(s, jnp.float32) for k, s in shapes.items()},
+        cfg)
+    pspec = {k: specs[k] for k in specs}
+    mapped = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(pspec, stspec, P(("data", "expert")),
+                  P(("data", "expert")), P(), P(), P()),
+        out_specs=(pspec, stspec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))
