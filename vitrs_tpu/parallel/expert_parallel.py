@@ -179,19 +179,21 @@ def af_state_specs(params, cfg: ViTConfig):
 
 
 def init_ep_af_state(params, cfg: ViTConfig, mesh: Mesh):
-    """Adafactor state sharded like the parameters (expert stats never
-    materialize unsharded)."""
+    """Adafactor state sharded like the parameters.  Zeros are created
+    DIRECTLY in the sharded layout (jit with out_shardings, the same pattern
+    as init_ep_opt_state) — the full-v bias stacks scale with E, so the state
+    never materializes unsharded on any single device."""
     from ..ops import adafactor as AF
-    host = {k: jax.device_get(v) for k, v in params.items()}
-    st = AF.init_state(host)
-    sp = af_state_specs(host, cfg)
+    shapes = jax.eval_shape(AF.init_state, params)
+    sp = af_state_specs(params, cfg)
 
     def place(tree, spt):
-        return {k: jax.device_put(v, NamedSharding(mesh, spt[k]))
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=NamedSharding(mesh, spt[k]))()
                 for k, v in tree.items()}
 
-    return AF.AdafactorState(place(st.vr, sp.vr), place(st.vc, sp.vc),
-                             place(st.vf, sp.vf), {})
+    return AF.AdafactorState(place(shapes.vr, sp.vr), place(shapes.vc, sp.vc),
+                             place(shapes.vf, sp.vf), {})
 
 
 def make_ep_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,

@@ -222,6 +222,24 @@ def train(tc: TrainConfig) -> dict:
             af_state = AF.AdafactorState(
                 **{k: jax.tree.map(jnp.asarray, host_af.get(k, {}))
                    for k in ("vr", "vc", "vf", "m")})
+            # layout guard: the factored/full split depends on MIN_FACTOR —
+            # a state written under a different gate would not error on its
+            # own (a stale scalar vf placeholder broadcasts in the full-v
+            # branch, silently resetting that leaf's second-moment EMA), so
+            # validate every leaf shape against the current init layout
+            expect = jax.eval_shape(AF.init_state, params)
+            bad = [f"{f}[{k}]: {tuple(got[k].shape)} != {tuple(v.shape)}"
+                   for f in ("vr", "vc", "vf")
+                   for got in (getattr(af_state, f),)
+                   for k, v in getattr(expect, f).items()
+                   if k not in got or tuple(got[k].shape) != tuple(v.shape)]
+            if bad:
+                raise ValueError(
+                    f"adafactor state in {af_path} does not match the current "
+                    f"factoring layout (MIN_FACTOR={AF.MIN_FACTOR}); "
+                    f"mismatched leaves: {bad[:4]}{'...' if len(bad) > 4 else ''} "
+                    f"— delete the .tree to re-init (resets the optimizer EMA) "
+                    f"or resume with the build that wrote it")
             cursor = int(af_meta.get("cursor", cursor))
             print(f"[resume] adafactor state from {af_path}, cursor {cursor}")
         else:
