@@ -395,3 +395,88 @@ def test_ep_adafactor_state_sharded_and_loss_decreases():
                                jnp.asarray(0.0, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.5, losses
+
+
+# ---------------------------------------------------------------------------
+# EP x TP: experts over "expert", attention + per-expert FFN over "model"
+# ---------------------------------------------------------------------------
+
+def _ep_tp_grads(cfg, pnp, toks, tgt, dp, ep, tp):
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    mesh = EP.make_mesh_dp_ep_tp(dp, ep, tp)
+    specs = EP.ep_tp_param_specs(cfg)
+
+    def spmd(params, inputs, targets):
+        def gl(pa):
+            return jax.lax.pmean(
+                EP._ep_tp_loss(pa, inputs, targets, cfg, ep),
+                ("data", "expert"))
+        l, g = jax.value_and_grad(gl)(params)
+        inv = 1.0 / (dp * ep)
+        g = {k: jax.lax.psum(gr, ("data",) if k in EP.EXPERT_KEYS
+                             else ("data", "expert")) * inv
+             for k, gr in g.items()}
+        return l, g
+
+    f = jax.jit(shard_map(spmd, mesh=mesh,
+                          in_specs=(specs, P(("data", "expert")),
+                                    P(("data", "expert"))),
+                          out_specs=(P(), specs), check_rep=False))
+    pp = EP.place_ep_tp_params(pnp, cfg, mesh)
+    bs = jax.NamedSharding(mesh, P(("data", "expert")))
+    l, g = f(pp, jax.device_put(toks, bs), jax.device_put(tgt, bs))
+    host = {k: np.asarray(jax.device_get(v)) for k, v in g.items()}
+    return float(l), EP.from_ep_tp_params(
+        {k: jnp.asarray(v) for k, v in host.items()}, cfg)
+
+
+@pytest.mark.parametrize("dp,ep,tp", [(2, 2, 2), (1, 4, 2)])
+def test_ep_tp_grad_parity_vs_single_device(dp, ep, tp):
+    """dp x ep x tp gradients == single-device gradients when nothing
+    drops (aux_weight=0 — the load-balance term is per-cell-local, same
+    contract as the dp x ep parity test)."""
+    cfg = _cfg(moe_cap_factor=8.0, moe_aux_weight=0.0)
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    pnp = {k: np.asarray(v) for k, v in p.items()}
+    toks = np.asarray(jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 97))
+    tgt = np.asarray(jax.random.randint(jax.random.PRNGKey(2), (8, 16), 0, 97))
+    loss_ref, g_ref = jax.value_and_grad(M.gpt_loss)(p, jnp.asarray(toks),
+                                                     jnp.asarray(tgt), cfg)
+    l, g = _ep_tp_grads(cfg, pnp, toks, tgt, dp, ep, tp)
+    assert abs(l - float(loss_ref)) < 1e-5
+    for k in g_ref:
+        a = np.asarray(g_ref[k], np.float64)
+        np.testing.assert_allclose(np.asarray(g[k]), a, rtol=2e-4,
+                                   atol=2e-6 * max(1.0, np.abs(a).max()),
+                                   err_msg=k)
+
+
+def test_ep_tp_train_step_loss_decreases():
+    cfg = _cfg(moe_cap_factor=4.0)
+    mesh = EP.make_mesh_dp_ep_tp(2, 2, 2)
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    pp = EP.place_ep_tp_params(p, cfg, mesh)
+    m, v = EP.init_ep_tp_opt_state(pp, cfg, mesh)
+    step_fn = EP.make_ep_tp_train_step(cfg, mesh)
+    from jax.sharding import PartitionSpec as P
+    bs = jax.NamedSharding(mesh, P(("data", "expert")))
+    toks = jax.device_put(np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 97)), bs)
+    tgt = jax.device_put(np.asarray(
+        jax.random.randint(jax.random.PRNGKey(2), (8, 16), 0, 97)), bs)
+    losses = []
+    for i in range(8):
+        pp, m, v, loss = step_fn(pp, m, v, toks, tgt, jnp.asarray(i + 1),
+                                 1e-2, 0.0)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5, losses
+    # expert slabs sharded over BOTH expert and model; m mirrors them
+    assert tuple(pp["fcw"].sharding.spec)[:3] == (None, "expert", "model")
+    assert tuple(m["fcw"].sharding.spec)[:3] == (None, "expert", "model")
+    # canonical round-trip preserves leaf shapes (checkpoint contract)
+    canon = EP.from_ep_tp_params(
+        {k: jnp.asarray(jax.device_get(v)) for k, v in pp.items()}, cfg)
+    shapes = PRM.param_shapes(cfg)
+    for k, s in shapes.items():
+        assert tuple(canon[k].shape) == tuple(s), (k, canon[k].shape, s)

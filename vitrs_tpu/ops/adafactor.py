@@ -93,24 +93,56 @@ def step(params: Dict[str, jax.Array], grads: Dict[str, jax.Array],
          state: AdafactorState, t: jax.Array, lr,
          beta1: float = 0.0, weight_decay: float = 0.0,
          decay_mask: Optional[Dict[str, bool]] = None,
-         relative_step: bool = True, min_factor: int = MIN_FACTOR):
+         relative_step: bool = True, min_factor: int = MIN_FACTOR,
+         shard_axes: Optional[Dict[str, Optional[int]]] = None,
+         axis_name=None,
+         factored: Optional[Dict[str, bool]] = None):
     """One Adafactor step over the parameter pytree.
 
     t is the 1-based step count (drives the β2 schedule); lr is the
     caller's schedule value (multiplied by RMS(param) when relative_step).
     Returns (new_params, new_state).
+
+    shard_axes/axis_name (tensor parallelism inside shard_map): per-leaf
+    entry -1 or -2 marks which of the TRAILING TWO dims is sharded over
+    `axis_name` (None = unsharded).  The step then completes every mean
+    that crosses the sharded dim with a pmean over the axis — GATHERED-
+    stats semantics: the update equals the single-device Adafactor step
+    exactly (up to the pmean's reduction order), resolving the sharded-dim
+    factoring question the per-shard block alternative would change.
+    Leading-axis (stack/expert) sharding needs NO entry — the per-trailing-
+    matrix scalars already make that exactly invariant (see module doc).
+
+    factored: per-leaf override of the _factored(min_factor) decision —
+    under TP the LOCAL slice of a big matrix can fall below MIN_FACTOR
+    (C/tp < 128), but the layout must be judged on GLOBAL shapes so it
+    never depends on the mesh.
     """
     tf = jnp.maximum(t.astype(jnp.float32), 1.0)
     beta2 = 1.0 - tf ** -0.8
+
+    def pmean_if(x, needed):
+        return jax.lax.pmean(x, axis_name) if (needed and
+                                               axis_name is not None) else x
+
     new_p, new_vr, new_vc, new_vf, new_m = {}, {}, {}, {}, {}
     for k, p in params.items():
+        sd = (shard_axes or {}).get(k)
+        fac = (factored[k] if factored is not None
+               else _factored(p, min_factor))
         g = grads[k].astype(jnp.float32)
         g2 = jnp.square(g) + EPS1
-        if _factored(p, min_factor):
-            vr = beta2 * state.vr[k] + (1.0 - beta2) * jnp.mean(g2, axis=-1)
-            vc = beta2 * state.vc[k] + (1.0 - beta2) * jnp.mean(g2, axis=-2)
-            # v̂ = outer(vr, vc) / mean(vr) per trailing matrix
-            denom = jnp.maximum(jnp.mean(vr, axis=-1, keepdims=True), EPS1)
+        if fac:
+            # sharded-dim completion: a mean over the sharded dim is a
+            # pmean of equal-sized partial means (exact for equal shards)
+            vr = beta2 * state.vr[k] + (1.0 - beta2) * pmean_if(
+                jnp.mean(g2, axis=-1), sd == -1)
+            vc = beta2 * state.vc[k] + (1.0 - beta2) * pmean_if(
+                jnp.mean(g2, axis=-2), sd == -2)
+            # v̂ = outer(vr, vc) / mean(vr) per trailing matrix; vr's last
+            # dim is the -2 (row) dim of p, so it is sharded iff sd == -2
+            denom = jnp.maximum(pmean_if(
+                jnp.mean(vr, axis=-1, keepdims=True), sd == -2), EPS1)
             u = g * jax.lax.rsqrt(vr / denom)[..., None] \
                   * jax.lax.rsqrt(vc)[..., None, :]
             new_vr[k], new_vc[k] = vr, vc
@@ -122,8 +154,9 @@ def step(params: Dict[str, jax.Array], grads: Dict[str, jax.Array],
             # dims (the expert-parallel Adafactor mode relies on this:
             # every (L, E)-indexed matrix sees identical scalars whether it
             # lives on one device or an "expert" shard)
-            rms_u = jnp.sqrt(jnp.mean(jnp.square(u), axis=(-2, -1),
-                                      keepdims=True))
+            rms_u = jnp.sqrt(pmean_if(
+                jnp.mean(jnp.square(u), axis=(-2, -1), keepdims=True),
+                sd is not None))
         else:
             vf = beta2 * state.vf[k] + (1.0 - beta2) * g2
             u = g * jax.lax.rsqrt(vf)
@@ -131,8 +164,9 @@ def step(params: Dict[str, jax.Array], grads: Dict[str, jax.Array],
             new_vr[k], new_vc[k] = state.vr[k], state.vc[k]
             # per trailing VECTOR for stacked bias/LN leaves (each (l[, e])
             # slice is its own parameter), whole-tensor for true vectors
-            rms_u = (jnp.sqrt(jnp.mean(jnp.square(u), axis=-1,
-                                       keepdims=True))
+            rms_u = (jnp.sqrt(pmean_if(
+                         jnp.mean(jnp.square(u), axis=-1, keepdims=True),
+                         sd == -1))
                      if p.ndim >= 2 else _rms(u))
         u = u / jnp.maximum(1.0, rms_u / CLIP_D)
         if beta1 > 0.0:
@@ -141,12 +175,14 @@ def step(params: Dict[str, jax.Array], grads: Dict[str, jax.Array],
             u = mu
         pf = p.astype(jnp.float32)
         if relative_step:
-            if _factored(p, min_factor):
-                rms_p = jnp.sqrt(jnp.mean(jnp.square(pf), axis=(-2, -1),
-                                          keepdims=True))
+            if fac:
+                rms_p = jnp.sqrt(pmean_if(
+                    jnp.mean(jnp.square(pf), axis=(-2, -1), keepdims=True),
+                    sd is not None))
             elif p.ndim >= 2:
-                rms_p = jnp.sqrt(jnp.mean(jnp.square(pf), axis=-1,
-                                          keepdims=True))
+                rms_p = jnp.sqrt(pmean_if(
+                    jnp.mean(jnp.square(pf), axis=-1, keepdims=True),
+                    sd == -1))
             else:
                 rms_p = _rms(pf)
             alpha = lr * jnp.maximum(rms_p, EPS2)
@@ -156,6 +192,53 @@ def step(params: Dict[str, jax.Array], grads: Dict[str, jax.Array],
         pf = pf - alpha * u - lr * wd * pf
         new_p[k] = pf.astype(p.dtype)
     return new_p, AdafactorState(new_vr, new_vc, new_vf, new_m)
+
+
+def shard_axes_from_specs(params, pspecs, axis_name,
+                          min_factor: int = MIN_FACTOR):
+    """Derive the `step(shard_axes=...)` map from a PartitionSpec tree:
+    -1/-2 when that trailing dim of the leaf carries `axis_name`, else
+    None.  Leading-dim sharding (stacks, experts) maps to None — the step
+    is already exactly invariant there."""
+    out = {}
+    for k, p in params.items():
+        spec = tuple(pspecs[k]) + (None,) * (p.ndim - len(tuple(pspecs[k])))
+
+        def has(entry):
+            return (axis_name in entry if isinstance(entry, tuple)
+                    else entry == axis_name)
+
+        sd = None
+        if p.ndim >= 2:
+            if has(spec[-1]):
+                sd = -1
+            elif has(spec[-2]):
+                sd = -2
+        out[k] = sd
+    return out
+
+
+def state_specs(params, pspecs, min_factor: int = MIN_FACTOR):
+    """PartitionSpecs for an AdafactorState given the params' specs: vr
+    drops the last param dim, vc the second-to-last, full-v/momentum shard
+    like the param, factored leaves' scalar vf placeholder is replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    def pad(k, nd):
+        s = tuple(pspecs[k])
+        return s + (None,) * (nd - len(s))
+
+    vr, vc, vf = {}, {}, {}
+    for k, p in params.items():
+        sp = pad(k, p.ndim)
+        if _factored(p, min_factor):
+            vr[k] = P(*sp[:-1])
+            vc[k] = P(*(sp[:-2] + sp[-1:]))
+            vf[k] = P()
+        else:
+            vr[k], vc[k] = P(), P()
+            vf[k] = P(*sp)
+    return AdafactorState(vr, vc, vf, {})
 
 
 def state_bytes(state: AdafactorState) -> int:

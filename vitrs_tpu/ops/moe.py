@@ -37,6 +37,7 @@ Auxiliary losses returned to the caller (weighted in models/model.gpt_loss):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -109,28 +110,40 @@ def router(x_flat: jax.Array, routerw: jax.Array, top_k: int,
 
 def _expert_ffn(xe: jax.Array, fcw: jax.Array, fcb: jax.Array,
                 fcprojw: jax.Array, fcprojb: jax.Array,
-                erf: bool) -> jax.Array:
+                erf: bool, tp_axis=None) -> jax.Array:
     """Batched expert MLP: (E, cap, C) → (E, cap, C) in two batched
-    dot_generals (E is a batch dim → one MXU pass per matmul, not E)."""
+    dot_generals (E is a batch dim → one MXU pass per matmul, not E).
+
+    tp_axis: Megatron tensor parallelism INSIDE each expert — fcw/fcb
+    arrive column-sharded on 4C (local (E_loc, 4C/tp, C)), fcprojw
+    row-sharded on its 4C input; the conjugate collectives (copy_in /
+    reduce_out, parallel/tensor_parallel.py:51-87) make the activation
+    gradients exact, the same contract as the dense TP block."""
     from . import basic
     dt = xe.dtype
+    if tp_axis is not None:
+        from ..parallel.tensor_parallel import copy_in
+        xe = copy_in(xe, tp_axis)
     h = jax.lax.dot_general(
         xe, fcw.astype(dt),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(dt)  # (E, cap, 4C)
+        preferred_element_type=jnp.float32).astype(dt)  # (E, cap, 4C[/tp])
     h = h + fcb.astype(dt)[:, None, :]
     hg = basic.gelu_erf_cv(h) if erf else basic.gelu_cv(h)
     y = jax.lax.dot_general(
         hg, fcprojw.astype(dt),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dt)  # (E, cap, C)
+    if tp_axis is not None:
+        from ..parallel.tensor_parallel import reduce_out
+        y = reduce_out(y, tp_axis)
     return y + fcprojb.astype(dt)[:, None, :]
 
 
 def moe_mlp(x: jax.Array, routerw: jax.Array, fcw: jax.Array, fcb: jax.Array,
             fcprojw: jax.Array, fcprojb: jax.Array, *, top_k: int,
             cap_factor: float, erf: bool = False,
-            ep_axis=None, ep: int = 1
+            ep_axis=None, ep: int = 1, tp_axis=None
             ) -> Tuple[jax.Array, MoEAux]:
     """The MoE replacement for the dense MLP branch.
 
@@ -148,6 +161,12 @@ def moe_mlp(x: jax.Array, routerw: jax.Array, fcw: jax.Array, fcb: jax.Array,
     and one hop home after the expert FFN.  Per-device expert FLOPs and
     weight memory scale 1/ep; the wire cost is 2·(E·cap·C)/ep per device,
     the canonical GShard dispatch pattern.
+
+    tp_axis (composable with ep_axis — GShard's deployment shape): each
+    expert's FFN is additionally Megatron-sharded over `tp_axis`; routing
+    and dispatch stay replicated on that axis (deterministic, so every
+    model shard computes identical dst/weight), only the expert matmuls
+    split.  See _expert_ffn.
     """
     orig_shape = x.shape
     C = orig_shape[-1]
@@ -171,13 +190,13 @@ def moe_mlp(x: jax.Array, routerw: jax.Array, fcw: jax.Array, fcb: jax.Array,
         # slot block for ITS experts, stacked along the slot axis
         be = jax.lax.all_to_all(buf.reshape(E, cap, C), ep_axis,
                                 split_axis=0, concat_axis=1, tiled=True)
-        y = _expert_ffn(be, fcw, fcb, fcprojw, fcprojb, erf)
+        y = _expert_ffn(be, fcw, fcb, fcprojw, fcprojb, erf, tp_axis)
         # inverse hop: every peer's output slots come home
         y = jax.lax.all_to_all(y, ep_axis, split_axis=1, concat_axis=0,
                                tiled=True)
     else:
         y = _expert_ffn(buf.reshape(E, cap, C), fcw, fcb, fcprojw, fcprojb,
-                        erf)
+                        erf, tp_axis)
 
     # combine: gather expert outputs back to token order, weight, sum over k
     ys = y.reshape(E * cap, C)

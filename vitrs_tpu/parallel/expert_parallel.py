@@ -155,27 +155,11 @@ def shard_batch(batch, mesh: Mesh):
 # (pinned by tests/test_moe.py::test_ep_adafactor_parity_vs_single_device).
 
 def af_state_specs(params, cfg: ViTConfig):
-    """PartitionSpecs for an AdafactorState mirroring ep_param_specs: vr
+    """PartitionSpecs for an AdafactorState mirroring ep_param_specs (vr
     drops the last param dim, vc the second-to-last, full-v/momentum shard
-    like the param, factored leaves' placeholder vf is scalar-replicated."""
+    like the param) — the generic rule in ops/adafactor.state_specs."""
     from ..ops import adafactor as AF
-    pspecs = ep_param_specs(cfg)
-
-    def pad(k, nd):
-        s = tuple(pspecs[k])
-        return s + (None,) * (nd - len(s))
-
-    vr, vc, vf = {}, {}, {}
-    for k, p in params.items():
-        sp = pad(k, p.ndim)
-        if AF._factored(p):
-            vr[k] = P(*sp[:-1])
-            vc[k] = P(*(sp[:-2] + sp[-1:]))
-            vf[k] = P()
-        else:
-            vr[k], vc[k] = P(), P()
-            vf[k] = P(*sp)
-    return AF.AdafactorState(vr, vc, vf, {})
+    return AF.state_specs(params, ep_param_specs(cfg))
 
 
 def init_ep_af_state(params, cfg: ViTConfig, mesh: Mesh):
@@ -240,3 +224,177 @@ def make_ep_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
         out_specs=(pspec, stspec, P()),
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+# --- EP x TP: experts over "expert", attention/per-expert FFN over "model" --
+#
+# GShard's actual deployment shape (dp x ep caps the expert count at the
+# data-axis size and leaves TP's activation-memory relief off the MoE
+# table).  One (data, expert, model) mesh:
+#   * tokens shard over (data, expert) jointly — every device is a data
+#     worker, exactly like dp x ep; the model axis holds TP "replicas" of
+#     each cell's token set;
+#   * attention runs the verified Megatron block (tensor_parallel._tp_qkv +
+#     copy_in/reduce_out conjugates) over "model";
+#   * expert slabs shard over BOTH axes: fcw (L, E/ep, 4C/tp, C),
+#     fcb (L, E/ep, 4C/tp), fcprojw (L, E/ep, C, 4C/tp) — each expert's
+#     FFN is column/row-split inside its "expert" home (ops/moe._expert_ffn
+#     tp_axis);
+#   * routing (router matmul, top-k, slot cumsum, scatter) is replicated on
+#     "model" — deterministic, so every model shard computes identical
+#     dst/weight and the all_to_all over "expert" stays per-model-column.
+#
+# Gradient completion is the dp x ep rule verbatim (psum over "data" for
+# expert leaves, ("data", "expert") otherwise, x 1/n_cells where
+# n_cells = dp·ep): the TP conjugates make every leaf's model-axis gradient
+# exact WITHIN a cell, so the model axis never needs a psum — sharded
+# leaves' grads are their slice, model-replicated leaves (LN, biases after
+# reduce_out, fcprojb) already hold the full cell contribution.
+
+def make_mesh_dp_ep_tp(dp: int, ep: int, tp: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:dp * ep * tp]
+    assert len(devices) == dp * ep * tp
+    return Mesh(np.asarray(devices).reshape(dp, ep, tp),
+                axis_names=("data", "expert", "model"))
+
+
+def ep_tp_param_specs(cfg: ViTConfig):
+    """TP specs for the attention half (head-aligned qkv3w etc.), expert
+    slabs sharded (expert, model), router/embeddings/LN replicated."""
+    from . import tensor_parallel as TPmod
+    assert cfg.is_moe
+    specs = TPmod.tp_param_specs(cfg)        # dense fcw specs — overridden
+    specs["routerw"] = P()
+    specs["fcw"] = P(None, "expert", "model", None)
+    specs["fcb"] = P(None, "expert", "model")
+    specs["fcprojw"] = P(None, "expert", None, "model")
+    specs["fcprojb"] = P(None, "expert")
+    return specs
+
+
+def to_ep_tp_params(params, cfg: ViTConfig):
+    """Canonical -> EP x TP pytree (the TP qkv head-aligned reshape; expert
+    slabs keep their canonical (L, E, ...) layout — sharding slices them)."""
+    from . import tensor_parallel as TPmod
+    return TPmod.to_tp_params(params, cfg)
+
+
+def from_ep_tp_params(tp_params, cfg: ViTConfig):
+    from . import tensor_parallel as TPmod
+    return TPmod.from_tp_params(tp_params, cfg)
+
+
+def place_ep_tp_params(params, cfg: ViTConfig, mesh: Mesh):
+    t = to_ep_tp_params(params, cfg)
+    specs = ep_tp_param_specs(cfg)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in t.items()}
+
+
+def init_ep_tp_opt_state(ep_tp_params, cfg: ViTConfig, mesh: Mesh):
+    specs = ep_tp_param_specs(cfg)
+
+    def zeros():
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=NamedSharding(mesh, specs[k]))()
+                for k, v in ep_tp_params.items()}
+
+    return zeros(), zeros()
+
+
+def _ep_tp_block(x, bp, cfg: ViTConfig, ep: int):
+    """TP attention half + EP x TP MoE half; returns (x, weighted_aux)."""
+    from ..ops import basic
+    from ..ops.moe import moe_mlp
+    from . import tensor_parallel as TPmod
+    with jax.named_scope("attn_ep_tp"):
+        ln1 = basic.layernorm_cv(x, bp["ln1w"], bp["ln1b"])
+        ln1 = TPmod.copy_in(ln1, "model")
+        q, k, v, heads_local = TPmod._tp_qkv(ln1, bp, cfg)
+        qkv_local = jnp.concatenate([q, k, v], axis=-1)
+        atty = M.attention(qkv_local, heads_local, causal=True, quirks=False,
+                           use_flash=cfg.use_flash, window=cfg.window,
+                           rope=cfg.pos_emb == "rope")
+        attproj = TPmod.reduce_out(
+            basic.linear(atty, bp["attprojw"], None), "model") + bp["attprojb"]
+        x = x + attproj.astype(x.dtype)
+    with jax.named_scope("moe_ep_tp"):
+        ln2 = basic.layernorm_cv(x, bp["ln2w"], bp["ln2b"])
+        out, aux = moe_mlp(ln2, bp["routerw"], bp["fcw"], bp["fcb"],
+                           bp["fcprojw"], bp["fcprojb"],
+                           top_k=cfg.moe_top_k,
+                           cap_factor=cfg.moe_cap_factor,
+                           erf=cfg.act == "gelu_erf",
+                           ep_axis="expert", ep=ep, tp_axis="model")
+        a = (cfg.moe_aux_weight * aux.load_balance
+             + cfg.moe_zloss_weight * aux.z_loss)
+        return x + out.astype(x.dtype), a
+
+
+def _ep_tp_loss(p, tokens, targets, cfg: ViTConfig, ep: int):
+    from ..ops import basic
+    from . import tensor_parallel as TPmod
+    dtype = jnp.dtype(cfg.dtype)
+    h = M.gpt_encode(tokens, p, dtype, rope=cfg.pos_emb == "rope")
+    block_keys = [k for k in ("ln1w", "ln1b", "attprojw", "attprojb",
+                              "ln2w", "ln2b", "routerw", "fcw", "fcb",
+                              "fcprojw", "fcprojb")]
+    block_keys += (["qw", "qb", "kw", "kb", "vw", "vb"] if cfg.is_gqa
+                   else ["qkv3w", "qkv3b"])
+    aux = jnp.zeros((), jnp.float32)
+    for l in range(cfg.num_layers):
+        bp = {k: p[k][l] for k in block_keys}
+        h, a = _ep_tp_block(h, bp, cfg, ep)
+        aux = aux + a
+    lnf = basic.layernorm_cv(h, p["lnfw"], p["lnfb"])
+    logits = basic.linear(lnf, p["wte"].astype(dtype), None)
+    ce = jnp.mean(basic.cross_entropy_from_logits(logits, targets))
+    return ce + aux / cfg.num_layers
+
+
+def make_ep_tp_train_step(cfg: ViTConfig, mesh: Mesh,
+                          weight_decay_2d_only: bool = True):
+    """Jitted dp x ep x tp SPMD training step for a MoE GPT config.
+
+    Signature: (ep_tp_params, m, v, inputs, targets, step, lr, wd)
+            -> (ep_tp_params, m, v, loss)
+    """
+    assert cfg.is_moe and cfg.mode == "gpt", "EP x TP serves MoE gpt configs"
+    ep = mesh.shape["expert"]
+    tp = mesh.shape["model"]
+    assert cfg.num_experts % ep == 0, (cfg.num_experts, ep)
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+    assert (4 * cfg.channels) % tp == 0
+    if cfg.is_gqa:
+        assert cfg.kv_heads % tp == 0, (cfg.kv_heads, tp)
+    specs = ep_tp_param_specs(cfg)
+    n_cells = mesh.shape["data"] * ep
+
+    def spmd_step(params, m, v, inputs, targets, step, lr, wd):
+        def global_loss(pa):
+            local = _ep_tp_loss(pa, inputs, targets, cfg, ep)
+            return jax.lax.pmean(local, ("data", "expert"))
+
+        loss, grads = jax.value_and_grad(global_loss)(params)
+        # same completion rule as make_ep_train_step: the model axis is
+        # conjugate-exact per cell, so only the token-sharding cells are
+        # psum'd (expert leaves got their cross-cell sums via the
+        # all_to_all transpose within their data row)
+        inv = 1.0 / n_cells
+        grads = {k: jax.lax.psum(g, ("data",) if k in EXPERT_KEYS
+                                 else ("data", "expert")) * inv
+                 for k, g in grads.items()}
+        mask = opt.decay_mask_2d(params) if weight_decay_2d_only else None
+        params, m, v = opt.adamw_tree(params, grads, m, v, step, lr,
+                                      weight_decay=wd, decay_mask=mask)
+        return params, m, v, loss
+
+    pspec = dict(specs)
+    mapped = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, P(("data", "expert")),
+                  P(("data", "expert")), P(), P(), P()),
+        out_specs=(pspec, pspec, pspec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1, 2))

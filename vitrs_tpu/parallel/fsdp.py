@@ -115,3 +115,88 @@ def make_fsdp_train_step(cfg: ViTConfig, mesh: Mesh, params,
         out_shardings=(psh, psh, psh, repl),
         donate_argnums=(0, 1, 2),
     )
+
+
+# --- Adafactor under FSDP ----------------------------------------------------
+#
+# Unlike the shard_map TP variant (tensor_parallel.make_tp_train_step_
+# adafactor, which completes cross-shard means with explicit pmeans), FSDP
+# is GSPMD: the step body is the PLAIN global-view ops/adafactor.step and
+# the partitioner inserts whatever collectives the factored row/col means
+# need — sharded-dim semantics are exact by construction.  Sharding the
+# state at rest matters less here than for AdamW (factored stats are
+# ~1/1000 of a param copy), but the full-v leaves (bias/LN stacks) and any
+# beta1 momentum mirror their parameter's spec, so nothing unsharded scales
+# with the model.
+
+def af_state_sharding(params, mesh: Mesh, min_factor: int = 0):
+    """NamedSharding tree for an AdafactorState: vr drops the last param
+    dim, vc the second-to-last, vf mirrors the param (state_specs rule)."""
+    from ..ops import adafactor as AF
+    sp = AF.state_specs(params, param_specs(params, mesh),
+                        min_factor or AF.MIN_FACTOR)
+    return AF.AdafactorState(
+        *({k: NamedSharding(mesh, s[k]) for k in s}
+          for s in (sp.vr, sp.vc, sp.vf)), {})
+
+
+def init_af_state(params, mesh: Mesh, min_factor: int = 0):
+    """Adafactor state created directly in the sharded-at-rest layout."""
+    from ..ops import adafactor as AF
+    mf = min_factor or AF.MIN_FACTOR
+    shapes = jax.eval_shape(lambda p: AF.init_state(p, min_factor=mf), params)
+    sh = af_state_sharding(params, mesh, mf)
+
+    def place(tree, sht):
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=sht[k])()
+                for k, v in tree.items()}
+
+    return AF.AdafactorState(place(shapes.vr, sh.vr), place(shapes.vc, sh.vc),
+                             place(shapes.vf, sh.vf), {})
+
+
+def place_af_state(state, params, mesh: Mesh, min_factor: int = 0):
+    """Move a (host) AdafactorState into the FSDP layout (resume path)."""
+    from ..ops import adafactor as AF
+    sh = af_state_sharding(params, mesh, min_factor)
+    return AF.AdafactorState(
+        *({k: jax.device_put(jnp.asarray(v), getattr(sh, f)[k])
+           for k, v in getattr(state, f).items()}
+          for f in ("vr", "vc", "vf")), {})
+
+
+def make_fsdp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh, params,
+                                   weight_decay_2d_only: bool = True,
+                                   relative_step: bool = True,
+                                   min_factor: int = 0):
+    """Jitted FSDP step with Adafactor:
+    (params, af_state, inputs, targets, step, lr, wd)
+        -> (params, af_state, loss).
+    `params` is only inspected for shapes/dtypes (fixes the shardings)."""
+    from ..ops import adafactor as AF
+    specs = param_specs(params, mesh)
+    mf = min_factor or 0
+    psh = {k: NamedSharding(mesh, s) for k, s in specs.items()}
+    stsh = af_state_sharding(params, mesh, mf)
+    batch_sh = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def step_fn(params, st, inputs, targets, step, lr, wd):
+        loss, grads = jax.value_and_grad(M.loss_fn)(params, inputs, targets,
+                                                    cfg)
+        grads = {k: jax.lax.with_sharding_constraint(
+                     g, NamedSharding(mesh, specs[k]))
+                 for k, g in grads.items()}
+        mask = opt.decay_mask_2d(params) if weight_decay_2d_only else None
+        params, st = AF.step(params, grads, st, step, lr, weight_decay=wd,
+                             decay_mask=mask, relative_step=relative_step,
+                             min_factor=mf or AF.MIN_FACTOR)
+        return params, st, loss
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(psh, stsh, batch_sh, batch_sh, repl, repl, repl),
+        out_shardings=(psh, stsh, repl),
+        donate_argnums=(0, 1),
+    )

@@ -543,3 +543,114 @@ def init_tp_opt_state(tp_params, mesh: Mesh, cfg: ViTConfig,
                 for k, v in tp_params.items()}
 
     return zeros(), zeros()
+
+
+# --- Adafactor under TP ------------------------------------------------------
+#
+# The open sharded-dim factoring question (a TP-sharded matrix's row/col
+# g² stats and RMS scalars cross the model axis) is resolved with GATHERED
+# semantics: ops/adafactor.step(shard_axes=..., axis_name="model") completes
+# every cross-shard mean with a pmean of equal-sized partial means, so the
+# update equals the single-device Adafactor step exactly (up to reduction
+# order) — pinned by tests/test_adafactor.py::test_tp_adafactor_parity.
+# State memory shards with the params: vr/vc slices live on the shard that
+# owns their rows/cols (ops/adafactor.state_specs).
+
+def init_tp_af_state(tp_params, mesh: Mesh, cfg: ViTConfig,
+                     vocab_parallel: bool = False, min_factor: int = 0):
+    from ..ops import adafactor as AF
+    mf = min_factor or AF.MIN_FACTOR
+    shapes = jax.eval_shape(
+        lambda p: AF.init_state(p, min_factor=mf), tp_params)
+    sp = AF.state_specs(tp_params, tp_param_specs(cfg, vocab_parallel), mf)
+
+    def place(tree, spt):
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=NamedSharding(mesh, spt[k]))()
+                for k, v in tree.items()}
+
+    return AF.AdafactorState(place(shapes.vr, sp.vr), place(shapes.vc, sp.vc),
+                             place(shapes.vf, sp.vf), {})
+
+
+def make_tp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
+                                 sequence_parallel: bool = False,
+                                 vocab_parallel: bool = False,
+                                 weight_decay_2d_only: bool = True,
+                                 relative_step: bool = True,
+                                 min_factor: int = 0):
+    """2-D SPMD train step with Adafactor state sharded like the weights.
+
+    Signature: (tp_params, af_state, inputs, targets, step, lr, wd)
+            -> (tp_params, af_state, loss)
+    """
+    from ..ops import adafactor as AF
+    from ..params import param_shapes
+    assert not cfg.is_moe, "MoE: use dp/ep (make_ep_train_step_adafactor)"
+    specs = tp_param_specs(cfg, vocab_parallel)
+    tp_size = mesh.shape["model"]
+    assert cfg.num_heads % tp_size == 0, (cfg.num_heads, tp_size)
+    if cfg.is_gqa:
+        assert cfg.kv_heads % tp_size == 0, (cfg.kv_heads, tp_size)
+    if vocab_parallel:
+        from ..ops import fused_ce
+        assert cfg.mode == "gpt", "vocab parallelism is the gpt head/CE path"
+        assert fused_ce.pad_vocab(cfg.vocab_size) % tp_size == 0
+
+    # GLOBAL leaf shapes drive both the shard_axes map and the state-spec
+    # tree (inside shard_map the leaves are local slices — _factored must
+    # be judged on the full dims)
+    shapes = param_shapes(cfg)
+    gshapes = {}
+    L, C = cfg.num_layers, cfg.channels
+    for k, s in shapes.items():
+        gshapes[k] = jax.ShapeDtypeStruct(s, jnp.float32)
+    if vocab_parallel:
+        from ..ops import fused_ce
+        gshapes["wte"] = jax.ShapeDtypeStruct(
+            (fused_ce.pad_vocab(cfg.vocab_size), C), jnp.float32)
+    if cfg.is_gqa:
+        kvd = cfg.kv_dim
+        gshapes["qw"] = jax.ShapeDtypeStruct((L, C, C), jnp.float32)
+        gshapes["qb"] = jax.ShapeDtypeStruct((L, C), jnp.float32)
+        for k, oc in (("kw", kvd), ("vw", kvd)):
+            gshapes[k] = jax.ShapeDtypeStruct((L, oc, C), jnp.float32)
+            gshapes[k.replace("w", "b")] = jax.ShapeDtypeStruct(
+                (L, oc), jnp.float32)
+        for k in ("qkvw", "qkvb"):
+            del gshapes[k]
+    else:
+        gshapes["qkv3w"] = jax.ShapeDtypeStruct((L, 3, C, C), jnp.float32)
+        gshapes["qkv3b"] = jax.ShapeDtypeStruct((L, 3, C), jnp.float32)
+        del gshapes["qkvw"], gshapes["qkvb"]
+    mf = min_factor or AF.MIN_FACTOR
+    shard_axes = AF.shard_axes_from_specs(gshapes, specs, "model")
+    stspec = AF.state_specs(gshapes, specs, mf)
+
+    def spmd(p, st, inputs, targets, step, lr, wd):
+        loss, grads = jax.value_and_grad(tp_loss)(p, inputs, targets, cfg,
+                                                  "model", sequence_parallel,
+                                                  tp_size, vocab_parallel)
+        if sequence_parallel:
+            for k in SP_PARTIAL_GRADS:
+                grads[k] = jax.lax.psum(grads[k], "model")
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "data"), grads)
+        mask = opt.decay_mask_2d(p) if weight_decay_2d_only else None
+        # the factored/full layout is judged on GLOBAL shapes: a leaf whose
+        # local slice falls under MIN_FACTOR (C/tp < 128) must still factor
+        # exactly as the single-device step would
+        fac = {k: AF._factored(v, mf) for k, v in gshapes.items()}
+        p, st = AF.step(p, grads, st, step, lr, weight_decay=wd,
+                        decay_mask=mask, relative_step=relative_step,
+                        shard_axes=shard_axes, axis_name="model",
+                        factored=fac)
+        return p, st, jax.lax.pmean(jax.lax.pmean(loss, "data"), "model")
+
+    pspec = dict(specs)
+    mapped = shard_map(
+        spmd, mesh=mesh,
+        in_specs=(pspec, stspec, P("data"), P("data"), P(), P(), P()),
+        out_specs=(pspec, stspec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))

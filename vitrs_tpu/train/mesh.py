@@ -1,0 +1,464 @@
+"""Mesh-spec launcher — ``vitrs-train --mesh dp=2,tp=2,pp=2``.
+
+The reference never shipped an entry point at all (/root/reference/
+train_vit.rs — no ``main``; SURVEY.md §1 L4), and through round 3 every
+parallel family in this framework was reachable only through library
+factories and tests: the shipped trainer hardcoded the DP mesh
+(train/loop.py).  This module is the missing glue.  A mesh spec string
+routes to the verified step factories, and every family is wrapped in ONE
+uniform interface:
+
+    plan = make_plan(cfg, parse_mesh("dp=2,tp=2,pp=2"), optimizer="adamw")
+    params = plan.place(canonical_params)          # host -> sharded layout
+    opt    = plan.init_opt(params)
+    params, opt, loss = plan.step(params, opt, x, y, step, lr, wd)
+    host   = plan.to_canonical(params)             # -> canonical checkpoint
+    tree   = plan.opt_save(opt)                    # -> canonical side tree
+    opt    = plan.opt_load(tree)                   # <- from ANY mesh's save
+
+Checkpoints are always written in the CANONICAL single-device layout
+(params.py's 16-tensor order; optimizer state keyed by canonical names), so
+a run checkpointed under one mesh resumes under any other — dp=8 today,
+dp=2,tp=2,pp=2 tomorrow — the same canonical<->TP conversion discipline the
+Muon TP state converters established (parallel/muon_parallel.py:176-203).
+
+Families (combinable per row, validated in make_plan):
+  dp=N                      ZeRO-1 data parallelism (the train-loop default)
+  dp,tp[,sp][,vp]           Megatron TP (+sequence parallel, +vocab-parallel
+                            head/CE) — parallel/tensor_parallel.py
+  dp,pp[,schedule,V]        GPipe / 1F1B / interleaved — parallel/pipeline.py
+  dp,tp,pp[,sp]             3-D composed — parallel/threed.py
+  dp,ep[,tp]                expert parallelism for MoE configs (AdamW or
+                            sharded Adafactor) — parallel/expert_parallel.py
+  dp,cp                     ring-attention context parallelism —
+                            parallel/ring_attention.py
+  fsdp=N                    ZeRO-3 GSPMD sharding — parallel/fsdp.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import ViTConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    dp: int = 1
+    tp: int = 1
+    pp: int = 1
+    ep: int = 1
+    cp: int = 1
+    fsdp: int = 0          # ZeRO-3 over N devices (0 = off); exclusive
+    sp: bool = False       # sequence parallelism inside TP
+    vp: bool = False       # vocab-parallel head + CE (gpt TP)
+    microbatches: int = 0  # pipeline microbatches (0 -> pp stage count)
+    schedule: str = "gpipe"   # gpipe | 1f1b | 1f1b-interleaved
+    virtual: int = 1       # virtual stages per device (interleaved)
+
+    @property
+    def n_devices(self) -> int:
+        if self.fsdp:
+            return self.fsdp
+        return self.dp * self.tp * self.pp * self.ep * self.cp
+
+    def describe(self) -> str:
+        parts = [f"{k}={getattr(self, k)}"
+                 for k in ("dp", "tp", "pp", "ep", "cp")
+                 if getattr(self, k) > 1]
+        if self.fsdp:
+            parts.append(f"fsdp={self.fsdp}")
+        parts += [k for k in ("sp", "vp") if getattr(self, k)]
+        if self.pp > 1:
+            parts.append(self.schedule)
+        return ",".join(parts) or "dp=1"
+
+
+def parse_mesh(s: str) -> MeshSpec:
+    """``"dp=2,tp=2,sp"`` -> MeshSpec.  Bare ``fsdp`` means all devices;
+    bare ``sp``/``vp`` are flags; ``schedule=1f1b`` and ``v=2`` (virtual
+    stages) configure the pipeline."""
+    kw = {}
+    for tok in filter(None, (t.strip() for t in s.split(","))):
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            k = k.strip().lower()
+            if k in ("schedule",):
+                kw[k] = v.strip()
+            elif k in ("sp", "vp"):
+                kw[k] = v.strip().lower() in ("1", "true", "yes")
+            elif k in ("v", "virtual"):
+                kw["virtual"] = int(v)
+            elif k in ("mb", "microbatches"):
+                kw["microbatches"] = int(v)
+            elif k in ("dp", "tp", "pp", "ep", "cp", "fsdp"):
+                kw[k] = int(v)
+            else:
+                raise ValueError(f"unknown mesh-spec key {k!r} in {s!r}")
+        elif tok.lower() in ("sp", "vp"):
+            kw[tok.lower()] = True
+        elif tok.lower() == "fsdp":
+            kw["fsdp"] = len(jax.devices())
+        else:
+            raise ValueError(f"unknown mesh-spec token {tok!r} in {s!r}")
+    return MeshSpec(**kw)
+
+
+@dataclasses.dataclass
+class Plan:
+    """Uniform handle over one parallel family's verified step factory."""
+    kind: str
+    mesh: object
+    spec: MeshSpec
+    optimizer: str
+    batch_sharding: object
+    # host canonical params -> device layout
+    place: Callable
+    # placed params -> opt state (tuple (m, v) or AdafactorState)
+    init_opt: Callable
+    # (params, opt, x, y, step, lr, wd) -> (params, opt, loss)
+    step: Callable
+    # placed params -> host canonical dict (numpy)
+    to_canonical: Callable
+    # opt state -> canonical host tree for checkpoint_tree.save_tree
+    opt_save: Callable
+    # canonical host tree -> placed opt state
+    opt_load: Callable
+
+    def validate_batch(self, batch: int, cfg: ViTConfig):
+        s = self.spec
+        data_ways = {"tp": s.dp, "pp": s.dp, "3d": s.dp,
+                     "ep": s.dp * s.ep, "cp": s.dp,
+                     "fsdp": s.fsdp}[self.kind]
+        assert batch % max(data_ways, 1) == 0, (
+            f"batch {batch} must divide the data-sharding ways "
+            f"({data_ways}) of mesh {s.describe()}")
+        if self.kind in ("pp", "3d"):
+            mb = s.microbatches or s.pp
+            assert (batch // s.dp) % mb == 0, (
+                f"per-data-shard batch {batch // s.dp} must divide "
+                f"microbatches {mb}")
+        if self.kind == "cp":
+            assert cfg.max_seq_len % s.cp == 0, (cfg.max_seq_len, s.cp)
+
+
+def _adamw_tuple(factory_step):
+    """Adapt (p, m, v, ...) -> (p, m, v, loss) to the uniform
+    (p, (m, v), ...) -> (p, (m, v), loss) shape."""
+    def step(p, opt, x, y, t, lr, wd):
+        m, v = opt
+        p, m, v, loss = factory_step(p, m, v, x, y, t, lr, wd)
+        return p, (m, v), loss
+    return step
+
+
+def make_plan(cfg: ViTConfig, spec: MeshSpec, optimizer: str = "adamw",
+              devices=None) -> Optional[Plan]:
+    """Build the Plan for a mesh spec; returns None for the pure-DP spec
+    (the train loop's existing ZeRO-1 path owns that).  Raises on
+    combinations no factory covers (the error names the missing piece)."""
+    n_avail = len(devices) if devices is not None else len(jax.devices())
+    assert spec.n_devices <= n_avail, (
+        f"mesh {spec.describe()} needs {spec.n_devices} devices, "
+        f"have {n_avail}")
+    on = [k for k in ("tp", "pp", "ep", "cp") if getattr(spec, k) > 1]
+    if spec.fsdp:
+        assert not on and spec.dp == 1, (
+            "fsdp=N is a whole-mesh family; compose dp/tp/pp/ep/cp without it")
+        return _fsdp_plan(cfg, spec, optimizer, devices)
+    if not on:
+        return None                      # pure DP: train loop's native path
+    if "cp" in on:
+        assert on == ["cp"], f"cp composes with dp only (got {on})"
+        assert optimizer == "adamw", "cp step ships AdamW (ZeRO-1)"
+        return _cp_plan(cfg, spec, devices)
+    if "ep" in on:
+        assert all(k in ("ep", "tp") for k in on), (
+            f"ep composes with dp and tp (got {on})")
+        return _ep_plan(cfg, spec, optimizer, devices)
+    assert optimizer == "adamw", (
+        f"mesh {spec.describe()} ships the AdamW step; "
+        f"--optimizer {optimizer} is wired for dp/ep/fsdp meshes")
+    if "tp" in on and "pp" in on:
+        return _3d_plan(cfg, spec, devices)
+    if "pp" in on:
+        return _pp_plan(cfg, spec, devices)
+    return _tp_plan(cfg, spec, devices)
+
+
+# --- family plans ------------------------------------------------------------
+
+def _get(tree):
+    return {k: np.asarray(jax.device_get(v)) for k, v in tree.items()}
+
+
+def _tp_plan(cfg, spec, devices):
+    from ..parallel import tensor_parallel as TP
+    mesh = TP.make_mesh_2d(spec.dp, spec.tp, devices)
+    step = _adamw_tuple(TP.make_tp_train_step(
+        cfg, mesh, sequence_parallel=spec.sp, vocab_parallel=spec.vp))
+    pspecs = TP.tp_param_specs(cfg, spec.vp)
+
+    def opt_load(tree):
+        return tuple(
+            {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, pspecs[k]))
+             for k, v in TP.to_tp_params(
+                 jax.tree.map(jnp.asarray, tree[key]), cfg, spec.vp).items()}
+            for key in ("m", "v"))
+
+    return Plan(
+        kind="tp", mesh=mesh, spec=spec, optimizer="adamw",
+        batch_sharding=NamedSharding(mesh, P("data")),
+        place=lambda p: TP.place_tp_params(p, cfg, mesh, spec.vp),
+        init_opt=lambda p: TP.init_tp_opt_state(p, mesh, cfg, spec.vp),
+        step=step,
+        to_canonical=lambda p: _get(TP.from_tp_params(p, cfg, spec.vp)),
+        opt_save=lambda o: {"m": _get(TP.from_tp_params(o[0], cfg, spec.vp)),
+                            "v": _get(TP.from_tp_params(o[1], cfg, spec.vp))},
+        opt_load=opt_load)
+
+
+def _pp_plan(cfg, spec, devices):
+    from ..parallel import pipeline as PP
+    mesh = PP.make_mesh_dp_pp(spec.dp, spec.pp, devices)
+    mb = spec.microbatches or spec.pp
+    inter = spec.schedule == "1f1b-interleaved"
+    V = spec.virtual if inter else 1
+    step = _adamw_tuple(PP.make_pp_train_step(
+        cfg, mesh, microbatches=mb, schedule=spec.schedule,
+        virtual_stages=V))
+    pspecs = PP.pp_param_specs(cfg)
+
+    def place(p):
+        if inter:
+            return PP.place_pp_params_interleaved(p, cfg, mesh, V)
+        return PP.place_pp_params(p, cfg, mesh)
+
+    def to_canonical(p):
+        host = _get(p)
+        if inter:
+            host = PP.uninterleave_tree(host, cfg, spec.pp, V)
+        return host
+
+    def opt_load(tree):
+        return tuple(place(jax.tree.map(jnp.asarray, tree[key]))
+                     for key in ("m", "v"))
+
+    return Plan(
+        kind="pp", mesh=mesh, spec=spec, optimizer="adamw",
+        batch_sharding=NamedSharding(mesh, P("data")),
+        place=place,
+        init_opt=lambda p: PP.init_pp_opt_state(p, mesh, cfg),
+        step=step,
+        to_canonical=to_canonical,
+        opt_save=lambda o: {"m": to_canonical(o[0]), "v": to_canonical(o[1])},
+        opt_load=opt_load)
+
+
+def _3d_plan(cfg, spec, devices):
+    from ..parallel import threed as TD
+    from ..parallel import tensor_parallel as TP
+    mesh = TD.make_mesh_3d(spec.dp, spec.tp, spec.pp, devices)
+    mb = spec.microbatches or spec.pp
+    step = _adamw_tuple(TD.make_3d_train_step(
+        cfg, mesh, microbatches=mb, sequence_parallel=spec.sp))
+    pspecs = TD.param_specs_3d(cfg)
+
+    def opt_load(tree):
+        return tuple(
+            {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, pspecs[k]))
+             for k, v in TP.to_tp_params(
+                 jax.tree.map(jnp.asarray, tree[key]), cfg).items()}
+            for key in ("m", "v"))
+
+    return Plan(
+        kind="3d", mesh=mesh, spec=spec, optimizer="adamw",
+        batch_sharding=NamedSharding(mesh, P("data")),
+        place=lambda p: TD.place_params_3d(p, cfg, mesh),
+        init_opt=lambda p: TD.init_opt_state_3d(p, mesh, cfg),
+        step=step,
+        to_canonical=lambda p: _get(TP.from_tp_params(p, cfg)),
+        opt_save=lambda o: {"m": _get(TP.from_tp_params(o[0], cfg)),
+                            "v": _get(TP.from_tp_params(o[1], cfg))},
+        opt_load=opt_load)
+
+
+def _ep_plan(cfg, spec, optimizer, devices):
+    from ..parallel import expert_parallel as EP
+    assert cfg.is_moe, "--mesh ep=N needs a MoE config (--num-experts)"
+    if spec.tp > 1:
+        return _ep_tp_plan(cfg, spec, optimizer, devices)
+    mesh = EP.make_mesh_dp_ep(spec.dp, spec.ep, devices)
+    batch_sh = NamedSharding(mesh, P(("data", "expert")))
+    pspecs = EP.ep_param_specs(cfg)
+
+    def place(p):
+        return EP.place_ep_params(p, cfg, mesh)
+
+    if optimizer == "adafactor":
+        from ..ops import adafactor as AF
+        raw = EP.make_ep_train_step_adafactor(cfg, mesh)
+
+        def step(p, opt, x, y, t, lr, wd):
+            p, opt, loss = raw(p, opt, x, y, t, lr, wd)
+            return p, opt, loss
+
+        def opt_save(o):
+            return {k: _get(getattr(o, k)) for k in ("vr", "vc", "vf")}
+
+        def opt_load(tree):
+            sp = EP.af_state_specs(
+                {k: jax.ShapeDtypeStruct(s, jnp.float32)
+                 for k, s in __import__(
+                     "vitrs_tpu.params", fromlist=["param_shapes"]
+                 ).param_shapes(cfg).items()}, cfg)
+            return AF.AdafactorState(
+                *({k: jax.device_put(jnp.asarray(v),
+                                     NamedSharding(mesh, getattr(sp, f)[k]))
+                   for k, v in tree[f].items()}
+                  for f in ("vr", "vc", "vf")), {})
+
+        return Plan(kind="ep", mesh=mesh, spec=spec, optimizer="adafactor",
+                    batch_sharding=batch_sh, place=place,
+                    init_opt=lambda p: EP.init_ep_af_state(p, cfg, mesh),
+                    step=step, to_canonical=_get,
+                    opt_save=opt_save, opt_load=opt_load)
+
+    assert optimizer == "adamw", optimizer
+    step = _adamw_tuple(EP.make_ep_train_step(cfg, mesh))
+
+    def opt_load(tree):
+        return tuple(
+            {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, pspecs[k]))
+             for k, v in tree[key].items()}
+            for key in ("m", "v"))
+
+    return Plan(
+        kind="ep", mesh=mesh, spec=spec, optimizer="adamw",
+        batch_sharding=batch_sh, place=place,
+        init_opt=lambda p: EP.init_ep_opt_state(p, cfg, mesh),
+        step=step, to_canonical=_get,
+        opt_save=lambda o: {"m": _get(o[0]), "v": _get(o[1])},
+        opt_load=opt_load)
+
+
+def _ep_tp_plan(cfg, spec, optimizer, devices):
+    from ..parallel import expert_parallel as EP
+    assert optimizer == "adamw", (
+        "ep x tp ships the AdamW step (adafactor: dp x ep)")
+    mesh = EP.make_mesh_dp_ep_tp(spec.dp, spec.ep, spec.tp, devices)
+    batch_sh = NamedSharding(mesh, P(("data", "expert")))
+    pspecs = EP.ep_tp_param_specs(cfg)
+    step = _adamw_tuple(EP.make_ep_tp_train_step(cfg, mesh))
+
+    def opt_load(tree):
+        return tuple(
+            {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, pspecs[k]))
+             for k, v in EP.to_ep_tp_params(
+                 jax.tree.map(jnp.asarray, tree[key]), cfg).items()}
+            for key in ("m", "v"))
+
+    return Plan(
+        kind="ep", mesh=mesh, spec=spec, optimizer="adamw",
+        batch_sharding=batch_sh,
+        place=lambda p: EP.place_ep_tp_params(p, cfg, mesh),
+        init_opt=lambda p: EP.init_ep_tp_opt_state(p, cfg, mesh),
+        step=step,
+        to_canonical=lambda p: _get(EP.from_ep_tp_params(p, cfg)),
+        opt_save=lambda o: {"m": _get(EP.from_ep_tp_params(o[0], cfg)),
+                            "v": _get(EP.from_ep_tp_params(o[1], cfg))},
+        opt_load=opt_load)
+
+
+def _cp_plan(cfg, spec, devices):
+    from ..parallel import ring_attention as RA
+    from .. import params as PRM
+    assert cfg.mode == "gpt", "cp (ring attention) serves gpt configs"
+    mesh = RA.make_mesh_dp_cp(spec.dp, spec.cp, devices)
+    raw = RA.make_cp_train_step(cfg, mesh)
+    n = PRM.num_parameters(cfg)
+    size = mesh.size
+    n_pad = ((n + size - 1) // size) * size
+    opt_sh = NamedSharding(mesh, P(("data", "ctx")))
+
+    def place(p):
+        return {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P()))
+                for k, v in p.items()}
+
+    def opt_load(tree):
+        return tuple(
+            jax.device_put(np.pad(np.asarray(tree[key]), (0, n_pad - n)),
+                           opt_sh)
+            for key in ("m", "v"))
+
+    return Plan(
+        kind="cp", mesh=mesh, spec=spec, optimizer="adamw",
+        batch_sharding=NamedSharding(mesh, P("data", "ctx")),
+        place=place,
+        init_opt=lambda p: RA.init_cp_opt_state(cfg, mesh),
+        step=_adamw_tuple(raw), to_canonical=_get,
+        opt_save=lambda o: {"m": np.asarray(jax.device_get(o[0]))[:n],
+                            "v": np.asarray(jax.device_get(o[1]))[:n]},
+        opt_load=opt_load)
+
+
+def _fsdp_plan(cfg, spec, optimizer, devices):
+    from ..parallel import fsdp as FS
+    from .. import params as PRM
+    mesh = FS.make_mesh(spec.fsdp, devices)
+    shapes = {k: jax.ShapeDtypeStruct(s, jnp.dtype(cfg.dtype))
+              for k, s in PRM.param_shapes(cfg).items()}
+    pspecs = FS.param_specs(shapes, mesh)
+    if optimizer == "adafactor":
+        raw = FS.make_fsdp_train_step_adafactor(cfg, mesh, shapes)
+        from ..ops import adafactor as AF
+
+        def opt_save(o):
+            return {k: _get(getattr(o, k)) for k in ("vr", "vc", "vf")}
+
+        def opt_load(tree):
+            st = AF.AdafactorState(
+                *(jax.tree.map(jnp.asarray, tree[f])
+                  for f in ("vr", "vc", "vf")), {})
+            return FS.place_af_state(st, shapes, mesh)
+
+        return Plan(kind="fsdp", mesh=mesh, spec=spec, optimizer="adafactor",
+                    batch_sharding=NamedSharding(mesh, P(FS.AXIS)),
+                    place=lambda p: FS.place_params(p, mesh),
+                    init_opt=lambda p: FS.init_af_state(p, mesh),
+                    step=raw, to_canonical=_get,
+                    opt_save=opt_save, opt_load=opt_load)
+    assert optimizer == "adamw", optimizer
+    wrapped = {}
+
+    def step(p, opt, x, y, t, lr, wd):
+        # weight decay is bound at factory time in the FSDP step; rebuild
+        # lazily on first call (wd is a host scalar from TrainConfig)
+        key = float(wd)
+        if key not in wrapped:
+            wrapped[key] = FS.make_fsdp_train_step(cfg, mesh, p,
+                                                   weight_decay=key)
+        m, v = opt
+        p, m, v, loss = wrapped[key](p, m, v, x, y, t, lr)
+        return p, (m, v), loss
+
+    def opt_load(tree):
+        return tuple(
+            {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, pspecs[k]))
+             for k, v in tree[key].items()}
+            for key in ("m", "v"))
+
+    return Plan(
+        kind="fsdp", mesh=mesh, spec=spec, optimizer="adamw",
+        batch_sharding=NamedSharding(mesh, P(FS.AXIS)),
+        place=lambda p: FS.place_params(p, mesh),
+        init_opt=lambda p: FS.init_opt_state(p, mesh),
+        step=step, to_canonical=_get,
+        opt_save=lambda o: {"m": _get(o[0]), "v": _get(o[1])},
+        opt_load=opt_load)
