@@ -54,6 +54,14 @@ def main():
                    help="MoE experts per layer (0 = dense MLP; ops/moe.py)")
     p.add_argument("--moe-top-k", type=int, default=2,
                    help="experts run per token under --num-experts")
+    p.add_argument("--mesh", default="",
+                   help="mesh spec routing to the verified parallel step "
+                        "factories (train/mesh.py): e.g. 'dp=2,tp=2,pp=2', "
+                        "'dp=2,tp=2,sp', 'tp=4,vp', 'dp=2,ep=4', "
+                        "'ep=2,tp=2', 'cp=4', 'pp=4,schedule=1f1b', "
+                        "'pp=2,schedule=1f1b-interleaved,v=2,mb=8', 'fsdp'. "
+                        "Checkpoints stay canonical — a run resumes under a "
+                        "different mesh (or none)")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient-accumulation micro-batches per step")
     p.add_argument("--ra-ops", type=int, default=0,
@@ -111,7 +119,7 @@ def main():
         warmup=args.warmup, weight_decay=args.weight_decay, seed=args.seed,
         dtype=args.dtype, workdir=args.workdir, log_every=args.log_every,
         ckpt_every=args.ckpt_every, resume=not args.no_resume,
-        remat=args.remat, profile_at=args.profile_at,
+        remat=args.remat, profile_at=args.profile_at, mesh=args.mesh,
         n_devices=args.n_devices, label_smoothing=args.label_smoothing,
         ema_decay=args.ema_decay, init_ckpt=args.init_ckpt,
         log_grad_norm=args.log_grad_norm, clip_norm=args.clip_norm,

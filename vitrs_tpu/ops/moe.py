@@ -108,6 +108,101 @@ def router(x_flat: jax.Array, routerw: jax.Array, top_k: int,
     return dst, weight, keep, aux
 
 
+# --- gather-only dispatch/combine -------------------------------------------
+#
+# The slot assignment is an INJECTIVE partial map (token, k) <-> slot, so
+# with both directions of the index map materialized — dst (K, S): slot per
+# assignment, and inv (E·cap,): flat k-major assignment index per slot
+# (K·S for empty slots) — every data movement in BOTH the forward and the
+# backward is a row GATHER:
+#
+#   dispatch fwd:  buf[slot]  = xs[tok(inv[slot])]            gather at inv
+#   dispatch bwd:  dxs[s]     = Σ_k dbuf[dst[k, s]]           gather at dst
+#   combine  fwd:  out[s]     = Σ_k w[k, s] · ys[dst[k, s]]   gather at dst
+#   combine  bwd:  dys[slot]  = w[inv[slot]] · dout[tok]      gather at inv
+#                  dw[k, s]   = <dout[s], ys[dst[k, s]]>      gather at dst
+#
+# The previous formulation scattered (S, C) rows into the slot buffer
+# (`.at[dst].set`), whose transpose is a scatter-add — the op class XLA:TPU
+# lowers sequentially and whose per-layer graph dominated MoE compile time
+# (measured on the CPU backend at 8 layers: row-scatter dispatch chain 142 s
+# vs 74 s for the index form; the router cumsum itself compiles in ~1 s).
+# Here the only scatter left anywhere is the (K·S,)-int32 build of inv.
+# Dropped assignments ride mode='fill': dst = E·cap lands out of range on a
+# (E·cap,) take (contributes 0), empty slots' inv = K·S maps to token row S
+# (out of range on a (S,) take — zero rows in, zero cotangents out).
+
+def build_inverse(dst: jax.Array, E: int, cap: int) -> jax.Array:
+    """(K, S) slot map -> (E·cap,) flat k-major assignment index per slot
+    (K·S where the slot is empty).  The single (tiny, int32) scatter of the
+    dispatch path."""
+    K, S = dst.shape
+    return jnp.full((E * cap,), K * S, jnp.int32).at[
+        dst.reshape(K * S)].set(jnp.arange(K * S, dtype=jnp.int32),
+                                mode="drop")
+
+
+def _slot_tok(inv: jax.Array, K: int, S: int) -> jax.Array:
+    """Slot -> source token row; empty slots -> S (out-of-range => fill)."""
+    return jnp.where(inv < K * S, inv % S, S)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def dispatch(xs, inv, dst, E_cap, S):
+    """xs (S, C) -> buf (E·cap, C) by gather at inv; VJP gathers at dst."""
+    K = dst.shape[0]
+    return jnp.take(xs, _slot_tok(inv, K, S), axis=0, mode="fill",
+                    fill_value=0)
+
+
+def _dispatch_fwd(xs, inv, dst, E_cap, S):
+    return dispatch(xs, inv, dst, E_cap, S), (dst,)
+
+
+def _dispatch_bwd(E_cap, S, res, dbuf):
+    (dst,) = res
+    dxs = sum(jnp.take(dbuf, dst[k], axis=0, mode="fill", fill_value=0)
+              for k in range(dst.shape[0]))
+    return dxs, None, None
+
+
+dispatch.defvjp(_dispatch_fwd, _dispatch_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def combine(ys, weight, inv, dst, S):
+    """out[s] = Σ_k weight[k, s] · ys[dst[k, s]] in fp32; VJP is gathers
+    both ways (see module note)."""
+    out = jnp.zeros((S, ys.shape[-1]), jnp.float32)
+    for k in range(dst.shape[0]):
+        g = jnp.take(ys, dst[k], axis=0, mode="fill", fill_value=0)
+        out = out + weight[k][:, None] * g.astype(jnp.float32)
+    return out
+
+
+def _combine_fwd(ys, weight, inv, dst, S):
+    return combine(ys, weight, inv, dst, S), (ys, weight, inv, dst)
+
+
+def _combine_bwd(S, res, dout):
+    ys, weight, inv, dst = res
+    K = dst.shape[0]
+    tok = _slot_tok(inv, K, S)
+    # per-slot combine weight: gather the flat (K·S,) weight at inv
+    wflat = jnp.take(weight.reshape(K * S), inv, mode="fill", fill_value=0)
+    dys = (wflat[:, None]
+           * jnp.take(dout, tok, axis=0, mode="fill", fill_value=0)
+           ).astype(ys.dtype)
+    dw = jnp.stack([
+        jnp.sum(dout * jnp.take(ys, dst[k], axis=0, mode="fill",
+                                fill_value=0).astype(jnp.float32), axis=-1)
+        for k in range(K)])
+    return dys, dw, None, None
+
+
+combine.defvjp(_combine_fwd, _combine_bwd)
+
+
 def _expert_ffn(xe: jax.Array, fcw: jax.Array, fcb: jax.Array,
                 fcprojw: jax.Array, fcprojb: jax.Array,
                 erf: bool, tp_axis=None) -> jax.Array:
@@ -179,12 +274,11 @@ def moe_mlp(x: jax.Array, routerw: jax.Array, fcw: jax.Array, fcb: jax.Array,
 
     dst, weight, keep, aux = router(xs, routerw, top_k, cap)
 
-    # dispatch: scatter local tokens into the per-expert slot buffer; dst
-    # rows E·cap (dropped) fall off the end under mode='drop'
-    buf = jnp.zeros((E * cap, C), xs.dtype)
-    for k in range(top_k):
-        # a token assigned to multiple experts occupies one slot in each
-        buf = buf.at[dst[k]].set(xs, mode="drop")
+    # dispatch: gather-only (see the gather-only dispatch/combine note) —
+    # inv inverts the slot map once, then tokens flow to their slots by a
+    # row gather whose VJP is also a row gather
+    inv = build_inverse(dst, E, cap)
+    buf = dispatch(xs, inv, dst, E * cap, S)
     if ep_axis is not None:
         # (E, cap, C) -> (E/ep, ep·cap, C): device e receives every peer's
         # slot block for ITS experts, stacked along the slot axis
@@ -199,12 +293,7 @@ def moe_mlp(x: jax.Array, routerw: jax.Array, fcw: jax.Array, fcb: jax.Array,
                         erf, tp_axis)
 
     # combine: gather expert outputs back to token order, weight, sum over k
-    ys = y.reshape(E * cap, C)
-    out = jnp.zeros((S, C), jnp.float32)
-    for k in range(top_k):
-        g = jnp.take(ys, dst[k], axis=0, mode="fill",
-                     fill_value=0)                     # (S, C)
-        out = out + weight[k][:, None] * g.astype(jnp.float32)
+    out = combine(y.reshape(E * cap, C), weight, inv, dst, S)
     return out.astype(x.dtype).reshape(orig_shape), aux
 
 

@@ -29,7 +29,8 @@ from ..ops import basic, optimizer as opt
 from . import tensor_parallel as TPmod
 from .tensor_parallel import (_tp_block, _tp_sp_block, to_tp_params,
                               from_tp_params, reduce_out, scatter_seq,
-                              gather_seq_rep, SP_PARTIAL_GRADS)
+                              gather_seq_rep, SP_PARTIAL_GRADS,
+                              _vp_gpt_encode, _vp_head_ce)
 
 
 def make_mesh_3d(dp: int, tp: int, pp: int, devices=None) -> Mesh:
@@ -40,9 +41,11 @@ def make_mesh_3d(dp: int, tp: int, pp: int, devices=None) -> Mesh:
                 axis_names=("data", "model", "pipe"))
 
 
-def param_specs_3d(cfg: ViTConfig):
+def param_specs_3d(cfg: ViTConfig, vocab_parallel: bool = False):
     """TP-pytree leaves: block tensors pipe-sliced on L and model-sliced on
-    their channel dim (per TP_BLOCK_SPECS); the rest replicated."""
+    their channel dim (per TP_BLOCK_SPECS); the rest replicated.
+    vocab_parallel shards the padded wte over "model" (replicated on pipe —
+    stage 0 embeds with it, stage S-1 runs the head with it)."""
     specs = {k: P() for k in PRM.tensor_order(cfg) if k not in M.BLOCK_KEYS}
     for k, tp_spec in TPmod.tp_block_specs(cfg).items():
         # the TP spec's first entry IS the stacked-L dim (None there);
@@ -50,6 +53,8 @@ def param_specs_3d(cfg: ViTConfig):
         specs[k] = P("pipe", *tuple(tp_spec)[1:])
     specs.pop("qkvw", None)
     specs.pop("qkvb", None)
+    if vocab_parallel:
+        specs["wte"] = P("model", None)
     return specs
 
 

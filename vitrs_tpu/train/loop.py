@@ -68,6 +68,13 @@ class TrainConfig:
     clip_norm: float = 0.0         # 0 = off; 1.0 = the standard GPT recipe
     decay_2d_only: bool = False    # llm.c decay policy: matrices only
     accum_steps: int = 1           # micro-batches per step (grad accumulation)
+    mesh: str = ""                 # mesh spec, e.g. "dp=2,tp=2,pp=2" /
+                                   # "ep=4" / "cp=2" / "fsdp" — routes to the
+                                   # verified parallel step factories
+                                   # (train/mesh.py); "" = the native DP
+                                   # ZeRO-1 path below.  Checkpoints stay in
+                                   # the canonical layout, so a run resumes
+                                   # under a DIFFERENT mesh spec.
     optimizer: str = "adamw"       # "adamw" (fused ZeRO-1 default) | "muon"
                                    # (hybrid Muon/AdamW, ops/muon.py; tc.lr
                                    # becomes the MATRIX lr — ~0.02 scale —
@@ -161,6 +168,16 @@ def train(tc: TrainConfig) -> dict:
     cfg = get_config(tc.preset, dtype=tc.dtype, remat=tc.remat,
                      label_smoothing=tc.label_smoothing,
                      **(tc.model_overrides or {}))
+
+    plan = None
+    if tc.mesh:
+        from .mesh import make_plan, parse_mesh
+        spec = parse_mesh(tc.mesh)
+        plan = make_plan(cfg, spec, optimizer=tc.optimizer)
+        if plan is None and spec.dp > 1 and not tc.n_devices:
+            tc = dataclasses.replace(tc, n_devices=spec.dp)
+    if plan is not None:
+        return _train_mesh(tc, cfg, plan)
 
     mesh = dp.make_mesh(tc.n_devices)
     n_chips = mesh.size
@@ -472,5 +489,139 @@ def train(tc: TrainConfig) -> dict:
         prefetcher.close()
         if ckpt_async is not None:
             ckpt_async.close()     # drain pending writes before returning
+        log_f.close()
+    return summary
+
+
+def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
+    """The mesh-spec trainer path: one Plan (train/mesh.py) wraps a verified
+    parallel step factory behind the uniform place/init_opt/step/canonical
+    interface.  Checkpoints are written in the CANONICAL layout (.bin params
+    + meshopt_*.tree optimizer state keyed by canonical names), so a run
+    checkpointed under one mesh resumes under any other — including the
+    plain-DP path and single device."""
+    import jax.numpy as jnp
+    from .. import checkpoint_tree as CT
+    assert tc.accum_steps == 1 and tc.mixup_alpha == 0.0 \
+        and not tc.log_grad_norm and tc.ema_decay == 0.0 \
+        and tc.clip_norm == 0.0, \
+        "the mesh-spec path runs the lean verified steps (accum/mixup/" \
+        "grad-norm/EMA/clip ride the native DP path)"
+    plan.validate_batch(tc.batch_size, cfg)
+    n_chips = plan.mesh.size
+    device_kind = jax.devices()[0].device_kind
+
+    # ---- init or resume (canonical layout) ---------------------------------
+    start_step, cursor = 0, 0
+    latest = _latest_ckpt(tc.workdir) if tc.resume else None
+    opt_state = None
+    if latest:
+        np_params, _, extras = ckpt_io.load_checkpoint(latest, cfg)
+        start_step, cursor = extras["step"], extras["cursor"]
+        host_params = np_params
+        opt_path = os.path.join(tc.workdir, f"meshopt_{start_step:08d}.tree")
+        if os.path.exists(opt_path):
+            host_opt, opt_meta = CT.load_tree(opt_path)
+            opt_state = plan.opt_load(host_opt)
+            cursor = int(opt_meta.get("cursor", cursor))
+        print(f"[resume] {latest} at step {start_step}, cursor {cursor} "
+              f"(mesh {plan.spec.describe()})")
+    elif tc.init_ckpt:
+        np_params, _, _ = ckpt_io.load_checkpoint(tc.init_ckpt, cfg)
+        host_params = np_params
+        print(f"[init] warm start from {tc.init_ckpt}")
+    else:
+        host_params = jax.device_get(
+            PRM.init_params(cfg, jax.random.PRNGKey(tc.seed)))
+
+    params = plan.place(host_params)
+    if opt_state is None:
+        opt_state = plan.init_opt(params)
+
+    # ---- data ---------------------------------------------------------------
+    if cfg.mode == "gpt":
+        from ..data import tokens as TOK
+        stream = TOK.get_tokens(tc.data_dir, cfg.vocab_size, seed=tc.seed)
+        total_w = (len(stream) - 1) // cfg.max_seq_len
+        holdout = TOK.default_holdout(total_w)
+        loader = TOK.TokenLoader(stream, tc.batch_size, cfg.max_seq_len,
+                                 cursor=cursor, holdout=holdout)
+    else:
+        ds = D.get_dataset(tc.dataset, tc.data_dir, train=True)
+        loader = D.DataLoader(ds, tc.batch_size, seed=tc.seed, train=True,
+                              cursor=cursor)
+    prefetcher = DevicePrefetcher(loader, sharding=plan.batch_sharding)
+
+    flops_per_img = F.train_flops_per_example(cfg)
+    log_path = os.path.join(tc.workdir, "metrics.jsonl")
+    log_f = open(log_path, "a")
+    t_last = time.perf_counter()
+    wd_host = np.float32(tc.weight_decay)
+    imgs_since = 0
+    summary = {}
+
+    def save(step):
+        consumed = cursor + (step - start_step) * tc.batch_size
+        path = os.path.join(tc.workdir, f"ckpt_{step:08d}.bin")
+        ckpt_io.save_checkpoint(path, plan.to_canonical(params), cfg,
+                                step=step, seed=tc.seed, cursor=consumed)
+        CT.save_tree(os.path.join(tc.workdir, f"meshopt_{step:08d}.tree"),
+                     plan.opt_save(opt_state),
+                     meta={"step": step, "cursor": consumed,
+                           "mesh": plan.spec.describe(),
+                           "optimizer": plan.optimizer})
+
+    stop_step = (min(tc.steps, start_step + tc.run_steps) if tc.run_steps
+                 else tc.steps)
+    try:
+        for step in range(start_step + 1, stop_step + 1):
+            images, labels = next(prefetcher)
+            lr = opt.cosine_lr_host(step, tc.lr, tc.warmup, tc.steps,
+                                    tc.min_lr)
+            params, opt_state, loss = plan.step(
+                params, opt_state, images, labels, np.int32(step),
+                np.float32(lr), wd_host)
+            imgs_since += tc.batch_size
+            if step % tc.log_every == 0 or step == tc.steps:
+                loss_val = float(loss)      # sync point
+                now = time.perf_counter()
+                ips = imgs_since / (now - t_last)
+                mfu = ips * flops_per_img / (
+                    F.peak_flops(device_kind, cfg.dtype) * n_chips)
+                rec = {"step": step, "loss": round(loss_val, 5),
+                       "lr": round(float(lr), 7),
+                       "imgs_per_sec": round(ips, 1),
+                       "imgs_per_sec_chip": round(ips / n_chips, 1),
+                       "mfu": round(mfu, 4),
+                       "mesh": plan.spec.describe()}
+                print("[train] " + json.dumps(rec))
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+                if not np.isfinite(loss_val):
+                    raise FloatingPointError(f"loss diverged at step {step}")
+                t_last, imgs_since = time.perf_counter(), 0
+            if tc.ckpt_every and step % tc.ckpt_every == 0:
+                save(step)
+        if stop_step > start_step:
+            save(stop_step)
+            summary["final_loss"] = float(loss)
+        if tc.dataset and stop_step == tc.steps:
+            host_params = plan.to_canonical(params)
+            if cfg.mode == "gpt":
+                from ..data import tokens as TOK
+                val = TOK.TokenLoader(loader.tokens, min(tc.batch_size, 16),
+                                      cfg.max_seq_len,
+                                      holdout=loader.holdout, val=True)
+                xb, yb = val.next_batch()
+                vloss = float(jax.jit(M.loss_fn, static_argnums=3)(
+                    host_params, jnp.asarray(xb), jnp.asarray(yb), cfg))
+                summary["eval"] = {"val_loss": vloss}
+            else:
+                eval_ds = D.get_dataset(tc.dataset, tc.data_dir, train=False)
+                summary["eval"] = evaluate(cfg, host_params, eval_ds,
+                                           batch=min(256, len(eval_ds)))
+            print("[eval] " + json.dumps(summary["eval"]))
+    finally:
+        prefetcher.close()
         log_f.close()
     return summary
