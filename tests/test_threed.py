@@ -256,3 +256,78 @@ def test_3d_gqa_gpt_grads_match_single_device():
         scale = max(np.abs(g_ref).max(), 1e-6)
         np.testing.assert_allclose(np.asarray(got[k]), g_ref, rtol=5e-4,
                                    atol=3e-5 * scale, err_msg=k)
+
+
+def test_3d_gpt_vocab_parallel_matches_single_device():
+    """Vocab-parallel embedding + head/CE through the 3-D mesh: wte shards
+    over the padded vocab rows on "model" (replicated on pipe); the last
+    stage's full (Bm, T, V) logits tensor never materializes.  Gradients
+    must equal the single-device model: wte per-model-shard-local (the vp
+    contract) and pipe-psum'd (stage-0 embed + last-stage head live on
+    different pipe rows)."""
+    cfg = get_config("gpt-nano", use_flash=False).replace(
+        num_layers=4, channels=32, num_heads=2)
+    rng = np.random.default_rng(5)
+    B, T = 8, 16
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    y = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    params = PRM.init_params(cfg, jax.random.PRNGKey(5))
+    loss_ref, grads_ref = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+
+    mesh = D3.make_mesh_3d(dp=2, tp=2, pp=2)
+    specs = D3.param_specs_3d(cfg, vocab_parallel=True)
+    assert tuple(specs["wte"]) == ("model", None)
+    pipe_partial = [k for k, s in specs.items()
+                    if not any(e == "pipe" for e in tuple(s))]
+
+    def spmd(p, xx, yy):
+        loss, g = jax.value_and_grad(D3._loss_3d)(
+            p, xx, yy, cfg, 2, 2, False, 2, True)
+        for k in pipe_partial:
+            g[k] = jax.lax.psum(g[k], "pipe")
+        g = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, "data"), g)
+        return jax.lax.pmean(loss, "data"), g
+
+    fn = jax.jit(shard_map(spmd, mesh=mesh,
+                           in_specs=(dict(specs), P("data"), P("data")),
+                           out_specs=(P(), dict(specs)), check_rep=False))
+    p3 = D3.place_params_3d(params, cfg, mesh, vocab_parallel=True)
+    dsh = NamedSharding(mesh, P("data"))
+    loss, g3 = fn(p3, jax.device_put(x, dsh), jax.device_put(y, dsh))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    got = tp.from_tp_params(jax.device_get(g3), cfg, vocab_parallel=True)
+    for k in grads_ref:
+        g_ref = np.asarray(grads_ref[k])
+        scale = max(np.abs(g_ref).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(got[k]), g_ref, rtol=5e-4,
+                                   atol=3e-5 * scale, err_msg=k)
+
+
+def test_3d_gpt_vp_sp_composes():
+    """vp + SP together through the 3-D mesh: loss finite and equal to the
+    non-vp SP loss (the head math is the same — only its layout changes)."""
+    cfg = get_config("gpt-nano", use_flash=False).replace(
+        num_layers=4, channels=32, num_heads=2)
+    rng = np.random.default_rng(7)
+    B, T = 8, 16
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    y = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    params = PRM.init_params(cfg, jax.random.PRNGKey(7))
+    mesh = D3.make_mesh_3d(dp=2, tp=2, pp=2)
+    dsh = NamedSharding(mesh, P("data"))
+
+    losses = {}
+    for vp_flag in (False, True):
+        specs = D3.param_specs_3d(cfg, vp_flag)
+
+        def spmd(p, xx, yy, vp_flag=vp_flag):
+            loss = D3._loss_3d(p, xx, yy, cfg, 2, 2, True, 2, vp_flag)
+            return jax.lax.pmean(loss, "data")
+
+        fn = jax.jit(shard_map(spmd, mesh=mesh,
+                               in_specs=(dict(specs), P("data"), P("data")),
+                               out_specs=P(), check_rep=False))
+        p3 = D3.place_params_3d(params, cfg, mesh, vp_flag)
+        losses[vp_flag] = float(fn(p3, jax.device_put(x, dsh),
+                                   jax.device_put(y, dsh)))
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-5)

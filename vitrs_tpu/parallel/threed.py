@@ -60,10 +60,20 @@ def param_specs_3d(cfg: ViTConfig, vocab_parallel: bool = False):
 
 def _loss_3d(p, inputs, labels, cfg: ViTConfig, n_stages: int,
              microbatches: int, sequence_parallel: bool = False,
-             tp: int = 1):
+             tp: int = 1, vocab_parallel: bool = False):
     """vit mode (patch-embed encode + classifier head) and gpt mode (token
     encode + weight-tied vocab head, per-token CE — the reference's own
-    model, rusty_vit.rs:336-347) both pipeline over the same tick scan."""
+    model, rusty_vit.rs:336-347) both pipeline over the same tick scan.
+
+    vocab_parallel (gpt): the stage-0 embedding and the last stage's
+    head+CE run the Megatron vocab-parallel forms (tensor_parallel.
+    _vp_gpt_encode / _vp_head_ce) on the model-sharded padded wte — the
+    full (Bm, T, V) logits tensor never materializes on the last stage
+    (3.07 GB at GPT-2 B=32), and the head matmul stops running tp-times
+    redundantly.  The collectives these forms contain live INSIDE the
+    stage-gated lax.cond: every member of each model-axis psum group sits
+    on the same pipe stage, so all participants take the branch together
+    (verified fwd+grad on the CPU mesh before this landed)."""
     S, Mb = n_stages, microbatches
     stage = jax.lax.axis_index("pipe")
     gpt = cfg.mode == "gpt"
@@ -87,6 +97,9 @@ def _loss_3d(p, inputs, labels, cfg: ViTConfig, n_stages: int,
             y = gather_seq_rep(y, "model")
         lnf = basic.layernorm_cv(y, p["lnfw"], p["lnfb"])
         if gpt:
+            if vocab_parallel:
+                return _vp_head_ce(lnf.astype(dtype), p["wte"], lbl,
+                                   "model", cfg.vocab_size)
             logits = basic.linear(lnf, p["wte"].astype(dtype), None)
             return jnp.mean(basic.cross_entropy_from_logits(logits, lbl))
         pooled = lnf[:, 0, :] if cfg.pool == "cls" else jnp.mean(lnf, axis=1)
@@ -95,8 +108,11 @@ def _loss_3d(p, inputs, labels, cfg: ViTConfig, n_stages: int,
 
     def encode(idx):
         xb = jax.lax.dynamic_index_in_dim(micro_x, idx, 0, keepdims=False)
-        h = (M.gpt_encode(xb, p, dtype, rope=cfg.pos_emb == "rope") if gpt
-             else M.vit_encode(xb, p, cfg).astype(dtype))
+        if gpt and vocab_parallel:
+            h = _vp_gpt_encode(xb, p, cfg, "model", dtype)
+        else:
+            h = (M.gpt_encode(xb, p, dtype, rope=cfg.pos_emb == "rope")
+                 if gpt else M.vit_encode(xb, p, cfg).astype(dtype))
         if sequence_parallel:
             # enter the SP region: each model-device keeps its T/tp shard —
             # the pipeline ppermute then moves 1/tp the bytes per hop too
@@ -136,12 +152,18 @@ def _loss_3d(p, inputs, labels, cfg: ViTConfig, n_stages: int,
 
 
 def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
-                       sequence_parallel: bool = False):
+                       sequence_parallel: bool = False,
+                       vocab_parallel: bool = False):
     """sequence_parallel=True runs every stage's blocks in the Megatron-SP
     form: the inter-stage activation (and its ppermute hop) is the
     (B, T/tp, C) sequence shard, LN/residual compute drops by 1/tp, and the
     TP collectives become the all-gather/reduce-scatter conjugate pair —
-    the full 4-D composition dp x tp(sp) x pp on one mesh."""
+    the full 4-D composition dp x tp(sp) x pp on one mesh.
+
+    vocab_parallel=True (gpt) adds the Megatron vocab-parallel embedding and
+    head+CE over "model" (see _loss_3d) — wte shards over the padded vocab
+    rows; its gradient stays per-model-shard-local (the vp contract) but is
+    still psum'd over "pipe" (stage 0 embeds, stage S-1 runs the head)."""
     S = mesh.shape["pipe"]
     tp_size = mesh.shape["model"]
     assert cfg.num_layers % S == 0
@@ -150,14 +172,23 @@ def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
         assert cfg.kv_heads % tp_size == 0, (
             f"GQA under TP needs kv_heads ({cfg.kv_heads}) divisible by "
             f"the model-axis size ({tp_size})")
-    specs = param_specs_3d(cfg)
-    replicated = [k for k, s in specs.items() if s == P()]
+    if vocab_parallel:
+        from ..ops import fused_ce
+        assert cfg.mode == "gpt", "vocab parallelism is the gpt head/CE path"
+        assert fused_ce.pad_vocab(cfg.vocab_size) % tp_size == 0
+    specs = param_specs_3d(cfg, vocab_parallel)
+    # leaves computed on one pipe stage only (embeddings/head/final-LN):
+    # true grad = sum of per-stage partials — everything with no "pipe"
+    # entry in its spec, INCLUDING the model-sharded vp wte
+    pipe_partial = [k for k, s in specs.items()
+                    if not any(e == "pipe" for e in tuple(s))]
 
     def spmd(p, m, v, images, labels, step, lr, wd):
         loss, grads = jax.value_and_grad(_loss_3d)(p, images, labels, cfg, S,
                                                    microbatches,
-                                                   sequence_parallel, tp_size)
-        for k in replicated:     # encode/head computed on one stage only
+                                                   sequence_parallel, tp_size,
+                                                   vocab_parallel)
+        for k in pipe_partial:   # encode/head computed on one stage only
             grads[k] = jax.lax.psum(grads[k], "pipe")
         if sequence_parallel:
             # LN/bias compute lives on sequence shards: partial grads over
@@ -178,15 +209,17 @@ def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 
 
-def place_params_3d(params, cfg: ViTConfig, mesh: Mesh):
-    tp_tree = to_tp_params(params, cfg)
-    specs = param_specs_3d(cfg)
+def place_params_3d(params, cfg: ViTConfig, mesh: Mesh,
+                    vocab_parallel: bool = False):
+    tp_tree = to_tp_params(params, cfg, vocab_parallel)
+    specs = param_specs_3d(cfg, vocab_parallel)
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
             for k, v in tp_tree.items()}
 
 
-def init_opt_state_3d(p3, mesh: Mesh, cfg: ViTConfig):
-    specs = param_specs_3d(cfg)
+def init_opt_state_3d(p3, mesh: Mesh, cfg: ViTConfig,
+                      vocab_parallel: bool = False):
+    specs = param_specs_3d(cfg, vocab_parallel)
 
     def zeros():
         return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),

@@ -266,26 +266,28 @@ def _3d_plan(cfg, spec, devices):
     from ..parallel import tensor_parallel as TP
     mesh = TD.make_mesh_3d(spec.dp, spec.tp, spec.pp, devices)
     mb = spec.microbatches or spec.pp
+    vp = spec.vp
     step = _adamw_tuple(TD.make_3d_train_step(
-        cfg, mesh, microbatches=mb, sequence_parallel=spec.sp))
-    pspecs = TD.param_specs_3d(cfg)
+        cfg, mesh, microbatches=mb, sequence_parallel=spec.sp,
+        vocab_parallel=vp))
+    pspecs = TD.param_specs_3d(cfg, vp)
 
     def opt_load(tree):
         return tuple(
             {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, pspecs[k]))
              for k, v in TP.to_tp_params(
-                 jax.tree.map(jnp.asarray, tree[key]), cfg).items()}
+                 jax.tree.map(jnp.asarray, tree[key]), cfg, vp).items()}
             for key in ("m", "v"))
 
     return Plan(
         kind="3d", mesh=mesh, spec=spec, optimizer="adamw",
         batch_sharding=NamedSharding(mesh, P("data")),
-        place=lambda p: TD.place_params_3d(p, cfg, mesh),
-        init_opt=lambda p: TD.init_opt_state_3d(p, mesh, cfg),
+        place=lambda p: TD.place_params_3d(p, cfg, mesh, vp),
+        init_opt=lambda p: TD.init_opt_state_3d(p, mesh, cfg, vp),
         step=step,
-        to_canonical=lambda p: _get(TP.from_tp_params(p, cfg)),
-        opt_save=lambda o: {"m": _get(TP.from_tp_params(o[0], cfg)),
-                            "v": _get(TP.from_tp_params(o[1], cfg))},
+        to_canonical=lambda p: _get(TP.from_tp_params(p, cfg, vp)),
+        opt_save=lambda o: {"m": _get(TP.from_tp_params(o[0], cfg, vp)),
+                            "v": _get(TP.from_tp_params(o[1], cfg, vp))},
         opt_load=opt_load)
 
 
