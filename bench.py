@@ -1,6 +1,11 @@
-"""Benchmark harness — ViT-B/16 training throughput on one TPU chip.
+"""Benchmark harness — ViT-B/16 training throughput on one TPU chip,
+plus the GPT-2 124M row (the reference's own config) in `extra`.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The primary metric stays the ViT-B row for history comparability across
+rounds; extra.gpt2_124m carries tok/s + MFU of the full fused GPT train
+step (B=32, T=1024, causal) so the driver's BENCH_r{N}.json records the
+kernel stack's real state each round.
 
 The reference publishes no numbers (BASELINE.md: 'None exist'), so
 vs_baseline is reported against the BASELINE.json north-star target of 55%
@@ -88,6 +93,54 @@ def main():
 
     imgs_per_sec = B / dt
     mfu = F.mfu(imgs_per_sec, cfg, dev.device_kind, n_chips=1, train=True)
+
+    # ---- GPT-2 124M row (the reference's own config) ------------------------
+    gpt = {}
+    try:
+        gcfg = get_config("gpt2-124m").replace(
+            dtype="bfloat16" if on_tpu else "float32", use_flash=on_tpu)
+        GB, GT = (32, 1024) if on_tpu else (2, 64)
+        if not on_tpu:
+            gcfg = gcfg.replace(num_layers=2, channels=128, num_heads=2,
+                                max_seq_len=GT)
+        gp = PRM.init_params(gcfg, jax.random.PRNGKey(0))
+        gm = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), gp)
+        gv = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), gp)
+        toks = jnp.asarray(rng.integers(0, gcfg.vocab_size, (GB, GT)))
+        tgts = jnp.asarray(rng.integers(0, gcfg.vocab_size, (GB, GT)))
+
+        def gpt_step(p, m, v, x, y, step, lr):
+            loss, grads = jax.value_and_grad(M.loss_fn)(p, x, y, gcfg)
+            p, m, v = opt.adamw_tree(p, grads, m, v, step, lr,
+                                     weight_decay=0.1,
+                                     decay_mask=opt.decay_mask_2d(p))
+            return p, m, v, loss
+
+        gstep = jax.jit(gpt_step, donate_argnums=(0, 1, 2))
+        gp, gm, gv, gloss = gstep(gp, gm, gv, toks, tgts,
+                                  jnp.asarray(1, jnp.int32),
+                                  jnp.asarray(3e-4, jnp.float32))
+        float(gloss)
+        giters = 20 if on_tpu else 3
+        t0 = time.perf_counter()
+        for i in range(2, giters + 2):
+            gp, gm, gv, gloss = gstep(gp, gm, gv, toks, tgts,
+                                      jnp.asarray(i, jnp.int32),
+                                      jnp.asarray(3e-4, jnp.float32))
+        gloss_val = float(gloss)
+        gdt = (time.perf_counter() - t0) / giters
+        tok_s = GB * GT / gdt
+        gflops = F.train_flops_per_example(gcfg) / gcfg.max_seq_len
+        gmfu = tok_s * gflops / F.peak_flops(dev.device_kind, gcfg.dtype)
+        gpt = {"tok_per_sec": round(tok_s, 0),
+               "step_ms": round(gdt * 1e3, 2), "mfu": round(gmfu, 4),
+               "batch": GB, "seq": GT,
+               "loss_finite": bool(np.isfinite(gloss_val))}
+    except Exception as e:     # the ViT metric must still be emitted
+        gpt = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     print(json.dumps({
         "metric": "ViT-B/16 train images/sec/chip (bf16, fused AdamW)",
         "value": round(imgs_per_sec, 2),
@@ -99,6 +152,7 @@ def main():
             "mfu": round(mfu, 4),
             "device": dev.device_kind,
             "loss_finite": bool(np.isfinite(loss_val)),
+            "gpt2_124m": gpt,
         },
     }))
 

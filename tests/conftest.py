@@ -51,6 +51,18 @@ _here = os.path.dirname(__file__)
 with open(os.path.join(_here, "slow_tests.txt")) as _f:
     _SLOW = {line.strip() for line in _f if line.strip()}
 
+# Curated core-parity subset PROMOTED into the quick tier even when the
+# duration scan lists them slow: the default developer loop must exercise
+# the headline claims (bit-exact fp32 parity, expert-parallel gradient
+# parity, 3-D-mesh gradient parity) every run, not only in the slow tier.
+# Budget: ~1-2 min added warm (round-3 verdict item 10).
+_PROMOTED = {
+    "tests/test_bitexact.py::test_loss_bitwise_equal",
+    "tests/test_moe.py::test_ep_grad_parity_vs_single_device[2-4]",
+    "tests/test_threed.py::test_3d_gpt_loss_and_grads_match_single_device",
+}
+_SLOW -= _PROMOTED
+
 
 def pytest_configure(config):
     config.addinivalue_line(
