@@ -480,3 +480,51 @@ def test_ep_tp_train_step_loss_decreases():
     shapes = PRM.param_shapes(cfg)
     for k, s in shapes.items():
         assert tuple(canon[k].shape) == tuple(s), (k, canon[k].shape, s)
+
+
+@pytest.mark.parametrize("dp,ep,tp", [(2, 2, 2)])
+def test_ep_tp_vocab_parallel_grad_parity(dp, ep, tp):
+    """EP x TP with the Megatron vocab-parallel embedding + head/CE: the
+    full (B, T, V) logits (the top allocation in the MoE B=32 OOM) never
+    materialize, and the gradients still equal the single-device model."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    cfg = _cfg(moe_cap_factor=8.0, moe_aux_weight=0.0)
+    p = PRM.init_params(cfg, jax.random.PRNGKey(0))
+    pnp = {k: np.asarray(v) for k, v in p.items()}
+    toks = np.asarray(jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 97))
+    tgt = np.asarray(jax.random.randint(jax.random.PRNGKey(2), (8, 16), 0, 97))
+    loss_ref, g_ref = jax.value_and_grad(M.gpt_loss)(p, jnp.asarray(toks),
+                                                     jnp.asarray(tgt), cfg)
+    mesh = EP.make_mesh_dp_ep_tp(dp, ep, tp)
+    specs = EP.ep_tp_param_specs(cfg, vocab_parallel=True)
+    assert tuple(specs["wte"]) == ("model", None)
+
+    def spmd(params, inputs, targets):
+        def gl(pa):
+            return jax.lax.pmean(
+                EP._ep_tp_loss(pa, inputs, targets, cfg, ep, True),
+                ("data", "expert"))
+        l, g = jax.value_and_grad(gl)(params)
+        inv = 1.0 / (dp * ep)
+        g = {k: jax.lax.psum(gr, ("data",) if k in EP.EXPERT_KEYS
+                             else ("data", "expert")) * inv
+             for k, gr in g.items()}
+        return l, g
+
+    f = jax.jit(shard_map(spmd, mesh=mesh,
+                          in_specs=(specs, P(("data", "expert")),
+                                    P(("data", "expert"))),
+                          out_specs=(P(), specs), check_rep=False))
+    pp = EP.place_ep_tp_params(pnp, cfg, mesh, vocab_parallel=True)
+    bs = jax.NamedSharding(mesh, P(("data", "expert")))
+    l, g = f(pp, jax.device_put(toks, bs), jax.device_put(tgt, bs))
+    assert abs(float(l) - float(loss_ref)) < 2e-5
+    got = EP.from_ep_tp_params(
+        {k: jnp.asarray(np.asarray(jax.device_get(v))) for k, v in g.items()},
+        cfg, vocab_parallel=True)
+    for k in g_ref:
+        a = np.asarray(g_ref[k], np.float64)
+        np.testing.assert_allclose(np.asarray(got[k]), a, rtol=3e-4,
+                                   atol=3e-6 * max(1.0, np.abs(a).max()),
+                                   err_msg=k)

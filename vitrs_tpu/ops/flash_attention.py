@@ -80,11 +80,19 @@ def _combined_bwd_est(G, T, D, block_q, block_k, itemsize, tab_bytes):
     """Estimated scoped-VMEM bytes of one combined-backward grid cell:
     the 4 per-phase (block_q, block_k) f32 lists per head of the group,
     the whole-sequence f32 dq scratch, and the double-buffered blocks
-    (dq out spans all of T; lse/q/do/o/k/v/dk/dv scratch per tile)."""
+    (dq out spans all of T; lse/q/do/o/k/v/dk/dv scratch per tile).
+
+    The 2x T·W dq-out term is the MEASURED whole-T footprint (two T-wide
+    W-lane buffers): at T=16384/G=2/D=64/block 512 Mosaic's actual scoped
+    allocation was 34.41 MB where the single-buffer accounting said 27.25
+    — the missing ~T·W·itemsize is the second whole-T staging buffer, and
+    adding it keeps every measured-working shape admitted (T=8192/G=2 ->
+    23.45 MB <= 28) while correctly rejecting T=16384 to the dKV/dQ
+    pair."""
     W = G * D
     return (4 * G * block_q * block_k * 4          # ss/dps/ps/dss lists
             + G * T * D * 4                        # dq scratch
-            + 2 * T * W * itemsize                 # dq out block (dbl-buf)
+            + 2 * 2 * T * W * itemsize             # dq out (whole-T, 2 bufs)
             + 2 * G * block_q * LANES * 4          # lse block (dbl-buf)
             + 2 * 3 * block_q * W * itemsize       # q/do/o tiles (dbl-buf)
             + 2 * 2 * block_k * W * itemsize       # k/v tiles (dbl-buf)
@@ -324,51 +332,70 @@ def _band_crosses_tile(i_q, i_kv, block_q, block_k, window):
 # (B, NH, T, 128) di arrays from HBM.
 # ---------------------------------------------------------------------------
 
+# The six kernel bodies below are the ONE set of flash tile kernels for BOTH
+# the MHA and the GQA stacks (round-3 verdict item 8: band/rope/masking and
+# the phase-split tile math must exist once).  They are parameterized by the
+# GQA geometry — QH query heads per grid cell, R = queries per KV head, KVB
+# distinct KV heads per 128-lane block, `chunk`-sized phase-split head
+# chunks — and MHA instantiates them at the degenerate point QH=G, R=1,
+# KVB=G, chunk=G, which reproduces the previous MHA kernel bodies
+# op-for-op (the kv slice equals the query slice and _chunks(G, G) is one
+# chunk).  flash_attention_gqa.py imports these and supplies its own
+# drivers/specs (grid over kv-blocks, phantom-lane padding, tuned chunks).
+
+def _chunks(QH: int, chunk: int):
+    return [range(c, min(c + chunk, QH)) for c in range(0, QH, chunk)]
+
+
+
 def _fwd_single_kernel(q_ref, k_ref, v_ref, tab_ref, o_ref, lse_ref,
-                       *, sm_scale, causal, seq_len, T, G, D, window=0,
-                       rope=False):
+                       *, sm_scale, causal, seq_len, T, QH, R, D, chunk,
+                       window=0, rope=False):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
     if rope:
+        # phantom K lanes (kv_heads·D < 128) hold zeros and the rotation
+        # only mixes lanes within one D-lane head — they stay zero
         tab = tab_ref[:]
         qf = _rope_rotate(qf, tab, D).astype(qf.dtype)
         kf = _rope_rotate(kf, tab, D).astype(kf.dtype)
     need_mask = causal or seq_len != T
     if need_mask:
         msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
-    # phase-split over the G independent heads (all QKᵀ dots, then all
-    # softmaxes, then all PV dots): the per-phase streams have no cross-g
-    # deps, so Mosaic overlaps head g's VPU exp with head g±1's MXU dots —
-    # measured 0.684 vs 0.786 ms/call (-13%) at ViT-B shape on v5e
-    ss = []
-    for g in range(G):
-        sl = slice(g * D, (g + 1) * D)
-        q = (qf[:, sl].astype(jnp.float32) * sm_scale).astype(qf.dtype)
-        ss.append(jax.lax.dot_general(q, kf[:, sl], (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32))
-    ps, invs = [], []
-    for g in range(G):
-        s = jnp.where(msk, ss[g], MASK_VALUE) if need_mask else ss[g]
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        ps.append(p)
-        invs.append(jnp.where(l == 0.0, 0.0, 1.0 / l))
-        lse = jnp.where(l == 0.0, MASK_VALUE, m + jnp.log(jnp.maximum(l, 1e-38)))
-        lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
-    outs = []
-    for g in range(G):
-        sl = slice(g * D, (g + 1) * D)
-        pv = jax.lax.dot_general(ps[g].astype(vf.dtype), vf[:, sl],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        outs.append(pv * invs[g])
+    outs = [None] * QH
+    for hs in _chunks(QH, chunk):
+        # phase-split within the chunk (see flash_attention._fwd_single_kernel)
+        ss = []
+        for g in hs:
+            kv = slice((g // R) * D, (g // R + 1) * D)
+            q = (qf[:, g * D:(g + 1) * D].astype(jnp.float32)
+                 * sm_scale).astype(qf.dtype)
+            ss.append(jax.lax.dot_general(q, kf[:, kv],
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32))
+        ps, invs = [], []
+        for i, g in enumerate(hs):
+            s = jnp.where(msk, ss[i], MASK_VALUE) if need_mask else ss[i]
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            ps.append(p)
+            invs.append(jnp.where(l == 0.0, 0.0, 1.0 / l))
+            lse = jnp.where(l == 0.0, MASK_VALUE,
+                            m + jnp.log(jnp.maximum(l, 1e-38)))
+            lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        for i, g in enumerate(hs):
+            kv = slice((g // R) * D, (g // R + 1) * D)
+            pv = jax.lax.dot_general(ps[i].astype(vf.dtype), vf[:, kv],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            outs[g] = pv * invs[i]
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, tab_ref,
                        dq_ref, dk_ref, dv_ref,
-                       *, sm_scale, causal, seq_len, T, G, D, window=0,
-                       rope=False):
+                       *, sm_scale, causal, seq_len, T, QH, R, D, KVB, chunk,
+                       window=0, rope=False):
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
     if rope:
         tab = tab_ref[:]
@@ -378,54 +405,59 @@ def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, tab_ref,
     need_mask = causal or seq_len != T
     if need_mask:
         msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
-    # same phase-split as the forward (see _fwd_single_kernel): the per-g
-    # chains are independent, so batching each op class across heads gives
-    # Mosaic MXU/VPU overlap between heads
-    ss, dps = [], []
-    for g in range(G):
-        sl = slice(g * D, (g + 1) * D)
-        ss.append(jax.lax.dot_general(
-            qf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        dps.append(jax.lax.dot_general(
-            dof[:, sl], vf[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    ps, dss = [], []
-    for g in range(G):
-        sl = slice(g * D, (g + 1) * D)
-        do = dof[:, sl]
-        lse = lse_ref[0, g][:, :1]
-        di = jnp.sum(of[:, sl].astype(jnp.float32)
-                     * do.astype(jnp.float32), axis=1, keepdims=True)
-        p = jnp.exp(ss[g] * sm_scale - lse)
-        if need_mask:
-            p = jnp.where(msk, p, 0.0)
-        ps.append(p)
-        dss.append(p * (dps[g] - di) * sm_scale)
-    dqs, dks, dvs = [], [], []
-    for g in range(G):
-        sl = slice(g * D, (g + 1) * D)
-        q, k = qf[:, sl], kf[:, sl]
-        do = dof[:, sl]
-        dvs.append(jax.lax.dot_general(ps[g].astype(do.dtype), do,
-                                       (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32))
-        dqs.append(jax.lax.dot_general(dss[g].astype(k.dtype), k,
-                                       (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32))
-        dks.append(jax.lax.dot_general(dss[g].astype(q.dtype), q,
-                                       (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32))
+    dqs = [None] * QH
+    dk_acc = [None] * KVB
+    dv_acc = [None] * KVB
+    for hs in _chunks(QH, chunk):
+        ss, dps = [], []
+        for g in hs:
+            kv = slice((g // R) * D, (g // R + 1) * D)
+            sl = slice(g * D, (g + 1) * D)
+            ss.append(jax.lax.dot_general(
+                qf[:, sl], kf[:, kv], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dps.append(jax.lax.dot_general(
+                dof[:, sl], vf[:, kv], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        ps, dss = [], []
+        for i, g in enumerate(hs):
+            sl = slice(g * D, (g + 1) * D)
+            lse = lse_ref[0, g][:, :1]
+            di = jnp.sum(of[:, sl].astype(jnp.float32)
+                         * dof[:, sl].astype(jnp.float32),
+                         axis=1, keepdims=True)
+            p = jnp.exp(ss[i] * sm_scale - lse)
+            if need_mask:
+                p = jnp.where(msk, p, 0.0)
+            ps.append(p)
+            dss.append(p * (dps[i] - di) * sm_scale)
+        for i, g in enumerate(hs):
+            kb = g // R
+            kv = slice(kb * D, (kb + 1) * D)
+            sl = slice(g * D, (g + 1) * D)
+            q, do = qf[:, sl], dof[:, sl]
+            dv = jax.lax.dot_general(ps[i].astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(dss[i].astype(q.dtype), q,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dv_acc[kb] = dv if dv_acc[kb] is None else dv_acc[kb] + dv
+            dk_acc[kb] = dk if dk_acc[kb] is None else dk_acc[kb] + dk
+            dqs[g] = jax.lax.dot_general(dss[i].astype(kf.dtype), kf[:, kv],
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+    zero = jnp.zeros((T, D), jnp.float32)
     dq = jnp.concatenate(dqs, axis=-1)
-    dk = jnp.concatenate(dks, axis=-1)
+    dk = jnp.concatenate([zero if a is None else a for a in dk_acc], axis=-1)
     if rope:
-        # dq/dk are w.r.t. the ROTATED q/k — pull them back through R
-        # (orthogonal: the VJP transpose is the inverse rotation)
+        # dq/dk are w.r.t. the rotated q/k — inverse-rotate on the way out
         dq = _rope_rotate(dq, tab, D, inverse=True)
         dk = _rope_rotate(dk, tab, D, inverse=True)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+    dv_ref[0] = jnp.concatenate(
+        [zero if a is None else a for a in dv_acc], axis=-1).astype(dv_ref.dtype)
 
 
 def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret,
@@ -438,8 +470,8 @@ def _fwd_single(qkv, num_heads, sm_scale, causal, seq_len, interpret,
     n_hblk = num_heads // G
     spec = lambda off: pl.BlockSpec((1, T, W), lambda b, h, off=off: (b, 0, off + h),
                                     memory_space=pltpu.VMEM)
-    kw = dict(sm_scale=sm_scale, causal=causal, seq_len=seq_len, T=T, G=G,
-              D=D, window=window, rope=rope)
+    kw = dict(sm_scale=sm_scale, causal=causal, seq_len=seq_len, T=T,
+              QH=G, R=1, D=D, chunk=G, window=window, rope=rope)
     if rope:
         kern = functools.partial(_fwd_single_kernel, **kw)
         tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),)
@@ -482,8 +514,8 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                           memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, G, T, LANES), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
-    kw = dict(sm_scale=sm_scale, causal=causal, seq_len=seq_len, T=T, G=G,
-              D=D, window=window, rope=rope)
+    kw = dict(sm_scale=sm_scale, causal=causal, seq_len=seq_len, T=T,
+              QH=G, R=1, D=D, KVB=G, chunk=G, window=window, rope=rope)
     if rope:
         kern = functools.partial(_bwd_single_kernel, **kw)
         tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),)
@@ -511,8 +543,8 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
 
 def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
-                *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T, G, D,
-                window=0, rope=False):
+                *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
+                QH, R, D, chunk, window=0, rope=False):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -528,10 +560,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        # scale folded into q: one pass over (block_q, G*D) instead of a
-        # per-score multiply on every (block_q, block_k) tile; in rope mode
-        # the scale folds into the rotation's cos/sin for free
         if rope:
+            # scale folds into the rotation's cos/sin for free
             qf = _rope_rotate(q_ref[0], tq_ref[:], D,
                               scale=sm_scale).astype(q_ref.dtype)
             kf = _rope_rotate(k_ref[0], tk_ref[:], D).astype(k_ref.dtype)
@@ -541,47 +571,45 @@ def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
         vf = v_ref[0]
 
         def body(masked: bool):
-            # phase-split across the G independent head-groups (see
-            # _fwd_single_kernel): all QKᵀ dots, then all online-softmax VPU
-            # updates, then all PV dots — Mosaic overlaps MXU and VPU
-            # between heads
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
                             causal, seq_len, window)
-            ss = []
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                ss.append(jax.lax.dot_general(
-                    qf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            ps, alphas = [], []
-            for g in range(G):
-                s = jnp.where(msk, ss[g], MASK_VALUE) if masked else ss[g]
-                m_prev, l_prev = m_scr[g], l_scr[g]        # (block_q, 128)
-                m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp(m_prev - m_next)
-                p = jnp.exp(s - m_next[:, :1])
-                m_scr[g] = m_next
-                l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                ps.append(p)
-                alphas.append(alpha)
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                pv = jax.lax.dot_general(ps[g].astype(vf.dtype), vf[:, sl],
-                                         (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                acc_scr[g] = acc_scr[g] * alphas[g][:, :1] + pv
+            for hs in _chunks(QH, chunk):
+                ss = []
+                for g in hs:
+                    kv = slice((g // R) * D, (g // R + 1) * D)
+                    ss.append(jax.lax.dot_general(
+                        qf[:, g * D:(g + 1) * D], kf[:, kv],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                ps, alphas = [], []
+                for i, g in enumerate(hs):
+                    s = jnp.where(msk, ss[i], MASK_VALUE) if masked else ss[i]
+                    m_prev, l_prev = m_scr[g], l_scr[g]
+                    m_curr = jnp.max(s, axis=1, keepdims=True)
+                    m_next = jnp.maximum(m_prev, m_curr)
+                    alpha = jnp.exp(m_prev - m_next)
+                    p = jnp.exp(s - m_next[:, :1])
+                    m_scr[g] = m_next
+                    l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1,
+                                                        keepdims=True)
+                    ps.append(p)
+                    alphas.append(alpha)
+                for i, g in enumerate(hs):
+                    kv = slice((g // R) * D, (g // R + 1) * D)
+                    pv = jax.lax.dot_general(ps[i].astype(vf.dtype),
+                                             vf[:, kv],
+                                             (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
+                    acc_scr[g] = acc_scr[g] * alphas[i][:, :1] + pv
 
-        # masking is only needed on tiles the diagonal crosses and on the
-        # padded tail tile; interior tiles take the mask-free body
         has_pad = seq_len != T
         if not causal and not has_pad:
             body(masked=False)
         else:
             edge = False
             if causal:
-                edge = i_q * block_q < (i_kv + 1) * block_k  # diagonal crosses
+                edge = i_q * block_q < (i_kv + 1) * block_k
             if window:
                 edge = jnp.logical_or(edge, _band_crosses_tile(
                     i_q, i_kv, block_q, block_k, window))
@@ -599,9 +627,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
     @pl.when(i_kv == n_kv - 1)
     def _finalize():
         outs = []
-        for g in range(G):
+        for g in range(QH):
             l = l_scr[g][:, :1]
-            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)    # zero-row guard
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
             outs.append(acc_scr[g] * l_inv)
             m = m_scr[g][:, :1]
             lse = jnp.where(l == 0.0, MASK_VALUE,
@@ -642,8 +670,8 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
     n_q, n_kv = T // block_q, T // block_k
     grid = (B, n_hblk, n_q, n_kv)
     kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
-              block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, G=G, D=D,
-              window=window, rope=rope)
+              block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, QH=G, R=1,
+              D=D, chunk=G, window=window, rope=rope)
     if rope:
         kern = functools.partial(_fwd_kernel, **kw)
         tab_ops = (_rope_table(T, D, rope_base, qkv.dtype),) * 2
@@ -683,10 +711,63 @@ def _fwd(qkv, num_heads, sm_scale, causal, seq_len, block_q, block_k,
 # backward
 # ---------------------------------------------------------------------------
 
+def _bwd_body(qf, kf, vf, dof, of, lse_ref, msk, hs, *, sm_scale, R, D):
+    """One chunk's phase-split s/dp -> p/ds recompute, shared by the three
+    multi-tile backward kernels.  Returns (ps, dss) lists indexed like hs."""
+    ss, dps = [], []
+    for g in hs:
+        kv = slice((g // R) * D, (g // R + 1) * D)
+        sl = slice(g * D, (g + 1) * D)
+        ss.append(jax.lax.dot_general(
+            qf[:, sl], kf[:, kv], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dps.append(jax.lax.dot_general(
+            dof[:, sl], vf[:, kv], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    ps, dss = [], []
+    for i, g in enumerate(hs):
+        sl = slice(g * D, (g + 1) * D)
+        lse = lse_ref[0, g][:, :1]
+        di = jnp.sum(of[:, sl].astype(jnp.float32)
+                     * dof[:, sl].astype(jnp.float32), axis=1, keepdims=True)
+        p = jnp.exp(ss[i] - lse)
+        if msk is not None:
+            p = jnp.where(msk, p, 0.0)
+        ps.append(p)
+        dss.append(p * (dps[i] - di) * sm_scale)
+    return ps, dss
+
+
+
+def _edge_dispatch(body, causal, window, has_pad, i_q, i_kv, block_q,
+                   block_k, last_kv):
+    """Shared masked/unmasked tile dispatch (mirrors the MHA kernels)."""
+    if not causal and not has_pad:
+        body(masked=False)
+        return
+    edge = False
+    if causal:
+        edge = i_q * block_q < (i_kv + 1) * block_k
+    if window:
+        edge = jnp.logical_or(edge, _band_crosses_tile(
+            i_q, i_kv, block_q, block_k, window))
+    if has_pad:
+        edge = jnp.logical_or(edge, last_kv)
+
+    @pl.when(edge)
+    def _():
+        body(masked=True)
+
+    @pl.when(jnp.logical_not(edge))
+    def _():
+        body(masked=False)
+
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                     tq_ref, tk_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale, causal, block_q, block_k, n_q, seq_len, T,
-                    G, D, window=0, rope=False):
+                    QH, R, D, KVB, chunk, window=0, rope=False):
     i_kv, i_q = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_q == 0)
@@ -709,92 +790,46 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
-            # phase-split over G (see _fwd_single_kernel): MXU s/dp dots,
-            # then VPU p/ds, then the accumulate dots
-            if masked:
-                msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len, window)
-            ss, dps = [], []
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                ss.append(jax.lax.dot_general(
-                    sqf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-                dps.append(jax.lax.dot_general(
-                    dof[:, sl], vf[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            ps, dss = [], []
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                lse = lse_ref[0, g][:, :1]               # (block_q, 1)
-                # di recomputed per tile from the out/do tiles already in
-                # VMEM — the (B, H, T, 128) lane-broadcast di tensor this
-                # replaces cost ~400 MB/layer of HBM write+read at
-                # GPT-2 B=32 (the single-tile kernel always did it this way)
-                di = jnp.sum(of[:, sl].astype(jnp.float32)
-                             * dof[:, sl].astype(jnp.float32),
-                             axis=1, keepdims=True)
-                p = jnp.exp(ss[g] - lse)
-                if masked:
-                    p = jnp.where(msk, p, 0.0)
-                ps.append(p)
-                dss.append(p * (dps[g] - di) * sm_scale)
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                q, do = qf[:, sl], dof[:, sl]
-                dv_scr[g] += jax.lax.dot_general(
-                    ps[g].astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dk_scr[g] += jax.lax.dot_general(
-                    dss[g].astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            msk = (_mask((block_q, block_k), i_q, i_kv, block_q, block_k,
+                         causal, seq_len, window) if masked else None)
+            for hs in _chunks(QH, chunk):
+                ps, dss = _bwd_body(sqf, kf, vf, dof, of, lse_ref, msk, hs,
+                                    sm_scale=sm_scale, R=R, D=D)
+                for i, g in enumerate(hs):
+                    kb = g // R
+                    sl = slice(g * D, (g + 1) * D)
+                    q, do = qf[:, sl], dof[:, sl]
+                    dv_scr[kb] += jax.lax.dot_general(
+                        ps[i].astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dk_scr[kb] += jax.lax.dot_general(
+                        dss[i].astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-        has_pad = seq_len != T
-        if not causal and not has_pad:
-            body(masked=False)
-        else:
-            edge = False
-            if causal:
-                edge = i_q * block_q < (i_kv + 1) * block_k
-            if window:
-                edge = jnp.logical_or(edge, _band_crosses_tile(
-                    i_q, i_kv, block_q, block_k, window))
-            if has_pad:
-                edge = jnp.logical_or(edge, i_kv == pl.num_programs(2) - 1)
-
-            @pl.when(edge)
-            def _():
-                body(masked=True)
-
-            @pl.when(jnp.logical_not(edge))
-            def _():
-                body(masked=False)
+        _edge_dispatch(body, causal, window, seq_len != T, i_q, i_kv,
+                       block_q, block_k, i_kv == pl.num_programs(2) - 1)
 
     @pl.when(i_q == n_q - 1)
     def _finalize():
-        dk = jnp.concatenate([dk_scr[g] for g in range(G)], axis=-1)
+        dk = jnp.concatenate([dk_scr[k] for k in range(KVB)], axis=-1)
         if rope:
-            # accumulated dk is w.r.t. rotated k — inverse-rotate by the
-            # K rows' own positions on the way out
             dk = _rope_rotate(dk, tk_ref[:], D, inverse=True)
         dk_ref[0] = dk.astype(dk_ref.dtype)
-        dv_ref[0] = jnp.concatenate([dv_scr[g] for g in range(G)],
+        dv_ref[0] = jnp.concatenate([dv_scr[k] for k in range(KVB)],
                                     axis=-1).astype(dv_ref.dtype)
 
 
-def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, tab_ref,
-                         dq_ref, dk_ref, dv_ref,
+
+
+def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
+                         tab_ref, dq_ref, dk_ref, dv_ref,
                          dq_scr, dk_scr, dv_scr,
                          *, sm_scale, causal, block_q, block_k, n_kv, n_q,
-                         seq_len, T, G, D, window=0, rope=False):
-    """Single-kernel multi-tile backward: grid (B, hblk, kv, q).
-
-    p is computed ONCE per (kv, q) tile and feeds dv/dk (accumulated per-kv
-    in block scratch) and dq (accumulated for the WHOLE sequence in a
-    (G, T, D) scratch that persists across the kv sweep) — the two-kernel
-    decomposition recomputes p twice and walks the qkv inputs twice.  The
-    32 MB scoped stack (BWD_VMEM_LIMIT) admits T <= 8192 at D=64/G=2,
-    T <= 2048 at G=4 (see _combined_bwd_est)."""
+                         seq_len, T, QH, R, D, KVB, chunk, window=0,
+                         rope=False):
+    """Single-pass GQA backward: grid (B, kvblk, kv, q); p computed once per
+    tile feeds dk/dv (per-KV-HEAD block scratch) and dq (whole-sequence
+    (QH, T, D) scratch persisting across the kv sweep)."""
     i_kv, i_q = pl.program_id(2), pl.program_id(3)
 
     @pl.when(jnp.logical_and(i_kv == 0, i_q == 0))
@@ -816,10 +851,8 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, tab_ref,
         qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
         of = o_ref[0]
         if rope:
-            # ONE whole-sequence table ref (the dq epilogue spans all of T
-            # anyway — see _write_dq), sliced per block; it sits resident in
-            # VMEM (constant index map) and its bytes are counted by the
-            # COMBINED_BWD_VMEM_LIMIT admission in _bwd_parts
+            # one whole-sequence table ref, sliced per block (the dq
+            # epilogue spans all of T); counted by the admission estimate
             qf = _rope_rotate(qf, tab_ref[pl.ds(i_q * block_q, block_q)],
                               D).astype(qf.dtype)
             kf = _rope_rotate(kf, tab_ref[pl.ds(i_kv * block_k, block_k)],
@@ -827,90 +860,56 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, tab_ref,
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
-            # phase-split over G (see _fwd_single_kernel): MXU s/dp dots,
-            # then VPU p/ds, then the accumulate dots
-            if masked:
-                msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len, window)
-            ss, dps = [], []
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                ss.append(jax.lax.dot_general(
-                    sqf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-                dps.append(jax.lax.dot_general(
-                    dof[:, sl], vf[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            ps, dss = [], []
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                lse = lse_ref[0, g][:, :1]
-                di = jnp.sum(of[:, sl].astype(jnp.float32)       # in-tile di
-                             * dof[:, sl].astype(jnp.float32),
-                             axis=1, keepdims=True)
-                p = jnp.exp(ss[g] - lse)
-                if masked:
-                    p = jnp.where(msk, p, 0.0)
-                ps.append(p)
-                dss.append(p * (dps[g] - di) * sm_scale)
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                q, k, do = qf[:, sl], kf[:, sl], dof[:, sl]
-                dv_scr[g] += jax.lax.dot_general(
-                    ps[g].astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dk_scr[g] += jax.lax.dot_general(
-                    dss[g].astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dq_scr[g, pl.ds(i_q * block_q, block_q)] += \
-                    jax.lax.dot_general(dss[g].astype(k.dtype), k,
-                                        (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+            msk = (_mask((block_q, block_k), i_q, i_kv, block_q, block_k,
+                         causal, seq_len, window) if masked else None)
+            for hs in _chunks(QH, chunk):
+                ps, dss = _bwd_body(sqf, kf, vf, dof, of, lse_ref, msk, hs,
+                                    sm_scale=sm_scale, R=R, D=D)
+                for i, g in enumerate(hs):
+                    kb = g // R
+                    kv = slice(kb * D, (kb + 1) * D)
+                    sl = slice(g * D, (g + 1) * D)
+                    q, do = qf[:, sl], dof[:, sl]
+                    dv_scr[kb] += jax.lax.dot_general(
+                        ps[i].astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dk_scr[kb] += jax.lax.dot_general(
+                        dss[i].astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dq_scr[g, pl.ds(i_q * block_q, block_q)] += \
+                        jax.lax.dot_general(dss[i].astype(kf.dtype),
+                                            kf[:, kv],
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
 
-        has_pad = seq_len != T
-        if not causal and not has_pad:
-            body(masked=False)
-        else:
-            edge = False
-            if causal:
-                edge = i_q * block_q < (i_kv + 1) * block_k
-            if window:
-                edge = jnp.logical_or(edge, _band_crosses_tile(
-                    i_q, i_kv, block_q, block_k, window))
-            if has_pad:
-                edge = jnp.logical_or(edge, i_kv == n_kv - 1)
-
-            @pl.when(edge)
-            def _():
-                body(masked=True)
-
-            @pl.when(jnp.logical_not(edge))
-            def _():
-                body(masked=False)
+        _edge_dispatch(body, causal, window, seq_len != T, i_q, i_kv,
+                       block_q, block_k, i_kv == n_kv - 1)
 
     @pl.when(i_q == n_q - 1)
     def _write_dkv():
-        dk = jnp.concatenate([dk_scr[g] for g in range(G)], axis=-1)
+        dk = jnp.concatenate([dk_scr[k] for k in range(KVB)], axis=-1)
         if rope:
             dk = _rope_rotate(dk, tab_ref[pl.ds(i_kv * block_k, block_k)],
                               D, inverse=True)
         dk_ref[0] = dk.astype(dk_ref.dtype)
-        dv_ref[0] = jnp.concatenate([dv_scr[g] for g in range(G)],
+        dv_ref[0] = jnp.concatenate([dv_scr[k] for k in range(KVB)],
                                     axis=-1).astype(dv_ref.dtype)
 
     @pl.when(jnp.logical_and(i_kv == n_kv - 1, i_q == n_q - 1))
     def _write_dq():
-        dq = jnp.concatenate([dq_scr[g] for g in range(G)], axis=-1)
+        dq = jnp.concatenate([dq_scr[g] for g in range(QH)], axis=-1)
         if rope:
             # whole-sequence dq scratch: rows span all of T
             dq = _rope_rotate(dq, tab_ref[:], D, inverse=True)
         dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                    tq_ref, tk_ref, dq_ref, dq_scr,
                    *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                   G, D, window=0, rope=False):
+                   QH, R, D, chunk, window=0, rope=False):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -932,64 +931,29 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
 
         def body(masked: bool):
-            # phase-split over G (see _fwd_single_kernel)
-            if masked:
-                msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len, window)
-            ss, dps = [], []
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                ss.append(jax.lax.dot_general(
-                    sqf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-                dps.append(jax.lax.dot_general(
-                    dof[:, sl], vf[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            dss = []
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                lse = lse_ref[0, g][:, :1]
-                di = jnp.sum(of[:, sl].astype(jnp.float32)       # in-tile di
-                             * dof[:, sl].astype(jnp.float32),
-                             axis=1, keepdims=True)
-                p = jnp.exp(ss[g] - lse)
-                if masked:
-                    p = jnp.where(msk, p, 0.0)
-                dss.append(p * (dps[g] - di) * sm_scale)
-            for g in range(G):
-                sl = slice(g * D, (g + 1) * D)
-                k = kf[:, sl]
-                dq_scr[g] += jax.lax.dot_general(
-                    dss[g].astype(k.dtype), k, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            msk = (_mask((block_q, block_k), i_q, i_kv, block_q, block_k,
+                         causal, seq_len, window) if masked else None)
+            for hs in _chunks(QH, chunk):
+                _, dss = _bwd_body(sqf, kf, vf, dof, of, lse_ref, msk, hs,
+                                   sm_scale=sm_scale, R=R, D=D)
+                for i, g in enumerate(hs):
+                    kv = slice((g // R) * D, (g // R + 1) * D)
+                    dq_scr[g] += jax.lax.dot_general(
+                        dss[i].astype(kf.dtype), kf[:, kv],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-        has_pad = seq_len != T
-        if not causal and not has_pad:
-            body(masked=False)
-        else:
-            edge = False
-            if causal:
-                edge = i_q * block_q < (i_kv + 1) * block_k
-            if window:
-                edge = jnp.logical_or(edge, _band_crosses_tile(
-                    i_q, i_kv, block_q, block_k, window))
-            if has_pad:
-                edge = jnp.logical_or(edge, i_kv == n_kv - 1)
-
-            @pl.when(edge)
-            def _():
-                body(masked=True)
-
-            @pl.when(jnp.logical_not(edge))
-            def _():
-                body(masked=False)
+        _edge_dispatch(body, causal, window, seq_len != T, i_q, i_kv,
+                       block_q, block_k, i_kv == n_kv - 1)
 
     @pl.when(i_kv == n_kv - 1)
     def _finalize():
-        dq = jnp.concatenate([dq_scr[g] for g in range(G)], axis=-1)
+        dq = jnp.concatenate([dq_scr[g] for g in range(QH)], axis=-1)
         if rope:
             dq = _rope_rotate(dq, tq_ref[:], D, inverse=True)
         dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
 
 
 def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
@@ -1059,7 +1023,8 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                                    vmem=BWD_VMEM_LIMIT)
         kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
                   block_k=block_k, n_kv=n_kv, n_q=n_q, seq_len=seq_len,
-                  T=T, G=G, D=D, window=window, rope=rope)
+                  T=T, QH=G, R=1, D=D, KVB=G, chunk=G, window=window,
+                  rope=rope)
         if rope:
             kern = functools.partial(_bwd_combined_kernel, **kw)
             tab_ops = (tab,)
@@ -1084,8 +1049,8 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
         return dq, dk, dv
 
     kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
-              block_k=block_k, n_q=n_q, seq_len=seq_len, T=T, G=G, D=D,
-              window=window, rope=rope)
+              block_k=block_k, n_q=n_q, seq_len=seq_len, T=T, QH=G, R=1,
+              D=D, KVB=G, chunk=G, window=window, rope=rope)
     if rope:
         kern = functools.partial(_bwd_dkv_kernel, **kw)
         tab_ops = (tab, tab)
@@ -1118,8 +1083,8 @@ def _bwd_parts(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
                              lambda b, h, i, j: (b, h, i, 0),
                              memory_space=pltpu.VMEM)
     kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
-              block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, G=G, D=D,
-              window=window, rope=rope)
+              block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, QH=G, R=1,
+              D=D, chunk=G, window=window, rope=rope)
     if rope:
         kern = functools.partial(_bwd_dq_kernel, **kw)
         tab_ops = (tab, tab)

@@ -48,7 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention import (LANES, MASK_VALUE, _mask, _no_tab,
                               _rope_rotate, _rope_tab_spec, _rope_table,
-                              _sems, _tile_overlaps_band, _band_crosses_tile)
+                              _sems, _tile_overlaps_band, _band_crosses_tile,
+                              # the SIX shared tile kernels (this module
+                              # supplies only the GQA drivers/specs; MHA is
+                              # the QH=G, R=1, KVB=G, chunk=G special case)
+                              _chunks, _fwd_single_kernel, _bwd_single_kernel,
+                              _fwd_kernel, _bwd_dkv_kernel, _bwd_dq_kernel,
+                              _bwd_combined_kernel)
 
 # Combined single-pass backward admission budget (bytes of estimated
 # per-cell VMEM, see _bwd_parts).  13 MB leaves ~3 MB of the 16 MB scoped
@@ -145,19 +151,35 @@ def project_gqa_packed(ln1: jax.Array, qkvw: jax.Array, qkvb,
     return qkv
 
 
+def _q_split(kv_heads: int, QH: int) -> int:
+    """MQA split-cell experiment — MEASURED NEGATIVE, kept off (return 1).
+
+    Hypothesis (round-3 verdict item 9): MQA's 0.8%-under-expanded wall
+    clock came from its QH=12-heads-per-cell geometry, so splitting each
+    cell into two QH=6 cells re-fetching the same KV block (reproducing
+    the kv=4 winning shape: whole-group chunk, 512 fwd blocks) should
+    close the gap.  Measured at GPT-2 124M kv=1 B=32: split+512 blocks
+    136.6k tok/s, split+256 blocks 131.7k — BOTH lose to the unsplit
+    142.1k.  The single 12-head cell amortizes each KV tile fetch over
+    all 12 query heads' MXU work; split cells halve that amortization
+    and double the grid, and no VMEM-pressure win materializes.  The
+    remaining MHA-MQA gap is the geometry's KV-reuse structure itself,
+    not a tunable.  (The split machinery in _gqa_specs/_fwd/_bwd_parts
+    stays, exercised at split=1 by every GQA test, re-armable by this
+    function.)"""
+    return 1
+
+
 def gqa_blocks(num_heads: int, kv_heads: int, head_dim: int):
-    """Block sizes for the GQA grid: cells with many query heads (MQA at
-    12 heads: QH = 12) shrink the tile so the QH-scaled lse/scratch and the
-    chunked per-phase intermediates stay inside VMEM."""
+    """Block sizes for the GQA grid: cells with many query heads shrink the
+    tile so the QH-scaled lse/scratch and the chunked per-phase
+    intermediates stay inside VMEM.  MQA's split cells (see _q_split) count
+    at their per-cell head count, so kv=1 rides the 512-block fwd grid."""
     QH = _geom(num_heads, kv_heads, head_dim)[0]
-    # MQA at 512 blocks under the 32 MB stack measured neutral (142.0 vs
-    # 142.1k tok/s at GPT-2 kv=1 B=32) — 256 stays
+    QH //= _q_split(kv_heads, QH)
     b = 512 if QH <= 6 else 256
     return b, b
 
-
-def _chunks(QH: int, chunk: int):
-    return [range(c, min(c + chunk, QH)) for c in range(0, QH, chunk)]
 
 
 GQA_VMEM_LIMIT = 32 << 20    # multi-tile fwd scoped stack (see _fwd_chunk)
@@ -187,141 +209,33 @@ def _bwd_chunk(QH: int, block: int) -> int:
 # single-tile fast path (T fits one block)
 # ---------------------------------------------------------------------------
 
-def _fwd_single_kernel(q_ref, k_ref, v_ref, tab_ref, o_ref, lse_ref,
-                       *, sm_scale, causal, seq_len, T, QH, R, D, chunk,
-                       window=0, rope=False):
-    qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
-    if rope:
-        # phantom K lanes (kv_heads·D < 128) hold zeros and the rotation
-        # only mixes lanes within one D-lane head — they stay zero
-        tab = tab_ref[:]
-        qf = _rope_rotate(qf, tab, D).astype(qf.dtype)
-        kf = _rope_rotate(kf, tab, D).astype(kf.dtype)
-    need_mask = causal or seq_len != T
-    if need_mask:
-        msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
-    outs = [None] * QH
-    for hs in _chunks(QH, chunk):
-        # phase-split within the chunk (see flash_attention._fwd_single_kernel)
-        ss = []
-        for g in hs:
-            kv = slice((g // R) * D, (g // R + 1) * D)
-            q = (qf[:, g * D:(g + 1) * D].astype(jnp.float32)
-                 * sm_scale).astype(qf.dtype)
-            ss.append(jax.lax.dot_general(q, kf[:, kv],
-                                          (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32))
-        ps, invs = [], []
-        for i, g in enumerate(hs):
-            s = jnp.where(msk, ss[i], MASK_VALUE) if need_mask else ss[i]
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            ps.append(p)
-            invs.append(jnp.where(l == 0.0, 0.0, 1.0 / l))
-            lse = jnp.where(l == 0.0, MASK_VALUE,
-                            m + jnp.log(jnp.maximum(l, 1e-38)))
-            lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
-        for i, g in enumerate(hs):
-            kv = slice((g // R) * D, (g // R + 1) * D)
-            pv = jax.lax.dot_general(ps[i].astype(vf.dtype), vf[:, kv],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            outs[g] = pv * invs[i]
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
-
-
-def _bwd_single_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, tab_ref,
-                       dq_ref, dk_ref, dv_ref,
-                       *, sm_scale, causal, seq_len, T, QH, R, D, KVB, chunk,
-                       window=0, rope=False):
-    qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]
-    if rope:
-        tab = tab_ref[:]
-        qf = _rope_rotate(qf, tab, D).astype(qf.dtype)
-        kf = _rope_rotate(kf, tab, D).astype(kf.dtype)
-    of, dof = o_ref[0], do_ref[0]
-    need_mask = causal or seq_len != T
-    if need_mask:
-        msk = _mask((T, T), 0, 0, T, T, causal, seq_len, window)
-    dqs = [None] * QH
-    dk_acc = [None] * KVB
-    dv_acc = [None] * KVB
-    for hs in _chunks(QH, chunk):
-        ss, dps = [], []
-        for g in hs:
-            kv = slice((g // R) * D, (g // R + 1) * D)
-            sl = slice(g * D, (g + 1) * D)
-            ss.append(jax.lax.dot_general(
-                qf[:, sl], kf[:, kv], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dps.append(jax.lax.dot_general(
-                dof[:, sl], vf[:, kv], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        ps, dss = [], []
-        for i, g in enumerate(hs):
-            sl = slice(g * D, (g + 1) * D)
-            lse = lse_ref[0, g][:, :1]
-            di = jnp.sum(of[:, sl].astype(jnp.float32)
-                         * dof[:, sl].astype(jnp.float32),
-                         axis=1, keepdims=True)
-            p = jnp.exp(ss[i] * sm_scale - lse)
-            if need_mask:
-                p = jnp.where(msk, p, 0.0)
-            ps.append(p)
-            dss.append(p * (dps[i] - di) * sm_scale)
-        for i, g in enumerate(hs):
-            kb = g // R
-            kv = slice(kb * D, (kb + 1) * D)
-            sl = slice(g * D, (g + 1) * D)
-            q, do = qf[:, sl], dof[:, sl]
-            dv = jax.lax.dot_general(ps[i].astype(do.dtype), do,
-                                     (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dk = jax.lax.dot_general(dss[i].astype(q.dtype), q,
-                                     (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dv_acc[kb] = dv if dv_acc[kb] is None else dv_acc[kb] + dv
-            dk_acc[kb] = dk if dk_acc[kb] is None else dk_acc[kb] + dk
-            dqs[g] = jax.lax.dot_general(dss[i].astype(kf.dtype), kf[:, kv],
-                                         (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-    zero = jnp.zeros((T, D), jnp.float32)
-    dq = jnp.concatenate(dqs, axis=-1)
-    dk = jnp.concatenate([zero if a is None else a for a in dk_acc], axis=-1)
-    if rope:
-        # dq/dk are w.r.t. the rotated q/k — inverse-rotate on the way out
-        dq = _rope_rotate(dq, tab, D, inverse=True)
-        dk = _rope_rotate(dk, tab, D, inverse=True)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = jnp.concatenate(
-        [zero if a is None else a for a in dv_acc], axis=-1).astype(dv_ref.dtype)
-
 
 def _gqa_specs(n_kvblk, Wq, C, kvd_pad, block_q, block_k, q_grid_dim,
-               kv_grid_dim, ndim4=True):
+               kv_grid_dim, ndim4=True, split=1):
     """Views into GQA-packed (B, T_pad, C + 2·kvd_pad): cell h's q block is
-    channels [h·Wq, (h+1)·Wq); its K/V blocks are the h-th 128-lane block of
-    each kv third.  Block indices are in block-width units, so the k/v
-    offsets are C//128 + h and (C + kvd_pad)//128 + h."""
-    def at(t_dim, off, unit):
+    channels [h·Wq, (h+1)·Wq); its K/V blocks are the (h // split)-th
+    128-lane block of each kv third (split > 1: consecutive cells share one
+    KV block — the MQA split-cell grid, see _q_split).  Block indices are
+    in block-width units, so the k/v offsets are C//128 + h//split and
+    (C + kvd_pad)//128 + h//split."""
+    def at(t_dim, off, unit, kv=False):
         if ndim4:
             def idx(b, h, i, j):
-                return (b, (i, j)[t_dim], off + h)
+                return (b, (i, j)[t_dim], off + (h // split if kv else h))
         else:
             def idx(b, h):
-                return (b, 0, off + h)
+                return (b, 0, off + (h // split if kv else h))
         return idx
 
     q_spec = pl.BlockSpec((1, block_q, Wq), at(0 if q_grid_dim == 0 else 1, 0, Wq),
                           memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec((1, block_k, LANES),
-                          at(0 if kv_grid_dim == 0 else 1, C // LANES, LANES),
+                          at(0 if kv_grid_dim == 0 else 1, C // LANES, LANES,
+                             kv=True),
                           memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, block_k, LANES),
                           at(0 if kv_grid_dim == 0 else 1,
-                             (C + kvd_pad) // LANES, LANES),
+                             (C + kvd_pad) // LANES, LANES, kv=True),
                           memory_space=pltpu.VMEM)
     return q_spec, k_spec, v_spec
 
@@ -411,102 +325,6 @@ def _bwd_single(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
 # multi-tile forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr,
-                *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                QH, R, D, chunk, window=0, rope=False):
-    i_q, i_kv = pl.program_id(2), pl.program_id(3)
-
-    @pl.when(i_kv == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
-    if window:
-        run = jnp.logical_and(
-            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
-
-    @pl.when(run)
-    def _compute():
-        if rope:
-            # scale folds into the rotation's cos/sin for free
-            qf = _rope_rotate(q_ref[0], tq_ref[:], D,
-                              scale=sm_scale).astype(q_ref.dtype)
-            kf = _rope_rotate(k_ref[0], tk_ref[:], D).astype(k_ref.dtype)
-        else:
-            qf = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-            kf = k_ref[0]
-        vf = v_ref[0]
-
-        def body(masked: bool):
-            if masked:
-                msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len, window)
-            for hs in _chunks(QH, chunk):
-                ss = []
-                for g in hs:
-                    kv = slice((g // R) * D, (g // R + 1) * D)
-                    ss.append(jax.lax.dot_general(
-                        qf[:, g * D:(g + 1) * D], kf[:, kv],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-                ps, alphas = [], []
-                for i, g in enumerate(hs):
-                    s = jnp.where(msk, ss[i], MASK_VALUE) if masked else ss[i]
-                    m_prev, l_prev = m_scr[g], l_scr[g]
-                    m_curr = jnp.max(s, axis=1, keepdims=True)
-                    m_next = jnp.maximum(m_prev, m_curr)
-                    alpha = jnp.exp(m_prev - m_next)
-                    p = jnp.exp(s - m_next[:, :1])
-                    m_scr[g] = m_next
-                    l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1,
-                                                        keepdims=True)
-                    ps.append(p)
-                    alphas.append(alpha)
-                for i, g in enumerate(hs):
-                    kv = slice((g // R) * D, (g // R + 1) * D)
-                    pv = jax.lax.dot_general(ps[i].astype(vf.dtype),
-                                             vf[:, kv],
-                                             (((1,), (0,)), ((), ())),
-                                             preferred_element_type=jnp.float32)
-                    acc_scr[g] = acc_scr[g] * alphas[i][:, :1] + pv
-
-        has_pad = seq_len != T
-        if not causal and not has_pad:
-            body(masked=False)
-        else:
-            edge = False
-            if causal:
-                edge = i_q * block_q < (i_kv + 1) * block_k
-            if window:
-                edge = jnp.logical_or(edge, _band_crosses_tile(
-                    i_q, i_kv, block_q, block_k, window))
-            if has_pad:
-                edge = jnp.logical_or(edge, i_kv == n_kv - 1)
-
-            @pl.when(edge)
-            def _():
-                body(masked=True)
-
-            @pl.when(jnp.logical_not(edge))
-            def _():
-                body(masked=False)
-
-    @pl.when(i_kv == n_kv - 1)
-    def _finalize():
-        outs = []
-        for g in range(QH):
-            l = l_scr[g][:, :1]
-            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            outs.append(acc_scr[g] * l_inv)
-            m = m_scr[g][:, :1]
-            lse = jnp.where(l == 0.0, MASK_VALUE,
-                            m + jnp.log(jnp.maximum(l, 1e-38)))
-            lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
-        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
-
 
 def _fwd(qkv, num_heads, kv_heads, head_dim, sm_scale, causal, seq_len,
          block_q, block_k, interpret, window=0, rope=False,
@@ -518,11 +336,14 @@ def _fwd(qkv, num_heads, kv_heads, head_dim, sm_scale, causal, seq_len,
                            rope_base)
     QH, R, KVB, n_kvblk, C, kvd, kvd_pad = _geom(num_heads, kv_heads, head_dim)
     D = head_dim
+    S_ = _q_split(kv_heads, QH)
+    QH //= S_                       # per-CELL query heads (split-cell grid)
     Wq = QH * D
     chunk = _fwd_chunk(QH, block_q)
     n_q, n_kv = T // block_q, T // block_k
     q_spec, k_spec, v_spec = _gqa_specs(n_kvblk, Wq, C, kvd_pad, block_q,
-                                        block_k, q_grid_dim=0, kv_grid_dim=1)
+                                        block_k, q_grid_dim=0, kv_grid_dim=1,
+                                        split=S_)
     kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q,
               block_k=block_k, n_kv=n_kv, seq_len=seq_len, T=T, QH=QH, R=R,
               D=D, chunk=chunk, window=window, rope=rope)
@@ -536,7 +357,7 @@ def _fwd(qkv, num_heads, kv_heads, head_dim, sm_scale, causal, seq_len,
         tab_ops, tab_specs = (), []
     out, lse = pl.pallas_call(
         kern,
-        grid=(B, n_kvblk, n_q, n_kv),
+        grid=(B, n_kvblk * S_, n_q, n_kv),
         in_specs=[q_spec, k_spec, v_spec] + tab_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, Wq), lambda b, h, i, j: (b, i, h),
@@ -564,242 +385,6 @@ def _fwd(qkv, num_heads, kv_heads, head_dim, sm_scale, causal, seq_len,
 # multi-tile backward
 # ---------------------------------------------------------------------------
 
-def _bwd_body(qf, kf, vf, dof, of, lse_ref, msk, hs, *, sm_scale, R, D):
-    """One chunk's phase-split s/dp -> p/ds recompute, shared by the three
-    multi-tile backward kernels.  Returns (ps, dss) lists indexed like hs."""
-    ss, dps = [], []
-    for g in hs:
-        kv = slice((g // R) * D, (g // R + 1) * D)
-        sl = slice(g * D, (g + 1) * D)
-        ss.append(jax.lax.dot_general(
-            qf[:, sl], kf[:, kv], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        dps.append(jax.lax.dot_general(
-            dof[:, sl], vf[:, kv], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    ps, dss = [], []
-    for i, g in enumerate(hs):
-        sl = slice(g * D, (g + 1) * D)
-        lse = lse_ref[0, g][:, :1]
-        di = jnp.sum(of[:, sl].astype(jnp.float32)
-                     * dof[:, sl].astype(jnp.float32), axis=1, keepdims=True)
-        p = jnp.exp(ss[i] - lse)
-        if msk is not None:
-            p = jnp.where(msk, p, 0.0)
-        ps.append(p)
-        dss.append(p * (dps[i] - di) * sm_scale)
-    return ps, dss
-
-
-def _edge_dispatch(body, causal, window, has_pad, i_q, i_kv, block_q,
-                   block_k, last_kv):
-    """Shared masked/unmasked tile dispatch (mirrors the MHA kernels)."""
-    if not causal and not has_pad:
-        body(masked=False)
-        return
-    edge = False
-    if causal:
-        edge = i_q * block_q < (i_kv + 1) * block_k
-    if window:
-        edge = jnp.logical_or(edge, _band_crosses_tile(
-            i_q, i_kv, block_q, block_k, window))
-    if has_pad:
-        edge = jnp.logical_or(edge, last_kv)
-
-    @pl.when(edge)
-    def _():
-        body(masked=True)
-
-    @pl.when(jnp.logical_not(edge))
-    def _():
-        body(masked=False)
-
-
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
-                    tq_ref, tk_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, sm_scale, causal, block_q, block_k, n_q, seq_len, T,
-                    QH, R, D, KVB, chunk, window=0, rope=False):
-    i_kv, i_q = pl.program_id(2), pl.program_id(3)
-
-    @pl.when(i_q == 0)
-    def _init():
-        dk_scr[:] = jnp.zeros_like(dk_scr)
-        dv_scr[:] = jnp.zeros_like(dv_scr)
-
-    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
-    if window:
-        run = jnp.logical_and(
-            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
-
-    @pl.when(run)
-    def _compute():
-        qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        of = o_ref[0]
-        if rope:
-            qf = _rope_rotate(qf, tq_ref[:], D).astype(qf.dtype)
-            kf = _rope_rotate(kf, tk_ref[:], D).astype(kf.dtype)
-        sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
-
-        def body(masked: bool):
-            msk = (_mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                         causal, seq_len, window) if masked else None)
-            for hs in _chunks(QH, chunk):
-                ps, dss = _bwd_body(sqf, kf, vf, dof, of, lse_ref, msk, hs,
-                                    sm_scale=sm_scale, R=R, D=D)
-                for i, g in enumerate(hs):
-                    kb = g // R
-                    sl = slice(g * D, (g + 1) * D)
-                    q, do = qf[:, sl], dof[:, sl]
-                    dv_scr[kb] += jax.lax.dot_general(
-                        ps[i].astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    dk_scr[kb] += jax.lax.dot_general(
-                        dss[i].astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-
-        _edge_dispatch(body, causal, window, seq_len != T, i_q, i_kv,
-                       block_q, block_k, i_kv == pl.num_programs(2) - 1)
-
-    @pl.when(i_q == n_q - 1)
-    def _finalize():
-        dk = jnp.concatenate([dk_scr[k] for k in range(KVB)], axis=-1)
-        if rope:
-            dk = _rope_rotate(dk, tk_ref[:], D, inverse=True)
-        dk_ref[0] = dk.astype(dk_ref.dtype)
-        dv_ref[0] = jnp.concatenate([dv_scr[k] for k in range(KVB)],
-                                    axis=-1).astype(dv_ref.dtype)
-
-
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
-                   tq_ref, tk_ref, dq_ref, dq_scr,
-                   *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                   QH, R, D, chunk, window=0, rope=False):
-    i_q, i_kv = pl.program_id(2), pl.program_id(3)
-
-    @pl.when(i_kv == 0)
-    def _init():
-        dq_scr[:] = jnp.zeros_like(dq_scr)
-
-    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
-    if window:
-        run = jnp.logical_and(
-            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
-
-    @pl.when(run)
-    def _compute():
-        qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        of = o_ref[0]
-        if rope:
-            qf = _rope_rotate(qf, tq_ref[:], D).astype(qf.dtype)
-            kf = _rope_rotate(kf, tk_ref[:], D).astype(kf.dtype)
-        sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
-
-        def body(masked: bool):
-            msk = (_mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                         causal, seq_len, window) if masked else None)
-            for hs in _chunks(QH, chunk):
-                _, dss = _bwd_body(sqf, kf, vf, dof, of, lse_ref, msk, hs,
-                                   sm_scale=sm_scale, R=R, D=D)
-                for i, g in enumerate(hs):
-                    kv = slice((g // R) * D, (g // R + 1) * D)
-                    dq_scr[g] += jax.lax.dot_general(
-                        dss[i].astype(kf.dtype), kf[:, kv],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-
-        _edge_dispatch(body, causal, window, seq_len != T, i_q, i_kv,
-                       block_q, block_k, i_kv == n_kv - 1)
-
-    @pl.when(i_kv == n_kv - 1)
-    def _finalize():
-        dq = jnp.concatenate([dq_scr[g] for g in range(QH)], axis=-1)
-        if rope:
-            dq = _rope_rotate(dq, tq_ref[:], D, inverse=True)
-        dq_ref[0] = dq.astype(dq_ref.dtype)
-
-
-def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
-                         tab_ref, dq_ref, dk_ref, dv_ref,
-                         dq_scr, dk_scr, dv_scr,
-                         *, sm_scale, causal, block_q, block_k, n_kv, n_q,
-                         seq_len, T, QH, R, D, KVB, chunk, window=0,
-                         rope=False):
-    """Single-pass GQA backward: grid (B, kvblk, kv, q); p computed once per
-    tile feeds dk/dv (per-KV-HEAD block scratch) and dq (whole-sequence
-    (QH, T, D) scratch persisting across the kv sweep)."""
-    i_kv, i_q = pl.program_id(2), pl.program_id(3)
-
-    @pl.when(jnp.logical_and(i_kv == 0, i_q == 0))
-    def _init_dq():
-        dq_scr[:] = jnp.zeros_like(dq_scr)
-
-    @pl.when(i_q == 0)
-    def _init_dkv():
-        dk_scr[:] = jnp.zeros_like(dk_scr)
-        dv_scr[:] = jnp.zeros_like(dv_scr)
-
-    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
-    if window:
-        run = jnp.logical_and(
-            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
-
-    @pl.when(run)
-    def _compute():
-        qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        of = o_ref[0]
-        if rope:
-            # one whole-sequence table ref, sliced per block (the dq
-            # epilogue spans all of T); counted by the admission estimate
-            qf = _rope_rotate(qf, tab_ref[pl.ds(i_q * block_q, block_q)],
-                              D).astype(qf.dtype)
-            kf = _rope_rotate(kf, tab_ref[pl.ds(i_kv * block_k, block_k)],
-                              D).astype(kf.dtype)
-        sqf = (qf.astype(jnp.float32) * sm_scale).astype(qf.dtype)
-
-        def body(masked: bool):
-            msk = (_mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                         causal, seq_len, window) if masked else None)
-            for hs in _chunks(QH, chunk):
-                ps, dss = _bwd_body(sqf, kf, vf, dof, of, lse_ref, msk, hs,
-                                    sm_scale=sm_scale, R=R, D=D)
-                for i, g in enumerate(hs):
-                    kb = g // R
-                    kv = slice(kb * D, (kb + 1) * D)
-                    sl = slice(g * D, (g + 1) * D)
-                    q, do = qf[:, sl], dof[:, sl]
-                    dv_scr[kb] += jax.lax.dot_general(
-                        ps[i].astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    dk_scr[kb] += jax.lax.dot_general(
-                        dss[i].astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    dq_scr[g, pl.ds(i_q * block_q, block_q)] += \
-                        jax.lax.dot_general(dss[i].astype(kf.dtype),
-                                            kf[:, kv],
-                                            (((1,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32)
-
-        _edge_dispatch(body, causal, window, seq_len != T, i_q, i_kv,
-                       block_q, block_k, i_kv == n_kv - 1)
-
-    @pl.when(i_q == n_q - 1)
-    def _write_dkv():
-        dk = jnp.concatenate([dk_scr[k] for k in range(KVB)], axis=-1)
-        if rope:
-            dk = _rope_rotate(dk, tab_ref[pl.ds(i_kv * block_k, block_k)],
-                              D, inverse=True)
-        dk_ref[0] = dk.astype(dk_ref.dtype)
-        dv_ref[0] = jnp.concatenate([dv_scr[k] for k in range(KVB)],
-                                    axis=-1).astype(dv_ref.dtype)
-
-    @pl.when(jnp.logical_and(i_kv == n_kv - 1, i_q == n_q - 1))
-    def _write_dq():
-        dq = jnp.concatenate([dq_scr[g] for g in range(QH)], axis=-1)
-        if rope:
-            # whole-sequence dq scratch: rows span all of T
-            dq = _rope_rotate(dq, tab_ref[:], D, inverse=True)
-        dq_ref[0] = dq.astype(dq_ref.dtype)
-
 
 def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
                causal, seq_len, block_q, block_k, interpret, window=0,
@@ -823,6 +408,10 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
                            rope, rope_base)
     _, R, KVB, n_kvblk, C, kvd, kvd_pad = _geom(num_heads, kv_heads, head_dim)
     D = head_dim
+    S_ = _q_split(kv_heads, QH)
+    QH //= S_                       # per-CELL query heads (split-cell grid;
+                                    # split cells each write their OWN dk/dv
+                                    # 128-lane block, summed after the call)
     Wq = QH * D
     chunk = _bwd_chunk(QH, block_q)
     n_q, n_kv = T // block_q, T // block_k
@@ -831,7 +420,8 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
 
     # dKV pass: grid (B, kvblk, kv, q) — q sequential
     q_spec, k_spec, v_spec = _gqa_specs(n_kvblk, Wq, C, kvd_pad, block_q,
-                                        block_k, q_grid_dim=1, kv_grid_dim=0)
+                                        block_k, q_grid_dim=1, kv_grid_dim=0,
+                                        split=S_)
     do_spec = pl.BlockSpec((1, block_q, Wq), lambda b, h, i, j: (b, j, h),
                            memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, QH, block_q, LANES),
@@ -861,7 +451,7 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
     # (raising the budget to admit combined at GPT-2 kv=4 via a 32 MB stack
     # measured WORSE: 143.5k vs the pair's 144.9k tok/s — the QH-wide dq
     # scratch residency beats the saved p recompute here; gate unchanged)
-    if est <= COMBINED_GQA_BUDGET:
+    if est <= COMBINED_GQA_BUDGET and S_ == 1:
         dq_out_spec = pl.BlockSpec((1, T, Wq), lambda b, h, i, j: (b, 0, h),
                                    memory_space=pltpu.VMEM)
         combined_semantics = _sems(rope, "parallel", "parallel",
@@ -908,22 +498,27 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
         tab_ops, tab_specs = (), []
     dk, dv = pl.pallas_call(
         kern,
-        grid=(B, n_kvblk, n_kv, n_q),
+        grid=(B, n_kvblk * S_, n_kv, n_q),
         in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, do_spec]
                  + tab_specs,
         out_specs=(kv_out_spec, kv_out_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, T, kvd_pad), qkv.dtype),
-                   jax.ShapeDtypeStruct((B, T, kvd_pad), qkv.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((B, T, kvd_pad * S_), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, T, kvd_pad * S_), qkv.dtype)),
         scratch_shapes=[pltpu.VMEM((KVB, block_k, D), jnp.float32),
                         pltpu.VMEM((KVB, block_k, D), jnp.float32)],
         compiler_params=semantics,
         interpret=interpret,
     )(qkv, qkv, qkv, do, lse, out, *tab_ops)
+    if S_ > 1:
+        # each split cell accumulated dk/dv for ITS half of the query
+        # heads into its own 128-lane block — sum over the split cells
+        dk = sum(dk[..., s * kvd_pad:(s + 1) * kvd_pad] for s in range(S_))
+        dv = sum(dv[..., s * kvd_pad:(s + 1) * kvd_pad] for s in range(S_))
 
     # dQ pass: grid (B, kvblk, q, kv) — kv sequential
     q_spec2, k_spec2, v_spec2 = _gqa_specs(n_kvblk, Wq, C, kvd_pad, block_q,
                                            block_k, q_grid_dim=0,
-                                           kv_grid_dim=1)
+                                           kv_grid_dim=1, split=S_)
     do_spec2 = pl.BlockSpec((1, block_q, Wq), lambda b, h, i, j: (b, i, h),
                             memory_space=pltpu.VMEM)
     row_spec2 = pl.BlockSpec((1, QH, block_q, LANES),
@@ -942,7 +537,7 @@ def _bwd_parts(qkv, num_heads, kv_heads, head_dim, out, lse, do, sm_scale,
         tab_ops, tab_specs = (), []
     dq = pl.pallas_call(
         kern,
-        grid=(B, n_kvblk, n_q, n_kv),
+        grid=(B, n_kvblk * S_, n_q, n_kv),
         in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, do_spec2]
                  + tab_specs,
         out_specs=do_spec2,

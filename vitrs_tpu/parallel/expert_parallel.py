@@ -259,12 +259,15 @@ def make_mesh_dp_ep_tp(dp: int, ep: int, tp: int, devices=None) -> Mesh:
                 axis_names=("data", "expert", "model"))
 
 
-def ep_tp_param_specs(cfg: ViTConfig):
+def ep_tp_param_specs(cfg: ViTConfig, vocab_parallel: bool = False):
     """TP specs for the attention half (head-aligned qkv3w etc.), expert
-    slabs sharded (expert, model), router/embeddings/LN replicated."""
+    slabs sharded (expert, model), router/embeddings/LN replicated.
+    vocab_parallel shards the padded wte over "model" (the Megatron
+    vocab-parallel embedding + head/CE — for MoE-at-scale the full
+    (B, T, V) logits tensor was the top allocation in the B=32 OOM)."""
     from . import tensor_parallel as TPmod
     assert cfg.is_moe
-    specs = TPmod.tp_param_specs(cfg)        # dense fcw specs — overridden
+    specs = TPmod.tp_param_specs(cfg, vocab_parallel)  # dense fcw overridden
     specs["routerw"] = P()
     specs["fcw"] = P(None, "expert", "model", None)
     specs["fcb"] = P(None, "expert", "model")
@@ -273,27 +276,29 @@ def ep_tp_param_specs(cfg: ViTConfig):
     return specs
 
 
-def to_ep_tp_params(params, cfg: ViTConfig):
+def to_ep_tp_params(params, cfg: ViTConfig, vocab_parallel: bool = False):
     """Canonical -> EP x TP pytree (the TP qkv head-aligned reshape; expert
     slabs keep their canonical (L, E, ...) layout — sharding slices them)."""
     from . import tensor_parallel as TPmod
-    return TPmod.to_tp_params(params, cfg)
+    return TPmod.to_tp_params(params, cfg, vocab_parallel)
 
 
-def from_ep_tp_params(tp_params, cfg: ViTConfig):
+def from_ep_tp_params(tp_params, cfg: ViTConfig, vocab_parallel: bool = False):
     from . import tensor_parallel as TPmod
-    return TPmod.from_tp_params(tp_params, cfg)
+    return TPmod.from_tp_params(tp_params, cfg, vocab_parallel)
 
 
-def place_ep_tp_params(params, cfg: ViTConfig, mesh: Mesh):
-    t = to_ep_tp_params(params, cfg)
-    specs = ep_tp_param_specs(cfg)
+def place_ep_tp_params(params, cfg: ViTConfig, mesh: Mesh,
+                       vocab_parallel: bool = False):
+    t = to_ep_tp_params(params, cfg, vocab_parallel)
+    specs = ep_tp_param_specs(cfg, vocab_parallel)
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
             for k, v in t.items()}
 
 
-def init_ep_tp_opt_state(ep_tp_params, cfg: ViTConfig, mesh: Mesh):
-    specs = ep_tp_param_specs(cfg)
+def init_ep_tp_opt_state(ep_tp_params, cfg: ViTConfig, mesh: Mesh,
+                         vocab_parallel: bool = False):
+    specs = ep_tp_param_specs(cfg, vocab_parallel)
 
     def zeros():
         return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
@@ -332,14 +337,18 @@ def _ep_tp_block(x, bp, cfg: ViTConfig, ep: int):
         return x + out.astype(x.dtype), a
 
 
-def _ep_tp_loss(p, tokens, targets, cfg: ViTConfig, ep: int):
+def _ep_tp_loss(p, tokens, targets, cfg: ViTConfig, ep: int,
+                vocab_parallel: bool = False):
     from ..ops import basic
     from . import tensor_parallel as TPmod
     dtype = jnp.dtype(cfg.dtype)
-    h = M.gpt_encode(tokens, p, dtype, rope=cfg.pos_emb == "rope")
-    block_keys = [k for k in ("ln1w", "ln1b", "attprojw", "attprojb",
-                              "ln2w", "ln2b", "routerw", "fcw", "fcb",
-                              "fcprojw", "fcprojb")]
+    if vocab_parallel:
+        h = TPmod._vp_gpt_encode(tokens, p, cfg, "model", dtype)
+    else:
+        h = M.gpt_encode(tokens, p, dtype, rope=cfg.pos_emb == "rope")
+    block_keys = ["ln1w", "ln1b", "attprojw", "attprojb",
+                  "ln2w", "ln2b", "routerw", "fcw", "fcb",
+                  "fcprojw", "fcprojb"]
     block_keys += (["qw", "qb", "kw", "kb", "vw", "vb"] if cfg.is_gqa
                    else ["qkv3w", "qkv3b"])
     aux = jnp.zeros((), jnp.float32)
@@ -348,18 +357,28 @@ def _ep_tp_loss(p, tokens, targets, cfg: ViTConfig, ep: int):
         h, a = _ep_tp_block(h, bp, cfg, ep)
         aux = aux + a
     lnf = basic.layernorm_cv(h, p["lnfw"], p["lnfb"])
+    if vocab_parallel:
+        # Megatron parallel head+CE over "model": the (B, T, V) logits —
+        # the top allocation in the MoE B=32 OOM report — never exist
+        ce = TPmod._vp_head_ce(lnf.astype(dtype), p["wte"], targets,
+                               "model", cfg.vocab_size)
+        return ce + aux / cfg.num_layers
     logits = basic.linear(lnf, p["wte"].astype(dtype), None)
     ce = jnp.mean(basic.cross_entropy_from_logits(logits, targets))
     return ce + aux / cfg.num_layers
 
 
 def make_ep_tp_train_step(cfg: ViTConfig, mesh: Mesh,
-                          weight_decay_2d_only: bool = True):
+                          weight_decay_2d_only: bool = True,
+                          vocab_parallel: bool = False):
     """Jitted dp x ep x tp SPMD training step for a MoE GPT config.
 
     Signature: (ep_tp_params, m, v, inputs, targets, step, lr, wd)
             -> (ep_tp_params, m, v, loss)
-    """
+
+    vocab_parallel: the Megatron vocab-parallel embedding + head/CE over
+    "model" (wte sharded over padded vocab rows; grads per-shard-local —
+    the same contract as the flat-TP and 3-D variants)."""
     assert cfg.is_moe and cfg.mode == "gpt", "EP x TP serves MoE gpt configs"
     ep = mesh.shape["expert"]
     tp = mesh.shape["model"]
@@ -368,12 +387,16 @@ def make_ep_tp_train_step(cfg: ViTConfig, mesh: Mesh,
     assert (4 * cfg.channels) % tp == 0
     if cfg.is_gqa:
         assert cfg.kv_heads % tp == 0, (cfg.kv_heads, tp)
-    specs = ep_tp_param_specs(cfg)
+    if vocab_parallel:
+        from ..ops import fused_ce
+        assert fused_ce.pad_vocab(cfg.vocab_size) % tp == 0
+    specs = ep_tp_param_specs(cfg, vocab_parallel)
     n_cells = mesh.shape["data"] * ep
 
     def spmd_step(params, m, v, inputs, targets, step, lr, wd):
         def global_loss(pa):
-            local = _ep_tp_loss(pa, inputs, targets, cfg, ep)
+            local = _ep_tp_loss(pa, inputs, targets, cfg, ep,
+                                vocab_parallel)
             return jax.lax.pmean(local, ("data", "expert"))
 
         loss, grads = jax.value_and_grad(global_loss)(params)

@@ -356,25 +356,27 @@ def _ep_tp_plan(cfg, spec, optimizer, devices):
         "ep x tp ships the AdamW step (adafactor: dp x ep)")
     mesh = EP.make_mesh_dp_ep_tp(spec.dp, spec.ep, spec.tp, devices)
     batch_sh = NamedSharding(mesh, P(("data", "expert")))
-    pspecs = EP.ep_tp_param_specs(cfg)
-    step = _adamw_tuple(EP.make_ep_tp_train_step(cfg, mesh))
+    vp = spec.vp
+    pspecs = EP.ep_tp_param_specs(cfg, vp)
+    step = _adamw_tuple(EP.make_ep_tp_train_step(cfg, mesh,
+                                                 vocab_parallel=vp))
 
     def opt_load(tree):
         return tuple(
             {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, pspecs[k]))
              for k, v in EP.to_ep_tp_params(
-                 jax.tree.map(jnp.asarray, tree[key]), cfg).items()}
+                 jax.tree.map(jnp.asarray, tree[key]), cfg, vp).items()}
             for key in ("m", "v"))
 
     return Plan(
         kind="ep", mesh=mesh, spec=spec, optimizer="adamw",
         batch_sharding=batch_sh,
-        place=lambda p: EP.place_ep_tp_params(p, cfg, mesh),
-        init_opt=lambda p: EP.init_ep_tp_opt_state(p, cfg, mesh),
+        place=lambda p: EP.place_ep_tp_params(p, cfg, mesh, vp),
+        init_opt=lambda p: EP.init_ep_tp_opt_state(p, cfg, mesh, vp),
         step=step,
-        to_canonical=lambda p: _get(EP.from_ep_tp_params(p, cfg)),
-        opt_save=lambda o: {"m": _get(EP.from_ep_tp_params(o[0], cfg)),
-                            "v": _get(EP.from_ep_tp_params(o[1], cfg))},
+        to_canonical=lambda p: _get(EP.from_ep_tp_params(p, cfg, vp)),
+        opt_save=lambda o: {"m": _get(EP.from_ep_tp_params(o[0], cfg, vp)),
+                            "v": _get(EP.from_ep_tp_params(o[1], cfg, vp))},
         opt_load=opt_load)
 
 
