@@ -298,3 +298,117 @@ def test_fsdp_adafactor_parity_and_loss_decreases():
                              jnp.asarray(0.0, jnp.float32))
         losses.append(float(l))
     assert losses[-1] < losses[0] - 0.3, losses
+
+
+def test_pp_adafactor_parity_vs_single_device():
+    """Adafactor under pipeline parallelism: the pipe axis slices the
+    stacked-L leaves on their LEADING dim, to which the step is exactly
+    invariant — each stage's plain AF.step must reproduce the single-device
+    update given the same grads (GPipe grads themselves are parity-tested
+    in test_pipeline.py)."""
+    from vitrs_tpu.config import get_config
+    from vitrs_tpu import params as PRM
+    from vitrs_tpu.models import model as M
+    from vitrs_tpu.ops import optimizer as OPT
+    from vitrs_tpu.parallel import pipeline as PP
+    cfg = get_config("gpt-nano", use_flash=False).replace(num_layers=4)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 16)))
+    y = jnp.asarray(np.roll(np.asarray(x), -1, axis=1))
+    MF = 2
+
+    # the PP factory forces full-v for ndim-2 block stacks (their trailing
+    # "matrix" crosses the stacked-L axis the pipe slice cuts) — the
+    # single-device reference must use the same layout to be comparable
+    fac, _ = PP.pp_af_factored(cfg, MF)
+    loss, g = jax.value_and_grad(M.loss_fn)(params, x, y, cfg)
+    # zero state in the override layout
+    st0 = AF.AdafactorState(
+        *({k: jnp.zeros(p.shape[:-1] if fac[k] else (), jnp.float32)
+           if f == "vr" else
+           jnp.zeros(p.shape[:-2] + p.shape[-1:] if fac[k] else (),
+                     jnp.float32)
+           if f == "vc" else
+           jnp.zeros(() if fac[k] else p.shape, jnp.float32)
+           for k, p in params.items()} for f in ("vr", "vc", "vf")), {})
+    p_ref, _ = AF.step(params, g, st0, jnp.asarray(1), 0.01,
+                       weight_decay=0.1,
+                       decay_mask=OPT.decay_mask_2d(params), factored=fac)
+    p_ref = jax.device_get(p_ref)
+
+    mesh = PP.make_mesh_dp_pp(2, 2)
+    pnp = {k: np.asarray(v) for k, v in params.items()}
+    placed = PP.place_pp_params(pnp, cfg, mesh)
+    st = PP.init_pp_af_state(placed, mesh, cfg, min_factor=MF)
+    step_fn = PP.make_pp_train_step_adafactor(cfg, mesh, microbatches=2,
+                                              min_factor=MF)
+    from jax.sharding import PartitionSpec as P
+    bs = jax.NamedSharding(mesh, P("data"))
+    p1, st1, loss1 = step_fn(placed, st, jax.device_put(x, bs),
+                             jax.device_put(y, bs),
+                             jnp.asarray(1, jnp.int32),
+                             jnp.asarray(0.01, jnp.float32),
+                             jnp.asarray(0.1, jnp.float32))
+    np.testing.assert_allclose(float(loss1), float(loss), rtol=1e-5)
+    for k in p_ref:
+        # same zero-grad K-bias noise-amplification rationale as the TP test
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(p1[k])), np.asarray(p_ref[k]),
+            rtol=1e-4, atol=2e-4, err_msg=k)
+    # block-leaf state shards over pipe
+    assert "pipe" in str(st1.vf["fcb"].sharding.spec) or \
+           "pipe" in str(st1.vr["fcw"].sharding.spec)
+
+
+def test_3d_adafactor_parity_vs_single_device():
+    """Adafactor on the dp x tp x pp mesh: leading-axis (pipe) invariance
+    composed with the gathered-stats model-axis completion."""
+    from vitrs_tpu.config import get_config
+    from vitrs_tpu import params as PRM
+    from vitrs_tpu.models import model as M
+    from vitrs_tpu.ops import optimizer as OPT
+    from vitrs_tpu.parallel import threed as D3
+    from vitrs_tpu.parallel import tensor_parallel as TP
+    cfg = get_config("gpt-nano", use_flash=False).replace(num_layers=4)
+    params = PRM.init_params(cfg, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 16)))
+    y = jnp.asarray(np.roll(np.asarray(x), -1, axis=1))
+    MF = 2
+
+    tpp = TP.to_tp_params(params, cfg)
+    fac, _ = D3.threed_af_factored(cfg, min_factor=MF)
+    st0 = AF.AdafactorState(
+        *({k: jnp.zeros(p.shape[:-1] if fac[k] else (), jnp.float32)
+           if f == "vr" else
+           jnp.zeros(p.shape[:-2] + p.shape[-1:] if fac[k] else (),
+                     jnp.float32)
+           if f == "vc" else
+           jnp.zeros(() if fac[k] else p.shape, jnp.float32)
+           for k, p in tpp.items()} for f in ("vr", "vc", "vf")), {})
+    loss, g = jax.value_and_grad(
+        lambda p: M.gpt_loss(TP.from_tp_params(p, cfg), x, y, cfg))(tpp)
+    p_ref, _ = AF.step(tpp, g, st0, jnp.asarray(1), 0.01,
+                       weight_decay=0.1,
+                       decay_mask=OPT.decay_mask_2d(tpp), factored=fac)
+    p_ref = jax.device_get(p_ref)
+
+    mesh = D3.make_mesh_3d(2, 2, 2)
+    pnp = {k: np.asarray(v) for k, v in params.items()}
+    placed = D3.place_params_3d(pnp, cfg, mesh)
+    st = D3.init_af_state_3d(placed, mesh, cfg, min_factor=MF)
+    step_fn = D3.make_3d_train_step_adafactor(cfg, mesh, microbatches=2,
+                                              min_factor=MF)
+    from jax.sharding import PartitionSpec as P
+    bs = jax.NamedSharding(mesh, P("data"))
+    p1, st1, loss1 = step_fn(placed, st, jax.device_put(x, bs),
+                             jax.device_put(y, bs),
+                             jnp.asarray(1, jnp.int32),
+                             jnp.asarray(0.01, jnp.float32),
+                             jnp.asarray(0.1, jnp.float32))
+    np.testing.assert_allclose(float(loss1), float(loss), rtol=1e-5)
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(p1[k])), np.asarray(p_ref[k]),
+            rtol=1e-4, atol=2e-4, err_msg=k)

@@ -61,7 +61,6 @@ MESHES = ["dp=2,tp=2,pp=2", "dp=4,tp=2", "dp=2,tp=2,sp", "tp=2,vp",
 @pytest.mark.parametrize("mesh", MESHES)
 def test_mesh_cli_end_to_end_loss_decreases(mesh, tmp_path):
     summary = train(_gpt_tc(str(tmp_path), mesh, steps=10))
-    m = [eval(l) for l in []]
     import json
     recs = [json.loads(l) for l in
             open(os.path.join(str(tmp_path), "metrics.jsonl"))]
@@ -132,3 +131,20 @@ def test_mesh_resume_across_mesh_change(tmp_path):
         np.testing.assert_allclose(b, a, rtol=2e-3,
                                    atol=1e-4 * max(1.0, np.abs(a).max()),
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("mesh", ["dp=4,tp=2", "dp=2,pp=2",
+                                  "dp=2,tp=2,pp=2"])
+def test_mesh_cli_adafactor_families(mesh, tmp_path):
+    """--optimizer adafactor under the TP / PP / 3-D mesh plans: loss
+    decreases end-to-end through the production loop and the state side
+    tree round-trips a resume."""
+    import json
+    tc = _gpt_tc(str(tmp_path), mesh, steps=12, lr=0.05,
+                 optimizer="adafactor", ckpt_every=6)
+    train(tc)
+    train(tc)       # resume from step 12 checkpoint is a no-op run
+    recs = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    assert recs[-1]["loss"] < recs[0]["loss"], recs
+    assert glob.glob(str(tmp_path) + "/meshopt_*.tree")

@@ -486,3 +486,132 @@ def init_pp_opt_state(pp_params, mesh: Mesh, cfg: ViTConfig):
                 for k, v in pp_params.items()}
 
     return zeros(), zeros()
+
+
+# --- Adafactor under PP ------------------------------------------------------
+#
+# The pipe axis slices the stacked-L block leaves on their LEADING dim, and
+# the Adafactor step is exactly invariant to leading-axis sharding (RMS
+# scalars per trailing matrix/vector — ops/adafactor.py module doc; the same
+# property the expert-parallel variant rides).  So each stage runs the PLAIN
+# AF.step on its local (L/S, ...) slice and reproduces the single-device
+# update bit-for-bit given the same grads — no shard_axes, no pmeans.
+
+def _af_specs_with_fac(gshapes, pspecs, fac):
+    """AF.state_specs with an explicit per-leaf factored decision."""
+    from ..ops import adafactor as AF
+
+    def pad(k, nd):
+        s = tuple(pspecs[k])
+        return s + (None,) * (nd - len(s))
+
+    vr, vc, vf = {}, {}, {}
+    for k, v in gshapes.items():
+        sp = pad(k, v.ndim)
+        if fac[k]:
+            vr[k] = P(*sp[:-1])
+            vc[k] = P(*(sp[:-2] + sp[-1:]))
+            vf[k] = P()
+        else:
+            vr[k], vc[k] = P(), P()
+            vf[k] = P(*sp)
+    return AF.AdafactorState(vr, vc, vf, {})
+
+
+def _af_zeros_with_fac(gshapes, fac):
+    from ..ops import adafactor as AF
+    vr, vc, vf = {}, {}, {}
+    for k, v in gshapes.items():
+        if fac[k]:
+            vr[k] = jax.ShapeDtypeStruct(v.shape[:-1], jnp.float32)
+            vc[k] = jax.ShapeDtypeStruct(v.shape[:-2] + v.shape[-1:],
+                                         jnp.float32)
+            vf[k] = jax.ShapeDtypeStruct((), jnp.float32)
+        else:
+            vr[k] = jax.ShapeDtypeStruct((), jnp.float32)
+            vc[k] = jax.ShapeDtypeStruct((), jnp.float32)
+            vf[k] = jax.ShapeDtypeStruct(v.shape, jnp.float32)
+    return AF.AdafactorState(vr, vc, vf, {})
+
+
+def pp_af_factored(cfg: ViTConfig, min_factor: int = 0):
+    """The PP/3-D factored decision: global shapes, ndim-2 block stacks
+    forced full-v (see make_pp_train_step_adafactor)."""
+    from ..ops import adafactor as AF
+    mf = min_factor or AF.MIN_FACTOR
+    gshapes = {k: jax.ShapeDtypeStruct(s, jnp.float32)
+               for k, s in PRM.param_shapes(cfg).items()}
+    return {k: AF._factored(v, mf)
+            and not (v.ndim == 2 and k in M.BLOCK_KEYS)
+            for k, v in gshapes.items()}, gshapes
+
+
+def init_pp_af_state(pp_params, mesh: Mesh, cfg: ViTConfig,
+                     min_factor: int = 0):
+    from ..ops import adafactor as AF
+    fac, gshapes = pp_af_factored(cfg, min_factor)
+    shapes = _af_zeros_with_fac(gshapes, fac)
+    sp = _af_specs_with_fac(gshapes, pp_param_specs(cfg), fac)
+
+    def place(tree, spt):
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=NamedSharding(mesh, spt[k]))()
+                for k, v in tree.items()}
+
+    return AF.AdafactorState(place(shapes.vr, sp.vr), place(shapes.vc, sp.vc),
+                             place(shapes.vf, sp.vf), {})
+
+
+def make_pp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
+                                 microbatches: int, schedule: str = "gpipe",
+                                 virtual_stages: int = 1,
+                                 weight_decay_2d_only: bool = True,
+                                 relative_step: bool = True,
+                                 min_factor: int = 0):
+    """(pp_params, af_state, inputs, labels, step, lr, wd)
+        -> (pp_params, af_state, loss) on a (data, pipe) mesh."""
+    from ..ops import adafactor as AF
+    S = mesh.shape["pipe"]
+    assert not cfg.is_moe, "MoE: dp/ep (make_ep_train_step_adafactor)"
+    assert cfg.num_layers % (S * virtual_stages) == 0
+    assert schedule in ("gpipe", "1f1b", "1f1b-interleaved"), schedule
+    specs = pp_param_specs(cfg)
+    mf = min_factor or AF.MIN_FACTOR
+    # stacked ndim-2 block leaves (LN/bias stacks, (L, C)-shaped) must
+    # NEVER rank-factor — their trailing "matrix" crosses the stacked-L
+    # axis the pipe slice cuts, and factoring across a stack is not
+    # meaningful structure anyway (ops/adafactor.py module doc).  At the
+    # production MIN_FACTOR=128 this matches the plain step for every
+    # realistic depth; the override makes it hold at ANY min_factor/L.
+    fac, gshapes = pp_af_factored(cfg, mf)
+    stspec = _af_specs_with_fac(gshapes, specs, fac)
+
+    def spmd(p, st, inputs, labels, step, lr, wd):
+        if schedule == "gpipe":
+            loss, grads = jax.value_and_grad(_pp_loss)(
+                p, inputs, labels, cfg, S, microbatches)
+        elif schedule == "1f1b-interleaved":
+            loss, grads = _pp_1f1b_interleaved(
+                p, inputs, labels, cfg, S, virtual_stages, microbatches)
+        else:
+            loss, grads = _pp_1f1b(p, inputs, labels, cfg, S, microbatches)
+        grads = {k: (jax.lax.psum(g, "pipe") if specs[k] == P() else g)
+                 for k, g in grads.items()}
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "data"), grads)
+        mask = opt.decay_mask_2d(p) if weight_decay_2d_only else None
+        # plain per-stage step: the pipe slice is a leading-axis shard, to
+        # which the update is exactly invariant given the fac override
+        # (ndim-2 stacks full-v; factored matrices' trailing dims are
+        # unchanged by L-slicing)
+        p, st = AF.step(p, grads, st, step, lr, weight_decay=wd,
+                        decay_mask=mask, relative_step=relative_step,
+                        factored=fac)
+        return p, st, jax.lax.pmean(loss, "data")
+
+    mapped = shard_map(
+        spmd, mesh=mesh,
+        in_specs=(dict(specs), stspec, P("data"), P("data"), P(), P(), P()),
+        out_specs=(dict(specs), stspec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))

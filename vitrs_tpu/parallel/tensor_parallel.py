@@ -556,6 +556,37 @@ def init_tp_opt_state(tp_params, mesh: Mesh, cfg: ViTConfig,
 # State memory shards with the params: vr/vc slices live on the shard that
 # owns their rows/cols (ops/adafactor.state_specs).
 
+def tp_global_shapes(cfg: ViTConfig, vocab_parallel: bool = False):
+    """GLOBAL TP-pytree leaf shapes (ShapeDtypeStructs) — inside shard_map
+    the leaves are local slices, but the Adafactor factored/full layout and
+    shard_axes map must be judged on the full dims (shared by the TP and
+    3-D Adafactor factories)."""
+    from ..params import param_shapes
+    shapes = param_shapes(cfg)
+    L, C = cfg.num_layers, cfg.channels
+    gshapes = {k: jax.ShapeDtypeStruct(s, jnp.float32)
+               for k, s in shapes.items()}
+    if vocab_parallel:
+        from ..ops import fused_ce
+        gshapes["wte"] = jax.ShapeDtypeStruct(
+            (fused_ce.pad_vocab(cfg.vocab_size), C), jnp.float32)
+    if cfg.is_gqa:
+        kvd = cfg.kv_dim
+        gshapes["qw"] = jax.ShapeDtypeStruct((L, C, C), jnp.float32)
+        gshapes["qb"] = jax.ShapeDtypeStruct((L, C), jnp.float32)
+        for k, oc in (("kw", kvd), ("vw", kvd)):
+            gshapes[k] = jax.ShapeDtypeStruct((L, oc, C), jnp.float32)
+            gshapes[k.replace("w", "b")] = jax.ShapeDtypeStruct(
+                (L, oc), jnp.float32)
+        for k in ("qkvw", "qkvb"):
+            del gshapes[k]
+    else:
+        gshapes["qkv3w"] = jax.ShapeDtypeStruct((L, 3, C, C), jnp.float32)
+        gshapes["qkv3b"] = jax.ShapeDtypeStruct((L, 3, C), jnp.float32)
+        del gshapes["qkvw"], gshapes["qkvb"]
+    return gshapes
+
+
 def init_tp_af_state(tp_params, mesh: Mesh, cfg: ViTConfig,
                      vocab_parallel: bool = False, min_factor: int = 0):
     from ..ops import adafactor as AF
@@ -597,32 +628,7 @@ def make_tp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
         assert cfg.mode == "gpt", "vocab parallelism is the gpt head/CE path"
         assert fused_ce.pad_vocab(cfg.vocab_size) % tp_size == 0
 
-    # GLOBAL leaf shapes drive both the shard_axes map and the state-spec
-    # tree (inside shard_map the leaves are local slices — _factored must
-    # be judged on the full dims)
-    shapes = param_shapes(cfg)
-    gshapes = {}
-    L, C = cfg.num_layers, cfg.channels
-    for k, s in shapes.items():
-        gshapes[k] = jax.ShapeDtypeStruct(s, jnp.float32)
-    if vocab_parallel:
-        from ..ops import fused_ce
-        gshapes["wte"] = jax.ShapeDtypeStruct(
-            (fused_ce.pad_vocab(cfg.vocab_size), C), jnp.float32)
-    if cfg.is_gqa:
-        kvd = cfg.kv_dim
-        gshapes["qw"] = jax.ShapeDtypeStruct((L, C, C), jnp.float32)
-        gshapes["qb"] = jax.ShapeDtypeStruct((L, C), jnp.float32)
-        for k, oc in (("kw", kvd), ("vw", kvd)):
-            gshapes[k] = jax.ShapeDtypeStruct((L, oc, C), jnp.float32)
-            gshapes[k.replace("w", "b")] = jax.ShapeDtypeStruct(
-                (L, oc), jnp.float32)
-        for k in ("qkvw", "qkvb"):
-            del gshapes[k]
-    else:
-        gshapes["qkv3w"] = jax.ShapeDtypeStruct((L, 3, C, C), jnp.float32)
-        gshapes["qkv3b"] = jax.ShapeDtypeStruct((L, 3, C), jnp.float32)
-        del gshapes["qkvw"], gshapes["qkvb"]
+    gshapes = tp_global_shapes(cfg, vocab_parallel)
     mf = min_factor or AF.MIN_FACTOR
     shard_axes = AF.shard_axes_from_specs(gshapes, specs, "model")
     stspec = AF.state_specs(gshapes, specs, mf)

@@ -227,3 +227,113 @@ def init_opt_state_3d(p3, mesh: Mesh, cfg: ViTConfig,
                 for k, v in p3.items()}
 
     return zeros(), zeros()
+
+
+# --- Adafactor under the 3-D mesh --------------------------------------------
+#
+# Block leaves are sharded (pipe, model): the pipe component is a LEADING-
+# axis (stacked-L) slice the Adafactor step is exactly invariant to (the
+# pipeline/EP argument), and the model component shards a TRAILING dim,
+# completed with the gathered-stats pmeans of ops/adafactor.step
+# (shard_axes/axis_name — the TP mechanism).  Composing both gives the
+# single-device update on the full 3-D mesh.
+
+def init_af_state_3d(p3, mesh: Mesh, cfg: ViTConfig,
+                     vocab_parallel: bool = False, min_factor: int = 0):
+    from ..ops import adafactor as AF
+    from .pipeline import _af_specs_with_fac
+    # factored layout judged on GLOBAL shapes; spec tree from the 3-D
+    # specs; ndim-2 block stacks forced full-v (the pipe-slice invariance
+    # rule, see threed_af_factored / pipeline.make_pp_train_step_adafactor)
+    fac_global, gshapes = threed_af_factored(cfg, vocab_parallel, min_factor)
+    sp = _af_specs_with_fac(gshapes, param_specs_3d(cfg, vocab_parallel),
+                            fac_global)
+    shapes = AF.AdafactorState(
+        *({k: jax.ShapeDtypeStruct(_af_leaf_shape(f, k, p3[k].shape,
+                                                  fac_global[k]), jnp.float32)
+           for k in p3} for f in ("vr", "vc", "vf")), {})
+
+    def place(tree, spt):
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=NamedSharding(mesh, spt[k]))()
+                for k, v in tree.items()}
+
+    return AF.AdafactorState(place(shapes.vr, sp.vr), place(shapes.vc, sp.vc),
+                             place(shapes.vf, sp.vf), {})
+
+
+def threed_af_factored(cfg: ViTConfig, vocab_parallel: bool = False,
+                       min_factor: int = 0):
+    """Per-leaf factored decision for 3-D Adafactor: GLOBAL TP-pytree
+    shapes, with ndim-2 BLOCK stacks (LN/bias (L, C) leaves, which the pipe
+    axis slices on L) forced full-v — rank-factoring across the stack axis
+    both breaks the leading-slice invariance and is not meaningful
+    structure."""
+    from ..ops import adafactor as AF
+    mf = min_factor or AF.MIN_FACTOR
+    gshapes = TPmod.tp_global_shapes(cfg, vocab_parallel)
+    block = set(TPmod.tp_block_specs(cfg))
+    return ({k: AF._factored(v, mf) and not (v.ndim == 2 and k in block)
+             for k, v in gshapes.items()}, gshapes)
+
+
+def _af_leaf_shape(field: str, k: str, pshape, factored: bool):
+    if factored:
+        return {"vr": pshape[:-1], "vc": pshape[:-2] + pshape[-1:],
+                "vf": ()}[field]
+    return {"vr": (), "vc": (), "vf": pshape}[field]
+
+
+def make_3d_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
+                                 microbatches: int,
+                                 sequence_parallel: bool = False,
+                                 vocab_parallel: bool = False,
+                                 weight_decay_2d_only: bool = True,
+                                 relative_step: bool = True,
+                                 min_factor: int = 0):
+    """(p3, af_state, inputs, labels, step, lr, wd) -> (p3, af_state, loss)
+    on the dp x tp x pp mesh, Adafactor state sharded like the weights."""
+    from ..ops import adafactor as AF
+    S = mesh.shape["pipe"]
+    tp_size = mesh.shape["model"]
+    assert cfg.num_layers % S == 0
+    assert cfg.num_heads % tp_size == 0, (cfg.num_heads, tp_size)
+    if cfg.is_gqa:
+        assert cfg.kv_heads % tp_size == 0
+    if vocab_parallel:
+        from ..ops import fused_ce
+        assert cfg.mode == "gpt"
+        assert fused_ce.pad_vocab(cfg.vocab_size) % tp_size == 0
+    from .pipeline import _af_specs_with_fac
+    specs = param_specs_3d(cfg, vocab_parallel)
+    pipe_partial = [k for k, s in specs.items()
+                    if not any(e == "pipe" for e in tuple(s))]
+    fac, gshapes = threed_af_factored(cfg, vocab_parallel, min_factor)
+    shard_axes = AF.shard_axes_from_specs(gshapes, specs, "model")
+    stspec = _af_specs_with_fac(gshapes, specs, fac)
+
+    def spmd(p, st, images, labels, step, lr, wd):
+        loss, grads = jax.value_and_grad(_loss_3d)(p, images, labels, cfg, S,
+                                                   microbatches,
+                                                   sequence_parallel, tp_size,
+                                                   vocab_parallel)
+        for k in pipe_partial:
+            grads[k] = jax.lax.psum(grads[k], "pipe")
+        if sequence_parallel:
+            for k in SP_PARTIAL_GRADS:
+                grads[k] = jax.lax.psum(grads[k], "model")
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "data"), grads)
+        mask = opt.decay_mask_2d(p) if weight_decay_2d_only else None
+        p, st = AF.step(p, grads, st, step, lr, weight_decay=wd,
+                        decay_mask=mask, relative_step=relative_step,
+                        shard_axes=shard_axes, axis_name="model",
+                        factored=fac)
+        return p, st, jax.lax.pmean(loss, "data")
+
+    mapped = shard_map(
+        spmd, mesh=mesh,
+        in_specs=(dict(specs), stspec, P("data"), P("data"), P(), P(), P()),
+        out_specs=(dict(specs), stspec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))

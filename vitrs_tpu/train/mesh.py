@@ -148,6 +148,24 @@ class Plan:
             assert cfg.max_seq_len % s.cp == 0, (cfg.max_seq_len, s.cp)
 
 
+def _af_saveload(AF, place_state):
+    """(opt_save, opt_load) for an AdafactorState whose trees are keyed by
+    the FAMILY's pytree names.  device_get yields GLOBAL arrays, so a save
+    re-places under a different topology of the SAME family (tp=2 -> tp=4);
+    across families the key sets differ and opt_load raises a KeyError —
+    the mesh loop then re-inits (AdamW m/v stay the fully-portable
+    canonical default)."""
+    def opt_save(o):
+        return {f: _get(getattr(o, f)) for f in ("vr", "vc", "vf")}
+
+    def opt_load(tree):
+        return place_state(AF.AdafactorState(
+            *(jax.tree.map(jnp.asarray, tree[f])
+              for f in ("vr", "vc", "vf")), {}))
+
+    return opt_save, opt_load
+
+
 def _adamw_tuple(factory_step):
     """Adapt (p, m, v, ...) -> (p, m, v, loss) to the uniform
     (p, (m, v), ...) -> (p, (m, v), loss) shape."""
@@ -182,14 +200,14 @@ def make_plan(cfg: ViTConfig, spec: MeshSpec, optimizer: str = "adamw",
         assert all(k in ("ep", "tp") for k in on), (
             f"ep composes with dp and tp (got {on})")
         return _ep_plan(cfg, spec, optimizer, devices)
-    assert optimizer == "adamw", (
-        f"mesh {spec.describe()} ships the AdamW step; "
-        f"--optimizer {optimizer} is wired for dp/ep/fsdp meshes")
+    assert optimizer in ("adamw", "adafactor"), (
+        f"mesh {spec.describe()} ships AdamW and Adafactor steps; "
+        f"--optimizer {optimizer} is the dp path's")
     if "tp" in on and "pp" in on:
-        return _3d_plan(cfg, spec, devices)
+        return _3d_plan(cfg, spec, devices, optimizer)
     if "pp" in on:
-        return _pp_plan(cfg, spec, devices)
-    return _tp_plan(cfg, spec, devices)
+        return _pp_plan(cfg, spec, devices, optimizer)
+    return _tp_plan(cfg, spec, devices, optimizer)
 
 
 # --- family plans ------------------------------------------------------------
@@ -198,12 +216,33 @@ def _get(tree):
     return {k: np.asarray(jax.device_get(v)) for k, v in tree.items()}
 
 
-def _tp_plan(cfg, spec, devices):
+def _tp_plan(cfg, spec, devices, optimizer="adamw"):
     from ..parallel import tensor_parallel as TP
     mesh = TP.make_mesh_2d(spec.dp, spec.tp, devices)
+    pspecs = TP.tp_param_specs(cfg, spec.vp)
+    if optimizer == "adafactor":
+        from ..ops import adafactor as AF
+        raw = TP.make_tp_train_step_adafactor(
+            cfg, mesh, sequence_parallel=spec.sp, vocab_parallel=spec.vp)
+
+        def place_state(st):
+            sp = AF.state_specs(TP.tp_global_shapes(cfg, spec.vp), pspecs)
+            return AF.AdafactorState(
+                *({k: jax.device_put(v, NamedSharding(mesh, getattr(sp, f)[k]))
+                   for k, v in getattr(st, f).items()}
+                  for f in ("vr", "vc", "vf")), {})
+
+        opt_save, opt_load = _af_saveload(AF, place_state)
+        return Plan(
+            kind="tp", mesh=mesh, spec=spec, optimizer="adafactor",
+            batch_sharding=NamedSharding(mesh, P("data")),
+            place=lambda p: TP.place_tp_params(p, cfg, mesh, spec.vp),
+            init_opt=lambda p: TP.init_tp_af_state(p, mesh, cfg, spec.vp),
+            step=raw,
+            to_canonical=lambda p: _get(TP.from_tp_params(p, cfg, spec.vp)),
+            opt_save=opt_save, opt_load=opt_load)
     step = _adamw_tuple(TP.make_tp_train_step(
         cfg, mesh, sequence_parallel=spec.sp, vocab_parallel=spec.vp))
-    pspecs = TP.tp_param_specs(cfg, spec.vp)
 
     def opt_load(tree):
         return tuple(
@@ -224,16 +263,38 @@ def _tp_plan(cfg, spec, devices):
         opt_load=opt_load)
 
 
-def _pp_plan(cfg, spec, devices):
+def _pp_plan(cfg, spec, devices, optimizer="adamw"):
     from ..parallel import pipeline as PP
     mesh = PP.make_mesh_dp_pp(spec.dp, spec.pp, devices)
     mb = spec.microbatches or spec.pp
     inter = spec.schedule == "1f1b-interleaved"
     V = spec.virtual if inter else 1
+    pspecs = PP.pp_param_specs(cfg)
+    if optimizer == "adafactor":
+        from ..ops import adafactor as AF
+        assert not inter, "adafactor + interleaved: place/uninterleave the "                          "state like the params first"
+        raw = PP.make_pp_train_step_adafactor(
+            cfg, mesh, microbatches=mb, schedule=spec.schedule)
+
+        def place_state(st):
+            fac, gshapes = PP.pp_af_factored(cfg)
+            sp = PP._af_specs_with_fac(gshapes, pspecs, fac)
+            return AF.AdafactorState(
+                *({k: jax.device_put(v, NamedSharding(mesh, getattr(sp, f)[k]))
+                   for k, v in getattr(st, f).items()}
+                  for f in ("vr", "vc", "vf")), {})
+
+        opt_save, opt_load = _af_saveload(AF, place_state)
+        return Plan(
+            kind="pp", mesh=mesh, spec=spec, optimizer="adafactor",
+            batch_sharding=NamedSharding(mesh, P("data")),
+            place=lambda p: PP.place_pp_params(p, cfg, mesh),
+            init_opt=lambda p: PP.init_pp_af_state(p, mesh, cfg),
+            step=raw, to_canonical=_get,
+            opt_save=opt_save, opt_load=opt_load)
     step = _adamw_tuple(PP.make_pp_train_step(
         cfg, mesh, microbatches=mb, schedule=spec.schedule,
         virtual_stages=V))
-    pspecs = PP.pp_param_specs(cfg)
 
     def place(p):
         if inter:
@@ -261,16 +322,40 @@ def _pp_plan(cfg, spec, devices):
         opt_load=opt_load)
 
 
-def _3d_plan(cfg, spec, devices):
+def _3d_plan(cfg, spec, devices, optimizer="adamw"):
     from ..parallel import threed as TD
     from ..parallel import tensor_parallel as TP
     mesh = TD.make_mesh_3d(spec.dp, spec.tp, spec.pp, devices)
     mb = spec.microbatches or spec.pp
     vp = spec.vp
+    pspecs = TD.param_specs_3d(cfg, vp)
+    if optimizer == "adafactor":
+        from ..ops import adafactor as AF
+        from ..parallel.pipeline import _af_specs_with_fac
+        raw = TD.make_3d_train_step_adafactor(
+            cfg, mesh, microbatches=mb, sequence_parallel=spec.sp,
+            vocab_parallel=vp)
+
+        def place_state(st):
+            fac, gshapes = TD.threed_af_factored(cfg, vp)
+            sp = _af_specs_with_fac(gshapes, pspecs, fac)
+            return AF.AdafactorState(
+                *({k: jax.device_put(v, NamedSharding(mesh, getattr(sp, f)[k]))
+                   for k, v in getattr(st, f).items()}
+                  for f in ("vr", "vc", "vf")), {})
+
+        opt_save, opt_load = _af_saveload(AF, place_state)
+        return Plan(
+            kind="3d", mesh=mesh, spec=spec, optimizer="adafactor",
+            batch_sharding=NamedSharding(mesh, P("data")),
+            place=lambda p: TD.place_params_3d(p, cfg, mesh, vp),
+            init_opt=lambda p: TD.init_af_state_3d(p, mesh, cfg, vp),
+            step=raw,
+            to_canonical=lambda p: _get(TP.from_tp_params(p, cfg, vp)),
+            opt_save=opt_save, opt_load=opt_load)
     step = _adamw_tuple(TD.make_3d_train_step(
         cfg, mesh, microbatches=mb, sequence_parallel=spec.sp,
         vocab_parallel=vp))
-    pspecs = TD.param_specs_3d(cfg, vp)
 
     def opt_load(tree):
         return tuple(
