@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--heads", type=int, default=6)
     ap.add_argument("--workdir", default="/tmp/vitrs_text_demo")
     ap.add_argument("--prompt", action="append", default=[])
+    ap.add_argument("--num-experts", type=int, default=0,
+                    help="MoE experts per layer (0 = dense MLP) — the "
+                         "quality-per-step comparison vs dense at matched "
+                         "token budget (ops/moe.py; ~E/2x the MLP params "
+                         "at ~2x the per-token MLP FLOPs for top-2)")
+    ap.add_argument("--moe-top-k", type=int, default=2)
+    ap.add_argument("--no-generate", action="store_true")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -79,6 +86,9 @@ def main():
     overrides = dict(max_seq_len=args.seq, vocab_size=tok.vocab_size,
                      num_layers=args.layers, channels=args.channels,
                      num_heads=args.heads)
+    if args.num_experts:
+        overrides.update(num_experts=args.num_experts,
+                         moe_top_k=args.moe_top_k)
     tc = TrainConfig(preset="gpt-nano", dataset="tokens",
                      data_dir=bin_path, steps=args.steps,
                      batch_size=args.batch, lr=args.lr, warmup=100,
@@ -101,6 +111,8 @@ def main():
     dparams = {k: jax.device_put(v) for k, v in params.items()}
     te = TextEngine(dparams, cfg_l, tok, max_slots=4,
                     max_len=min(256, cfg_l.max_seq_len), decode_chunk=16)
+    if args.no_generate:
+        return
     prompts = args.prompt or ["def forward(", "# TPU", "import jax"]
     outs = te.generate(prompts, max_new=48, temperature=0.0,
                        echo_prompt=True)

@@ -67,9 +67,13 @@ def make_mesh_dp_pp(dp: int, pp: int, devices=None) -> Mesh:
 
 
 def pp_param_specs(cfg: ViTConfig):
-    """Block tensors sliced over the pipe axis; everything else replicated."""
+    """Block tensors sliced over the pipe axis; everything else replicated.
+    MoE configs: the stacked (L, E, C) router rides the pipe slice with the
+    expert slabs (it is a per-layer leaf like the rest of the block)."""
     specs = {k: P() for k in PRM.tensor_order(cfg) if k not in M.BLOCK_KEYS}
     specs.update({k: P("pipe") for k in M.BLOCK_KEYS})
+    if cfg.is_moe:
+        specs["routerw"] = P("pipe")
     return specs
 
 
@@ -90,7 +94,10 @@ def _mode_fns(p, cfg: ViTConfig, stage_cfg: ViTConfig):
         return M.vit_encode(xb, pp_, cfg).astype(dtype)
 
     def apply(pp_, x):
-        return M.transformer(x, pp_, stage_cfg, causal=causal)
+        """Stage trunk; returns (y, aux) — aux is the stage's mean weighted
+        MoE router loss over its LOCAL layers (zero scalar when dense)."""
+        return M.transformer(x, pp_, stage_cfg, causal=causal,
+                             return_aux=True)
 
     def head_loss(pp_, y, lbl):
         lnf = basic.layernorm_cv(y, pp_["lnfw"], pp_["lnfb"])
@@ -125,7 +132,7 @@ def _pp_loss(p, inputs, labels, cfg: ViTConfig, n_stages: int,
     encode, apply, head_loss = _mode_fns(p, cfg, stage_cfg)
 
     def tick(carry, t):
-        act, loss_sum = carry
+        act, loss_sum, aux_sum = carry
         in_idx = jnp.clip(t, 0, Mb - 1)
         # only stage 0, and only on ticks that inject a real microbatch,
         # pays for the encoder (cond, not select); drain ticks pass through
@@ -134,7 +141,12 @@ def _pp_loss(p, inputs, labels, cfg: ViTConfig, n_stages: int,
             lambda a: encode(p, jax.lax.dynamic_index_in_dim(
                 micro_x, in_idx, 0, keepdims=False)),
             lambda a: a, act)
-        y = apply(p, x_in)
+        y, aux = apply(p, x_in)
+        # router aux only counts when a REAL microbatch is in flight on
+        # this stage (bubble ticks process garbage activations)
+        f = t - stage
+        in_flight = jnp.logical_and(f >= 0, f < Mb)
+        aux_sum = aux_sum + jnp.where(in_flight, aux, 0.0)
         out_idx = t - (S - 1)
         lbl = jax.lax.dynamic_index_in_dim(
             micro_y, jnp.clip(out_idx, 0, Mb - 1), 0, keepdims=False)
@@ -147,13 +159,16 @@ def _pp_loss(p, inputs, labels, cfg: ViTConfig, n_stages: int,
                           lambda yy, ll: jnp.zeros((), jnp.float32), y, lbl)
         loss_sum = loss_sum + ml
         act_next = jax.lax.ppermute(y, "pipe", perm)
-        return (act_next, loss_sum), None
+        return (act_next, loss_sum, aux_sum), None
 
     act0 = jnp.zeros((Bm, T, cfg.channels), dtype)
-    (_, loss_sum), _ = jax.lax.scan(tick, (act0, jnp.zeros((), jnp.float32)),
-                                    jnp.arange(Mb + S - 1))
-    # only the last stage accumulated loss; psum fwd / identity bwd
-    return reduce_out(loss_sum, "pipe") / Mb
+    (_, loss_sum, aux_sum), _ = jax.lax.scan(
+        tick, (act0, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+        jnp.arange(Mb + S - 1))
+    # CE accumulated on the last stage only; each stage's aux covers its
+    # L/S local layers (transformer divides by the STAGE depth), so the
+    # pipe sum of aux/S reassembles the full per-layer mean
+    return reduce_out(loss_sum + aux_sum / S, "pipe") / Mb
 
 
 def _pp_1f1b(p, inputs, labels, cfg: ViTConfig, n_stages: int,
@@ -191,7 +206,7 @@ def _pp_1f1b(p, inputs, labels, cfg: ViTConfig, n_stages: int,
             lambda aa: encode(pp_, jax.lax.dynamic_index_in_dim(
                 micro_x, idx, 0, keepdims=False)),
             lambda aa: aa, a)
-        y = apply(pp_, x_in)
+        y, _ = apply(pp_, x_in)   # 1F1B is dense-only
         if not with_head:
             return y, jnp.zeros((), jnp.float32)
         lbl = jax.lax.dynamic_index_in_dim(micro_y, idx, 0, keepdims=False)
@@ -310,7 +325,7 @@ def _pp_1f1b_interleaved(p, inputs, labels, cfg: ViTConfig, n_stages: int,
             lambda aa: encode(pc, jax.lax.dynamic_index_in_dim(
                 micro_x, idx, 0, keepdims=False)),
             lambda aa: aa, a)
-        y = apply(pc, x_in)
+        y, _ = apply(pc, x_in)   # interleaved 1F1B is dense-only
         if not with_head:
             return y, jnp.zeros((), jnp.float32)
         lbl = jax.lax.dynamic_index_in_dim(micro_y, idx, 0, keepdims=False)
@@ -404,9 +419,10 @@ def make_pp_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
     schedule: "gpipe" (autodiff through the forward scan) or "1f1b"
     (explicit fwd/bwd interleave, depth-bounded activation memory)."""
     S = mesh.shape["pipe"]
-    assert not cfg.is_moe, (
-        "MoE under pipeline parallelism is not wired (the stage transformer "
-        "drops router aux losses) — use dp/ep (parallel/expert_parallel.py)")
+    assert not cfg.is_moe or schedule == "gpipe", (
+        "MoE under pipeline parallelism rides the GPipe schedule (the tick "
+        "scan carries the router aux; the 1F1B vjp interleave does not) — "
+        "or use dp/ep (parallel/expert_parallel.py)")
     assert cfg.num_layers % (S * virtual_stages) == 0, (
         cfg.num_layers, S, virtual_stages)
     assert schedule in ("gpipe", "1f1b", "1f1b-interleaved"), schedule
