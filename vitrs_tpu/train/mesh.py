@@ -400,11 +400,10 @@ def _ep_plan(cfg, spec, optimizer, devices):
             return {k: _get(getattr(o, k)) for k in ("vr", "vc", "vf")}
 
         def opt_load(tree):
+            from ..params import param_shapes
             sp = EP.af_state_specs(
                 {k: jax.ShapeDtypeStruct(s, jnp.float32)
-                 for k, s in __import__(
-                     "vitrs_tpu.params", fromlist=["param_shapes"]
-                 ).param_shapes(cfg).items()}, cfg)
+                 for k, s in param_shapes(cfg).items()}, cfg)
             return AF.AdafactorState(
                 *({k: jax.device_put(jnp.asarray(v),
                                      NamedSharding(mesh, getattr(sp, f)[k]))
