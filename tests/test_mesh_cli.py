@@ -148,3 +148,15 @@ def test_mesh_cli_adafactor_families(mesh, tmp_path):
             open(os.path.join(str(tmp_path), "metrics.jsonl"))]
     assert recs[-1]["loss"] < recs[0]["loss"], recs
     assert glob.glob(str(tmp_path) + "/meshopt_*.tree")
+
+
+def test_mesh_cli_moe_pp_end_to_end(tmp_path):
+    """MoE through the GPipe pipeline from the production trainer
+    (--mesh dp=2,pp=2 on a MoE config)."""
+    import json
+    tc = _gpt_tc(str(tmp_path), "dp=2,pp=2", steps=10,
+                 model_overrides={"num_experts": 4, "moe_top_k": 2})
+    train(tc)
+    recs = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    assert recs[-1]["loss"] < recs[0]["loss"], recs
