@@ -160,3 +160,64 @@ def test_mesh_cli_moe_pp_end_to_end(tmp_path):
     recs = [json.loads(l) for l in
             open(os.path.join(str(tmp_path), "metrics.jsonl"))]
     assert recs[-1]["loss"] < recs[0]["loss"], recs
+
+
+def test_mesh_resume_cross_family_adafactor_reinits(tmp_path, capsys):
+    """Advisor (round 4, medium): an Adafactor meshopt tree is keyed by the
+    WRITING family's pytree names; resuming the same workdir under another
+    family must warn + re-init the optimizer state (documented behavior),
+    not crash with KeyError('qkv3b')."""
+    import json
+    w = str(tmp_path)
+    train(_gpt_tc(w, "dp=4,tp=2", steps=8, lr=0.05, run_steps=4,
+                  optimizer="adafactor", ckpt_every=4))
+    train(_gpt_tc(w, "dp=2,pp=2", steps=8, lr=0.05,
+                  optimizer="adafactor", ckpt_every=4))  # family change!
+    out = capsys.readouterr().out
+    assert "re-initializing" in out
+    recs = [json.loads(l) for l in open(os.path.join(w, "metrics.jsonl"))]
+    assert recs[-1]["step"] == 8 and np.isfinite(recs[-1]["loss"])
+
+
+def test_mesh_resume_optimizer_mismatch_reinits(tmp_path, capsys):
+    """Advisor (round 4, low): resuming an Adafactor-written tree with
+    --optimizer adamw re-inits with a clear notice instead of KeyError."""
+    import json
+    w = str(tmp_path)
+    train(_gpt_tc(w, "dp=4,tp=2", steps=8, lr=0.05, run_steps=4,
+                  optimizer="adafactor", ckpt_every=4))
+    train(_gpt_tc(w, "dp=4,tp=2", steps=8, ckpt_every=4))  # adamw now
+    out = capsys.readouterr().out
+    assert "re-initializing optimizer state" in out
+    recs = [json.loads(l) for l in open(os.path.join(w, "metrics.jsonl"))]
+    assert recs[-1]["step"] == 8 and np.isfinite(recs[-1]["loss"])
+
+
+def test_mesh_cp_opt_state_is_canonical_and_portable(tmp_path):
+    """Advisor (round 4, low): cp's AdamW m/v are saved as canonical
+    name-keyed dicts, so a cp-written meshopt tree LOADS under tp (and a
+    tp-written one under cp) — full AdamW cross-family state portability."""
+    from vitrs_tpu import checkpoint_tree as CT
+    from vitrs_tpu.config import get_config
+    w = str(tmp_path)
+    train(_gpt_tc(w, "cp=2", steps=4, ckpt_every=4))
+    tree, meta = CT.load_tree(sorted(glob.glob(w + "/meshopt_*.tree"))[-1])
+    assert isinstance(tree["m"], dict) and "qkvw" in tree["m"]
+    # the cp-written state round-trips through the TP family's opt_load
+    cfg = get_config("gpt-nano", use_flash=False)
+    plan_tp = make_plan(cfg, parse_mesh("dp=4,tp=2"))
+    m, v = plan_tp.opt_load(tree)
+    assert set(m) == set(plan_tp.place(
+        {k: np.zeros(s, np.float32) for k, s in
+         __import__("vitrs_tpu.params", fromlist=["param_shapes"]
+                    ).param_shapes(cfg).items()}))
+    # and a tp-written state loads under cp
+    train(_gpt_tc(w + "_tp", "dp=4,tp=2", steps=4, ckpt_every=4))
+    tree2, _ = CT.load_tree(
+        sorted(glob.glob(w + "_tp/meshopt_*.tree"))[-1])
+    plan_cp = make_plan(cfg, parse_mesh("cp=2"))
+    m2, v2 = plan_cp.opt_load(tree2)
+    assert m2.shape[0] >= sum(
+        int(np.prod(s)) for s in __import__(
+            "vitrs_tpu.params", fromlist=["param_shapes"]
+        ).param_shapes(cfg).values())

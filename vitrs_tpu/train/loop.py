@@ -522,7 +522,23 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
         opt_path = os.path.join(tc.workdir, f"meshopt_{start_step:08d}.tree")
         if os.path.exists(opt_path):
             host_opt, opt_meta = CT.load_tree(opt_path)
-            opt_state = plan.opt_load(host_opt)
+            saved_opt = opt_meta.get("optimizer")
+            if saved_opt is not None and saved_opt != plan.optimizer:
+                print(f"[resume] meshopt tree was written by --optimizer "
+                      f"{saved_opt}; running {plan.optimizer} — "
+                      f"re-initializing optimizer state")
+            else:
+                try:
+                    opt_state = plan.opt_load(host_opt)
+                except (KeyError, TypeError, AttributeError, ValueError) as e:
+                    # Adafactor meshopt trees are keyed by the WRITING
+                    # family's pytree names; a cross-family resume re-inits
+                    # (the params stay canonical, so training continues).
+                    print(f"[resume] optimizer state from mesh "
+                          f"{opt_meta.get('mesh', '?')} is incompatible "
+                          f"with mesh {plan.spec.describe()} "
+                          f"({type(e).__name__}: {e}); re-initializing")
+                    opt_state = None
             cursor = int(opt_meta.get("cursor", cursor))
         print(f"[resume] {latest} at step {start_step}, cursor {cursor} "
               f"(mesh {plan.spec.describe()})")

@@ -474,14 +474,34 @@ def _cp_plan(cfg, spec, devices):
     size = mesh.size
     n_pad = ((n + size - 1) // size) * size
     opt_sh = NamedSharding(mesh, P(("data", "ctx")))
+    shapes = PRM.param_shapes(cfg)
+    order = PRM.tensor_order(cfg)
 
     def place(p):
         return {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P()))
                 for k, v in p.items()}
 
+    def _flat_to_named(vec):
+        # canonical name-keyed dict (the module contract every other
+        # family's opt_save honors), carved from cp's flat AdamW vector
+        out, off = {}, 0
+        for name in order:
+            sz = int(np.prod(shapes[name]))
+            out[name] = np.asarray(vec[off:off + sz],
+                                   np.float32).reshape(shapes[name])
+            off += sz
+        assert off == n, (off, n)
+        return out
+
+    def _named_to_flat(tree):
+        if not isinstance(tree, dict):          # legacy flat-vector save
+            return np.asarray(tree, np.float32)
+        return np.concatenate([np.asarray(tree[name], np.float32).reshape(-1)
+                               for name in order])
+
     def opt_load(tree):
         return tuple(
-            jax.device_put(np.pad(np.asarray(tree[key]), (0, n_pad - n)),
+            jax.device_put(np.pad(_named_to_flat(tree[key]), (0, n_pad - n)),
                            opt_sh)
             for key in ("m", "v"))
 
@@ -491,8 +511,9 @@ def _cp_plan(cfg, spec, devices):
         place=place,
         init_opt=lambda p: RA.init_cp_opt_state(cfg, mesh),
         step=_adamw_tuple(raw), to_canonical=_get,
-        opt_save=lambda o: {"m": np.asarray(jax.device_get(o[0]))[:n],
-                            "v": np.asarray(jax.device_get(o[1]))[:n]},
+        opt_save=lambda o: {
+            "m": _flat_to_named(np.asarray(jax.device_get(o[0]))[:n]),
+            "v": _flat_to_named(np.asarray(jax.device_get(o[1]))[:n])},
         opt_load=opt_load)
 
 
