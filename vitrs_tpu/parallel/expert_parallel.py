@@ -89,50 +89,70 @@ def init_ep_opt_state(params, cfg: ViTConfig, mesh: Mesh):
 
 
 def make_ep_train_step(cfg: ViTConfig, mesh: Mesh,
-                       weight_decay_2d_only: bool = True):
+                       weight_decay_2d_only: bool = True,
+                       accum_steps: int = 1, clip_norm: float = 0.0,
+                       return_grad_norm: bool = False):
     """Jitted dp×ep SPMD training step for a MoE GPT config.
 
     Signature: (params, m, v, inputs, targets, step, lr, wd)
-            -> (params, m, v, loss)
+            -> (params, m, v, loss[, grad_norm])
     with the expert slabs (and their m/v) sharded over "expert", everything
     else replicated, and the batch sharded over (data, expert) jointly.
+    accum_steps/clip_norm carry the DP path's production semantics
+    (parallel/gradops.py); note micro-batching a MoE step routes each
+    micro-batch at its own capacity, the standard accumulation semantics.
     """
     assert cfg.is_moe and cfg.mode == "gpt", "EP serves MoE gpt configs"
     ep = mesh.shape["expert"]
     assert cfg.num_experts % ep == 0, (cfg.num_experts, ep)
     specs = ep_param_specs(cfg)
+    from . import gradops
 
     def spmd_step(params, m, v, inputs, targets, step, lr, wd):
-        def global_loss(p):
-            local = M.gpt_loss(p, inputs, targets, cfg,
-                               ep_axis="expert", ep=ep)
-            return jax.lax.pmean(local, ("data", "expert"))
+        def lag(p_, x, y):
+            def global_loss(p):
+                local = M.gpt_loss(p, x, y, cfg, ep_axis="expert", ep=ep)
+                return jax.lax.pmean(local, ("data", "expert"))
 
-        loss, grads = jax.value_and_grad(global_loss)(params)
-        # complete the per-device grads.  JAX's collective-transpose
-        # convention (transpose(psum) = psum) means grad-of-pmean delivers
-        # each device an UNSCALED cotangent: the raw grad of a leaf is the
-        # sum of dl_dev/dleaf over every device its copy served, with NO 1/N.
-        # Summing over the axes the leaf is replicated on (expert shards:
-        # "data" only — each shard is a distinct logical param per "expert"
-        # index; everything else: both axes) and dividing once by mesh.size
-        # reassembles d(global mean loss)/dleaf exactly — pinned against the
-        # single-device gradient in tests/test_moe.py.
-        inv = 1.0 / mesh.size
-        grads = {k: jax.lax.psum(g, ("data",) if k in EXPERT_KEYS
-                                 else ("data", "expert")) * inv
-                 for k, g in grads.items()}
+            loss_, grads_ = jax.value_and_grad(global_loss)(p_)
+            # complete the per-device grads.  JAX's collective-transpose
+            # convention (transpose(psum) = psum) means grad-of-pmean
+            # delivers each device an UNSCALED cotangent: the raw grad of a
+            # leaf is the sum of dl_dev/dleaf over every device its copy
+            # served, with NO 1/N.  Summing over the axes the leaf is
+            # replicated on (expert shards: "data" only — each shard is a
+            # distinct logical param per "expert" index; everything else:
+            # both axes) and dividing once by mesh.size reassembles
+            # d(global mean loss)/dleaf exactly — pinned against the
+            # single-device gradient in tests/test_moe.py.
+            inv = 1.0 / mesh.size
+            return loss_, {
+                k: jax.lax.psum(g, ("data",) if k in EXPERT_KEYS
+                                else ("data", "expert")) * inv
+                for k, g in grads_.items()}
+
+        loss, grads = gradops.accumulate_microbatches(
+            lag, params, inputs, targets, accum_steps)
+        gnorm = None
+        if clip_norm > 0.0 or return_grad_norm:
+            gnorm = gradops.global_grad_norm(grads, specs)
+        if clip_norm > 0.0:
+            scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            grads = {k: g * scale for k, g in grads.items()}
         mask = opt.decay_mask_2d(params) if weight_decay_2d_only else None
         params, m, v = opt.adamw_tree(params, grads, m, v, step, lr,
                                       weight_decay=wd, decay_mask=mask)
+        if return_grad_norm:
+            return params, m, v, loss, gnorm
         return params, m, v, loss
 
     pspec = {k: specs[k] for k in specs}
+    out_tail = (P(), P()) if return_grad_norm else (P(),)
     mapped = shard_map(
         spmd_step, mesh=mesh,
         in_specs=(pspec, pspec, pspec, P(("data", "expert")),
                   P(("data", "expert")), P(), P(), P()),
-        out_specs=(pspec, pspec, pspec, P()),
+        out_specs=(pspec, pspec, pspec) + out_tail,
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 
@@ -421,3 +441,107 @@ def make_ep_tp_train_step(cfg: ViTConfig, mesh: Mesh,
         out_specs=(pspec, pspec, pspec, P()),
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
+
+
+# --- Adafactor under EP x TP ------------------------------------------------
+#
+# The dp x ep Adafactor rationale (expert slabs are the parameter bulk)
+# composes with the TP gathered-stats rule (ops/adafactor.step shard_axes/
+# axis_name): expert slabs are sharded over BOTH axes — "expert" on their
+# leading (invariance-by-construction) dim and "model" on a trailing dim
+# (fcw dim -2, fcprojw/fcb dim -1), so the model-axis means complete with
+# pmeans while the expert axis needs nothing.  The factored/full layout is
+# judged on GLOBAL shapes (tensor_parallel.tp_global_shapes — param_shapes
+# already carries the (L, E, ...) expert dims for a MoE config), so the
+# state layout never depends on the mesh.
+
+def ep_tp_global_shapes(cfg: ViTConfig, vocab_parallel: bool = False):
+    from . import tensor_parallel as TPmod
+    return TPmod.tp_global_shapes(cfg, vocab_parallel)
+
+
+def ep_tp_af_state_specs(cfg: ViTConfig, vocab_parallel: bool = False,
+                         min_factor: int = 0):
+    from ..ops import adafactor as AF
+    mf = min_factor or AF.MIN_FACTOR
+    return AF.state_specs(ep_tp_global_shapes(cfg, vocab_parallel),
+                          ep_tp_param_specs(cfg, vocab_parallel), mf)
+
+
+def init_ep_tp_af_state(ep_tp_params, cfg: ViTConfig, mesh: Mesh,
+                        vocab_parallel: bool = False, min_factor: int = 0):
+    from ..ops import adafactor as AF
+    import functools
+    mf = min_factor or AF.MIN_FACTOR
+    gshapes = ep_tp_global_shapes(cfg, vocab_parallel)
+    shapes = jax.eval_shape(
+        functools.partial(AF.init_state, min_factor=mf), gshapes)
+    sp = ep_tp_af_state_specs(cfg, vocab_parallel, mf)
+
+    def place(tree, spt):
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=NamedSharding(mesh, spt[k]))()
+                for k, v in tree.items()}
+
+    return AF.AdafactorState(place(shapes.vr, sp.vr), place(shapes.vc, sp.vc),
+                             place(shapes.vf, sp.vf), {})
+
+
+def make_ep_tp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
+                                    weight_decay_2d_only: bool = True,
+                                    relative_step: bool = True,
+                                    vocab_parallel: bool = False,
+                                    min_factor: int = 0):
+    """dp x ep x tp training step with Adafactor state sharded like the
+    weights (expert slabs over ("expert", "model"), attention over "model").
+
+    Signature: (ep_tp_params, af_state, inputs, targets, step, lr, wd)
+            -> (ep_tp_params, af_state, loss)
+    """
+    from ..ops import adafactor as AF
+    assert cfg.is_moe and cfg.mode == "gpt", "EP x TP serves MoE gpt configs"
+    ep = mesh.shape["expert"]
+    tp = mesh.shape["model"]
+    assert cfg.num_experts % ep == 0, (cfg.num_experts, ep)
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+    assert (4 * cfg.channels) % tp == 0
+    if cfg.is_gqa:
+        assert cfg.kv_heads % tp == 0, (cfg.kv_heads, tp)
+    if vocab_parallel:
+        from ..ops import fused_ce
+        assert fused_ce.pad_vocab(cfg.vocab_size) % tp == 0
+    specs = ep_tp_param_specs(cfg, vocab_parallel)
+    n_cells = mesh.shape["data"] * ep
+    gshapes = ep_tp_global_shapes(cfg, vocab_parallel)
+    mf = min_factor or AF.MIN_FACTOR
+    shard_axes = AF.shard_axes_from_specs(gshapes, specs, "model")
+    stspec = AF.state_specs(gshapes, specs, mf)
+
+    def spmd_step(params, st, inputs, targets, step, lr, wd):
+        def global_loss(pa):
+            local = _ep_tp_loss(pa, inputs, targets, cfg, ep,
+                                vocab_parallel)
+            return jax.lax.pmean(local, ("data", "expert"))
+
+        loss, grads = jax.value_and_grad(global_loss)(params)
+        # same completion rule as make_ep_tp_train_step
+        inv = 1.0 / n_cells
+        grads = {k: jax.lax.psum(g, ("data",) if k in EXPERT_KEYS
+                                 else ("data", "expert")) * inv
+                 for k, g in grads.items()}
+        mask = opt.decay_mask_2d(params) if weight_decay_2d_only else None
+        fac = {k: AF._factored(v, mf) for k, v in gshapes.items()}
+        params, st = AF.step(params, grads, st, step, lr, weight_decay=wd,
+                             decay_mask=mask, relative_step=relative_step,
+                             shard_axes=shard_axes, axis_name="model",
+                             factored=fac)
+        return params, st, loss
+
+    pspec = dict(specs)
+    mapped = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(pspec, stspec, P(("data", "expert")),
+                  P(("data", "expert")), P(), P(), P()),
+        out_specs=(pspec, stspec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))

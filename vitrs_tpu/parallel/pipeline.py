@@ -413,11 +413,17 @@ def _pp_1f1b_interleaved(p, inputs, labels, cfg: ViTConfig, n_stages: int,
 
 
 def make_pp_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
-                       schedule: str = "gpipe", virtual_stages: int = 1):
-    """(pp_params, m, v, inputs, labels, step, lr, wd) -> (..., loss) on a
-    (data, pipe) mesh; batch sharded over data, layers over pipe.
-    schedule: "gpipe" (autodiff through the forward scan) or "1f1b"
-    (explicit fwd/bwd interleave, depth-bounded activation memory)."""
+                       schedule: str = "gpipe", virtual_stages: int = 1,
+                       accum_steps: int = 1, clip_norm: float = 0.0,
+                       return_grad_norm: bool = False):
+    """(pp_params, m, v, inputs, labels, step, lr, wd)
+    -> (..., loss[, grad_norm]) on a (data, pipe) mesh; batch sharded over
+    data, layers over pipe.  schedule: "gpipe" (autodiff through the forward
+    scan) or "1f1b" (explicit fwd/bwd interleave, depth-bounded activation
+    memory).  accum_steps scans the pipeline over micro-slices of the local
+    batch (each slice still splits into ``microbatches`` pipeline
+    micro-batches); clip_norm applies the DP path's global-norm clip after
+    the data combine (parallel/gradops.py)."""
     S = mesh.shape["pipe"]
     assert not cfg.is_moe or schedule == "gpipe", (
         "MoE under pipeline parallelism rides the GPipe schedule (the tick "
@@ -429,28 +435,45 @@ def make_pp_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
     assert virtual_stages == 1 or schedule == "1f1b-interleaved"
     specs = pp_param_specs(cfg)
 
+    from . import gradops
+
     def spmd(p, m, v, inputs, labels, step, lr, wd):
-        if schedule == "gpipe":
-            loss, grads = jax.value_and_grad(_pp_loss)(
-                p, inputs, labels, cfg, S, microbatches)
-        elif schedule == "1f1b-interleaved":
-            loss, grads = _pp_1f1b_interleaved(
-                p, inputs, labels, cfg, S, virtual_stages, microbatches)
-        else:
-            loss, grads = _pp_1f1b(p, inputs, labels, cfg, S, microbatches)
-        # replicated leaves: true grad = sum of per-stage partials
-        grads = {k: (jax.lax.psum(g, "pipe") if specs[k] == P() else g)
-                 for k, g in grads.items()}
+        def lag(p_, x, y):
+            if schedule == "gpipe":
+                loss_, grads_ = jax.value_and_grad(_pp_loss)(
+                    p_, x, y, cfg, S, microbatches)
+            elif schedule == "1f1b-interleaved":
+                loss_, grads_ = _pp_1f1b_interleaved(
+                    p_, x, y, cfg, S, virtual_stages, microbatches)
+            else:
+                loss_, grads_ = _pp_1f1b(p_, x, y, cfg, S, microbatches)
+            # replicated leaves: true grad = sum of per-stage partials
+            return loss_, {k: (jax.lax.psum(g, "pipe") if specs[k] == P()
+                               else g)
+                           for k, g in grads_.items()}
+
+        loss, grads = gradops.accumulate_microbatches(
+            lag, p, inputs, labels, accum_steps)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, "data"), grads)
+        gnorm = None
+        if clip_norm > 0.0 or return_grad_norm:
+            gnorm = gradops.global_grad_norm(grads, specs)
+        if clip_norm > 0.0:
+            scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            grads = {k: g * scale for k, g in grads.items()}
         p, m, v = opt.adamw_tree(p, grads, m, v, step, lr, weight_decay=wd)
-        return p, m, v, jax.lax.pmean(loss, "data")
+        loss = jax.lax.pmean(loss, "data")
+        if return_grad_norm:
+            return p, m, v, loss, gnorm
+        return p, m, v, loss
 
+    out_tail = (P(), P()) if return_grad_norm else (P(),)
     mapped = shard_map(
         spmd, mesh=mesh,
         in_specs=(dict(specs), dict(specs), dict(specs),
                   P("data"), P("data"), P(), P(), P()),
-        out_specs=(dict(specs), dict(specs), dict(specs), P()),
+        out_specs=(dict(specs), dict(specs), dict(specs)) + out_tail,
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 
@@ -631,3 +654,17 @@ def make_pp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
         out_specs=(dict(specs), stspec, P()),
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def permute_af_tree(tree, cfg: ViTConfig, S: int, V: int,
+                    inverse: bool = False):
+    """Apply (or undo) the interleaved layer permutation to an Adafactor
+    state tree: any BLOCK_KEYS leaf with a leading num_layers axis (vr/vc
+    keep it; factored leaves' vf is a scalar placeholder) permutes like its
+    parameter; everything else passes through."""
+    order = np.asarray(interleave_layer_order(cfg.num_layers, S, V))
+    idx = np.argsort(order) if inverse else order
+    return {k: (np.asarray(v)[idx]
+                if (k in M.BLOCK_KEYS and np.ndim(v) >= 1
+                    and np.shape(v)[0] == cfg.num_layers) else v)
+            for k, v in tree.items()}

@@ -474,12 +474,18 @@ def tp_loss(p, inputs, targets, cfg: ViTConfig, axis: str = "model",
 
 def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
                        sequence_parallel: bool = False,
-                       vocab_parallel: bool = False):
+                       vocab_parallel: bool = False,
+                       accum_steps: int = 1, clip_norm: float = 0.0,
+                       return_grad_norm: bool = False):
     """2-D SPMD train step: batch sharded over "data", block weights sharded
     over "model", AdamW state sharded like the weights.
 
     Signature: (tp_params, m, v, inputs, targets, step, lr, wd)
-            -> (tp_params, m, v, loss)
+            -> (tp_params, m, v, loss[, grad_norm])
+    accum_steps/clip_norm/return_grad_norm carry the native DP path's
+    production-training semantics (parallel/gradops.py) onto the TP mesh:
+    micro-batch accumulation before the data combine, global-norm clip after
+    it, pre-clip norm reported.
     """
     assert not cfg.is_moe, (
         "MoE under TP is not wired (the TP block is dense-MLP-sharded) — "
@@ -498,27 +504,46 @@ def make_tp_train_step(cfg: ViTConfig, mesh: Mesh,
         Vp = fused_ce.pad_vocab(cfg.vocab_size)
         assert Vp % tp_size == 0, (Vp, tp_size)
 
+    from . import gradops
+
     def spmd(p, m, v, inputs, targets, step, lr, wd):
-        loss, grads = jax.value_and_grad(tp_loss)(p, inputs, targets, cfg,
-                                                  "model", sequence_parallel,
-                                                  tp_size, vocab_parallel)
-        if sequence_parallel:
-            # params whose compute lives on sequence shards produce partial
-            # grads — sum them over the model axis (Megatron's SP LN-grad
-            # all-reduce)
-            for k in SP_PARTIAL_GRADS:
-                grads[k] = jax.lax.psum(grads[k], "model")
+        def lag(p_, x, y):
+            loss_, grads_ = jax.value_and_grad(tp_loss)(
+                p_, x, y, cfg, "model", sequence_parallel, tp_size,
+                vocab_parallel)
+            if sequence_parallel:
+                # params whose compute lives on sequence shards produce
+                # partial grads — sum them over the model axis (Megatron's
+                # SP LN-grad all-reduce)
+                grads_ = dict(grads_)
+                for k in SP_PARTIAL_GRADS:
+                    grads_[k] = jax.lax.psum(grads_[k], "model")
+            return loss_, grads_
+
+        loss, grads = gradops.accumulate_microbatches(
+            lag, p, inputs, targets, accum_steps)
         # combine over data; model-axis grads are already correct per shard
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, "data"), grads)
+        gnorm = None
+        if clip_norm > 0.0 or return_grad_norm:
+            gnorm = gradops.global_grad_norm(grads, specs)
+        if clip_norm > 0.0:
+            scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            grads = {k: g * scale for k, g in grads.items()}
         p, m, v = opt.adamw_tree(p, grads, m, v, step, lr, weight_decay=wd)
-        return p, m, v, jax.lax.pmean(jax.lax.pmean(loss, "data"), "model")
+        loss = jax.lax.pmean(jax.lax.pmean(loss, "data"), "model")
+        if return_grad_norm:
+            return p, m, v, loss, gnorm
+        return p, m, v, loss
 
+    out_tail = (P(), P()) if return_grad_norm else (P(),)
     mapped = shard_map(
         spmd, mesh=mesh,
         in_specs=(param_spec_tree, param_spec_tree, param_spec_tree,
                   P("data"), P("data"), P(), P(), P()),
-        out_specs=(param_spec_tree, param_spec_tree, param_spec_tree, P()),
+        out_specs=(param_spec_tree, param_spec_tree, param_spec_tree)
+                  + out_tail,
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 

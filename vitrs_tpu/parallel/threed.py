@@ -153,7 +153,9 @@ def _loss_3d(p, inputs, labels, cfg: ViTConfig, n_stages: int,
 
 def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
                        sequence_parallel: bool = False,
-                       vocab_parallel: bool = False):
+                       vocab_parallel: bool = False,
+                       accum_steps: int = 1, clip_norm: float = 0.0,
+                       return_grad_norm: bool = False):
     """sequence_parallel=True runs every stage's blocks in the Megatron-SP
     form: the inter-stage activation (and its ppermute hop) is the
     (B, T/tp, C) sequence shard, LN/residual compute drops by 1/tp, and the
@@ -183,28 +185,44 @@ def make_3d_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
     pipe_partial = [k for k, s in specs.items()
                     if not any(e == "pipe" for e in tuple(s))]
 
+    from . import gradops
+
     def spmd(p, m, v, images, labels, step, lr, wd):
-        loss, grads = jax.value_and_grad(_loss_3d)(p, images, labels, cfg, S,
-                                                   microbatches,
-                                                   sequence_parallel, tp_size,
-                                                   vocab_parallel)
-        for k in pipe_partial:   # encode/head computed on one stage only
-            grads[k] = jax.lax.psum(grads[k], "pipe")
-        if sequence_parallel:
-            # LN/bias compute lives on sequence shards: partial grads over
-            # the model axis (Megatron's SP LN-grad all-reduce)
-            for k in SP_PARTIAL_GRADS:
-                grads[k] = jax.lax.psum(grads[k], "model")
+        def lag(p_, x, y):
+            loss_, grads_ = jax.value_and_grad(_loss_3d)(
+                p_, x, y, cfg, S, microbatches, sequence_parallel, tp_size,
+                vocab_parallel)
+            for k in pipe_partial:  # encode/head computed on one stage only
+                grads_[k] = jax.lax.psum(grads_[k], "pipe")
+            if sequence_parallel:
+                # LN/bias compute lives on sequence shards: partial grads
+                # over the model axis (Megatron's SP LN-grad all-reduce)
+                for k in SP_PARTIAL_GRADS:
+                    grads_[k] = jax.lax.psum(grads_[k], "model")
+            return loss_, grads_
+
+        loss, grads = gradops.accumulate_microbatches(
+            lag, p, images, labels, accum_steps)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, "data"), grads)
+        gnorm = None
+        if clip_norm > 0.0 or return_grad_norm:
+            gnorm = gradops.global_grad_norm(grads, specs)
+        if clip_norm > 0.0:
+            scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            grads = {k: g * scale for k, g in grads.items()}
         p, m, v = opt.adamw_tree(p, grads, m, v, step, lr, weight_decay=wd)
-        return p, m, v, jax.lax.pmean(loss, "data")
+        loss = jax.lax.pmean(loss, "data")
+        if return_grad_norm:
+            return p, m, v, loss, gnorm
+        return p, m, v, loss
 
+    out_tail = (P(), P()) if return_grad_norm else (P(),)
     mapped = shard_map(
         spmd, mesh=mesh,
         in_specs=(dict(specs), dict(specs), dict(specs), P("data"), P("data"),
                   P(), P(), P()),
-        out_specs=(dict(specs), dict(specs), dict(specs), P()),
+        out_specs=(dict(specs), dict(specs), dict(specs)) + out_tail,
         check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 

@@ -171,9 +171,13 @@ def train(tc: TrainConfig) -> dict:
 
     plan = None
     if tc.mesh:
-        from .mesh import make_plan, parse_mesh
+        from .mesh import TrainKnobs, make_plan, parse_mesh
         spec = parse_mesh(tc.mesh)
-        plan = make_plan(cfg, spec, optimizer=tc.optimizer)
+        knobs = TrainKnobs(accum_steps=tc.accum_steps,
+                           clip_norm=tc.clip_norm,
+                           log_grad_norm=tc.log_grad_norm)
+        plan = make_plan(cfg, spec, optimizer=tc.optimizer, knobs=knobs,
+                         weight_decay=tc.weight_decay)
         if plan is None and spec.dp > 1 and not tc.n_devices:
             tc = dataclasses.replace(tc, n_devices=spec.dp)
     if plan is not None:
@@ -502,11 +506,9 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
     plain-DP path and single device."""
     import jax.numpy as jnp
     from .. import checkpoint_tree as CT
-    assert tc.accum_steps == 1 and tc.mixup_alpha == 0.0 \
-        and not tc.log_grad_norm and tc.ema_decay == 0.0 \
-        and tc.clip_norm == 0.0, \
-        "the mesh-spec path runs the lean verified steps (accum/mixup/" \
-        "grad-norm/EMA/clip ride the native DP path)"
+    assert tc.mixup_alpha == 0.0 and tc.ema_decay == 0.0, \
+        "mixup/EMA ride the native DP path (mesh-path steps wire " \
+        "accum_steps/clip_norm/log_grad_norm — parallel/gradops.py)"
     plan.validate_batch(tc.batch_size, cfg)
     n_chips = plan.mesh.size
     device_kind = jax.devices()[0].device_kind
@@ -594,9 +596,23 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
             images, labels = next(prefetcher)
             lr = opt.cosine_lr_host(step, tc.lr, tc.warmup, tc.steps,
                                     tc.min_lr)
-            params, opt_state, loss = plan.step(
+            if plan.optimizer == "muon":
+                # the uniform 7th slot carries the Muon aux (AdamW) lr —
+                # same cosine SHAPE as the DP muon path (wd factory-bound)
+                aux = opt.cosine_lr_host(
+                    step, tc.muon_adamw_lr, tc.warmup, tc.steps,
+                    tc.min_lr * tc.muon_adamw_lr / max(tc.lr, 1e-12))
+                seventh = np.float32(aux)
+            else:
+                seventh = wd_host
+            outs = plan.step(
                 params, opt_state, images, labels, np.int32(step),
-                np.float32(lr), wd_host)
+                np.float32(lr), seventh)
+            if plan.returns_gnorm:
+                params, opt_state, loss, gnorm = outs
+            else:
+                params, opt_state, loss = outs
+                gnorm = None
             imgs_since += tc.batch_size
             if step % tc.log_every == 0 or step == tc.steps:
                 loss_val = float(loss)      # sync point
@@ -610,6 +626,8 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
                        "imgs_per_sec_chip": round(ips / n_chips, 1),
                        "mfu": round(mfu, 4),
                        "mesh": plan.spec.describe()}
+                if gnorm is not None:
+                    rec["grad_norm"] = round(float(gnorm), 5)
                 print("[train] " + json.dumps(rec))
                 log_f.write(json.dumps(rec) + "\n")
                 log_f.flush()
