@@ -36,6 +36,7 @@ from ..models import model as M
 from ..ops import optimizer as opt
 
 AXIS = "fsdp"
+REPLICA = "replica"
 
 
 def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
@@ -44,6 +45,30 @@ def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
         if n_devices:
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=(AXIS,))
+
+
+def make_hybrid_mesh(replica: int, shard: int, devices=None) -> Mesh:
+    """The standard pod deployment: FSDP *inside* an ICI domain ("fsdp"
+    axis, where the per-use all-gathers are cheap) × plain DP *across*
+    domains ("replica" axis, which only carries the once-per-step gradient
+    all-reduce).  Params/state shard over "fsdp" only and replicate over
+    "replica"; the batch shards over both axes (every device is a data
+    worker).  The step factories below are axis-count-agnostic — GSPMD
+    reads the same annotations and adds the replica-axis grad all-reduce
+    on its own."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:replica * shard]).reshape(replica, shard)
+    return Mesh(devices, axis_names=(REPLICA, AXIS))
+
+
+def _shard_ways(mesh: Mesh) -> int:
+    return mesh.shape[AXIS]
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """Batch sharded over every mesh axis (replica × fsdp jointly)."""
+    return P(tuple(mesh.axis_names))
 
 
 def spec_for(shape, n: int) -> P:
@@ -58,7 +83,8 @@ def spec_for(shape, n: int) -> P:
 
 
 def param_specs(params, mesh: Mesh):
-    return {k: spec_for(v.shape, mesh.size) for k, v in params.items()}
+    n = _shard_ways(mesh)
+    return {k: spec_for(v.shape, n) for k, v in params.items()}
 
 
 def place_params(params, mesh: Mesh):

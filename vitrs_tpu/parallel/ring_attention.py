@@ -360,3 +360,70 @@ def make_cp_train_step(cfg: ViTConfig, mesh: Mesh):
 def shard_cp_batch(batch, mesh: Mesh):
     """(B, T) host batch -> batch sharded on "data", sequence on "ctx"."""
     return jax.device_put(batch, NamedSharding(mesh, P("data", "ctx")))
+
+
+# --- Adafactor under CP -----------------------------------------------------
+#
+# Long-context ring training is exactly the regime where the full fp32 m/v
+# pair (2 param-copies, the ZeRO-1 flat shards above) competes with
+# activations for HBM.  Adafactor state is ~1e-4 of that, so it simply
+# REPLICATES (tree-form, no flat padding): grads are pmean'd over both mesh
+# axes in tree form and the plain ops/adafactor.step runs identically on
+# every device — no shard_axes (nothing crosses a sharded dim; the ring
+# shards the SEQUENCE, not the parameters).
+
+def init_cp_af_state(params, mesh: Mesh):
+    from ..ops import adafactor as AF
+    repl = NamedSharding(mesh, P())
+    state = jax.eval_shape(AF.init_state, params)
+
+    def place(tree):
+        return {k: jax.jit(lambda s=v.shape: jnp.zeros(s, jnp.float32),
+                           out_shardings=repl)()
+                for k, v in tree.items()}
+
+    return AF.AdafactorState(place(state.vr), place(state.vc),
+                             place(state.vf), {})
+
+
+def make_cp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh,
+                                 weight_decay_2d_only: bool = True,
+                                 relative_step: bool = True):
+    """dp x cp training step with replicated Adafactor state.
+
+    Signature: (params, af_state, inputs, targets, step, lr, wd)
+            -> (params, af_state, loss)
+    """
+    from ..ops import adafactor as AF
+    from ..ops import optimizer as opt
+    from ..params import param_shapes
+    cp_n = mesh.shape["ctx"]
+    assert cfg.max_seq_len % cp_n == 0
+
+    stspec = AF.state_specs(
+        {k: jax.ShapeDtypeStruct(s, jnp.float32)
+         for k, s in param_shapes(cfg).items()},
+        {k: P() for k in param_shapes(cfg)})
+    stspec = AF.AdafactorState({k: P() for k in stspec.vr},
+                               {k: P() for k in stspec.vc},
+                               {k: P() for k in stspec.vf}, {})
+
+    def spmd_step(params, st, inputs, targets, step, lr, wd):
+        loss, grads = jax.value_and_grad(_gpt_cp_loss_local)(
+            params, inputs, targets, cfg, cp_n)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(jax.lax.pmean(g, "ctx"), "data"), grads)
+        mask = opt.decay_mask_2d(params) if weight_decay_2d_only else None
+        params, st = AF.step(params, grads, st, step, lr, weight_decay=wd,
+                             decay_mask=mask, relative_step=relative_step)
+        loss = jax.lax.pmean(jax.lax.pmean(loss, "ctx"), "data")
+        return params, st, loss
+
+    pspec = {k: P() for k in param_shapes(cfg)}
+    mapped = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(pspec, stspec, P("data", "ctx"), P("data", "ctx"),
+                  P(), P(), P()),
+        out_specs=(pspec, stspec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1))
