@@ -110,3 +110,64 @@ def test_fsdp_vit_mode_runs():
                                 jnp.asarray(3e-3, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_hybrid_fsdp_matches_single_device_and_pure_fsdp():
+    """dp=2,fsdp=4 (the hybrid pod deployment, round-4 verdict #6): params
+    shard over "fsdp" only (1/4 shards, replicated over "replica"), the
+    batch shards 8 ways, and one step matches both the single-device
+    reference and the pure fsdp=8 step on the same global batch."""
+    mesh_h = fsdp.make_hybrid_mesh(replica=2, shard=4)
+    assert mesh_h.axis_names == ("replica", "fsdp") and mesh_h.size == 8
+    params0 = P_.init_params(CFG, jax.random.PRNGKey(0))
+    tok, tgt = _data()
+    s = (jnp.asarray(1, jnp.int32), jnp.asarray(1e-3, jnp.float32))
+
+    def ref_step(p, m, v, step_i):
+        loss, g = jax.value_and_grad(M.loss_fn)(p, tok, tgt, CFG)
+        p, m, v = opt.adamw_tree(p, g, m, v, step_i, s[1], weight_decay=0.1)
+        return p, m, v, loss
+
+    zeros = lambda: jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), params0)
+    p1, m1, v1, loss1 = jax.jit(ref_step)(params0, zeros(), zeros(), s[0])
+
+    step = fsdp.make_fsdp_train_step(CFG, mesh_h, params0, weight_decay=0.1)
+    ph = fsdp.place_params(params0, mesh_h)
+    # params shard 4-ways (the fsdp axis), NOT 8-ways
+    for k, p in ph.items():
+        if fsdp.spec_for(p.shape, 4) != P():
+            assert p.addressable_shards[0].data.size == p.size // 4, k
+    mh, vh = fsdp.init_opt_state(ph, mesh_h)
+    ph, mh, vh, lossh = step(ph, mh, vh, tok, tgt, *s)
+    np.testing.assert_allclose(float(lossh), float(loss1), rtol=1e-6)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(ph[k]), np.asarray(p1[k]),
+                                   rtol=2e-6, atol=1e-7, err_msg=k)
+
+
+def test_hybrid_fsdp_mesh_cli(tmp_path):
+    """--mesh dp=2,fsdp=4 through the production trainer: loss decreases,
+    checkpoint resumes."""
+    import glob
+    import json
+    import os
+    from vitrs_tpu.train.loop import TrainConfig, train
+    tc = TrainConfig(preset="gpt-nano", dataset="synthetic", steps=10,
+                     batch_size=8, lr=1e-2, warmup=2, weight_decay=0.0,
+                     dtype="float32", workdir=str(tmp_path), log_every=5,
+                     ckpt_every=5, resume=True, mesh="dp=2,fsdp=4")
+    train(tc)
+    recs = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    assert recs[-1]["loss"] < recs[0]["loss"], recs
+    assert recs[-1]["mesh"] == "dp=2,fsdp=4"
+    assert glob.glob(str(tmp_path) + "/ckpt_*.bin")
+    # resume continues from step 10
+    train(TrainConfig(preset="gpt-nano", dataset="synthetic", steps=14,
+                      batch_size=8, lr=1e-2, warmup=2, weight_decay=0.0,
+                      dtype="float32", workdir=str(tmp_path), log_every=7,
+                      ckpt_every=7, resume=True, mesh="dp=2,fsdp=4"))
+    recs = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    assert recs[-1]["step"] == 14 and np.isfinite(recs[-1]["loss"])

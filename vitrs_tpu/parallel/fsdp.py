@@ -120,7 +120,7 @@ def make_fsdp_train_step(cfg: ViTConfig, mesh: Mesh, params,
     """
     specs = param_specs(params, mesh)
     psh = {k: NamedSharding(mesh, s) for k, s in specs.items()}
-    batch_sh = NamedSharding(mesh, P(AXIS))
+    batch_sh = NamedSharding(mesh, batch_spec(mesh))
     repl = NamedSharding(mesh, P())
 
     def step_fn(params, m, v, inputs, targets, step, lr):
@@ -205,7 +205,7 @@ def make_fsdp_train_step_adafactor(cfg: ViTConfig, mesh: Mesh, params,
     mf = min_factor or 0
     psh = {k: NamedSharding(mesh, s) for k, s in specs.items()}
     stsh = af_state_sharding(params, mesh, mf)
-    batch_sh = NamedSharding(mesh, P(AXIS))
+    batch_sh = NamedSharding(mesh, batch_spec(mesh))
     repl = NamedSharding(mesh, P())
 
     def step_fn(params, st, inputs, targets, step, lr, wd):

@@ -32,7 +32,9 @@ Families (combinable per row, validated in make_plan):
                             sharded Adafactor) — parallel/expert_parallel.py
   dp,cp                     ring-attention context parallelism —
                             parallel/ring_attention.py
-  fsdp=N                    ZeRO-3 GSPMD sharding — parallel/fsdp.py
+  fsdp=N[,dp=M]             ZeRO-3 GSPMD sharding; dp>1 = the hybrid pod
+                            deployment (FSDP inside an ICI domain x DP
+                            across domains) — parallel/fsdp.py
 """
 
 from __future__ import annotations
@@ -65,7 +67,7 @@ class MeshSpec:
     @property
     def n_devices(self) -> int:
         if self.fsdp:
-            return self.fsdp
+            return self.fsdp * max(self.dp, 1)   # dp>1 = hybrid replica axis
         return self.dp * self.tp * self.pp * self.ep * self.cp
 
     def describe(self) -> str:
@@ -139,7 +141,7 @@ class Plan:
         s = self.spec
         data_ways = {"tp": s.dp, "pp": s.dp, "3d": s.dp,
                      "ep": s.dp * s.ep, "cp": s.dp,
-                     "fsdp": s.fsdp}[self.kind]
+                     "fsdp": s.fsdp * max(s.dp, 1)}[self.kind]
         assert batch % max(data_ways, 1) == 0, (
             f"batch {batch} must divide the data-sharding ways "
             f"({data_ways}) of mesh {s.describe()}")
@@ -224,8 +226,9 @@ def make_plan(cfg: ViTConfig, spec: MeshSpec, optimizer: str = "adamw",
             f"--optimizer {optimizer} keeps the lean step")
     on = [k for k in ("tp", "pp", "ep", "cp") if getattr(spec, k) > 1]
     if spec.fsdp:
-        assert not on and spec.dp == 1, (
-            "fsdp=N is a whole-mesh family; compose dp/tp/pp/ep/cp without it")
+        assert not on, (
+            "fsdp composes with dp only (the hybrid replica axis); "
+            "tp/pp/ep/cp have their own plans")
         assert not knobs.any, (
             "fsdp keeps the lean GSPMD step (clip/accum: tp/pp/3d/ep)")
         return _fsdp_plan(cfg, spec, optimizer, devices,
@@ -698,7 +701,12 @@ def _fsdp_plan(cfg, spec, optimizer, devices, weight_decay=0.0,
                muon_momentum=0.95):
     from ..parallel import fsdp as FS
     from .. import params as PRM
-    mesh = FS.make_mesh(spec.fsdp, devices)
+    if spec.dp > 1:
+        # hybrid: FSDP inside an ICI domain x DP across domains
+        mesh = FS.make_hybrid_mesh(spec.dp, spec.fsdp, devices)
+    else:
+        mesh = FS.make_mesh(spec.fsdp, devices)
+    batch_sh = NamedSharding(mesh, FS.batch_spec(mesh))
     shapes = {k: jax.ShapeDtypeStruct(s, jnp.dtype(cfg.dtype))
               for k, s in PRM.param_shapes(cfg).items()}
     pspecs = FS.param_specs(shapes, mesh)
@@ -731,7 +739,7 @@ def _fsdp_plan(cfg, spec, optimizer, devices, weight_decay=0.0,
                 v={k: jax.device_put(v, psh[k]) for k, v in st.v.items()})
 
         return Plan(kind="fsdp", mesh=mesh, spec=spec, optimizer="muon",
-                    batch_sharding=NamedSharding(mesh, P(FS.AXIS)),
+                    batch_sharding=batch_sh,
                     place=lambda p: FS.place_params(p, mesh),
                     init_opt=lambda p: MP.init_fsdp_muon_state(p, mesh),
                     step=step, to_canonical=_get,
@@ -750,7 +758,7 @@ def _fsdp_plan(cfg, spec, optimizer, devices, weight_decay=0.0,
             return FS.place_af_state(st, shapes, mesh)
 
         return Plan(kind="fsdp", mesh=mesh, spec=spec, optimizer="adafactor",
-                    batch_sharding=NamedSharding(mesh, P(FS.AXIS)),
+                    batch_sharding=batch_sh,
                     place=lambda p: FS.place_params(p, mesh),
                     init_opt=lambda p: FS.init_af_state(p, mesh),
                     step=raw, to_canonical=_get,
@@ -777,7 +785,7 @@ def _fsdp_plan(cfg, spec, optimizer, devices, weight_decay=0.0,
 
     return Plan(
         kind="fsdp", mesh=mesh, spec=spec, optimizer="adamw",
-        batch_sharding=NamedSharding(mesh, P(FS.AXIS)),
+        batch_sharding=batch_sh,
         place=lambda p: FS.place_params(p, mesh),
         init_opt=lambda p: FS.init_opt_state(p, mesh),
         step=step, to_canonical=_get,
