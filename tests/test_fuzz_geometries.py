@@ -100,20 +100,29 @@ def test_permutation_equivariance_of_mean_pool():
 # round-3 variant space: GQA x rope x window x remat must be well-defined
 # for arbitrary small geometries, not just the blessed test configs
 VARIANTS = [
-    # (T, V, heads, kv_heads, ch, window, pos_emb, remat)
-    (8, 17, 4, 2, 16, 0, "rope", False),
-    (12, 29, 6, 3, 24, 5, "learned", True),
-    (16, 11, 4, 1, 32, 7, "rope", True),
-    (10, 53, 2, 2, 16, 3, "rope", False),     # kv==heads: MHA via field
-    (9, 13, 3, 1, 12, 4, "learned", False),   # odd T, MQA
+    # (T, V, heads, kv_heads, ch, window, pos_emb, remat, experts, top_k)
+    (8, 17, 4, 2, 16, 0, "rope", False, 0, 0),
+    (12, 29, 6, 3, 24, 5, "learned", True, 0, 0),
+    (16, 11, 4, 1, 32, 7, "rope", True, 0, 0),
+    (10, 53, 2, 2, 16, 3, "rope", False, 0, 0),   # kv==heads: MHA via field
+    (9, 13, 3, 1, 12, 4, "learned", False, 0, 0), # odd T, MQA
+    # round-5: MoE enters the fuzz space (verdict #5) — MoE x GQA x rope x
+    # window, and MoE x MQA x remat at an odd T
+    (12, 19, 4, 2, 16, 5, "rope", False, 4, 2),
+    (9, 23, 3, 1, 12, 0, "learned", True, 3, 1),
+    (16, 31, 2, 2, 16, 6, "rope", True, 2, 2),    # top_k == E dense-limit
 ]
 
 
-@pytest.mark.parametrize("T,V,heads,kv,ch,window,pos_emb,remat", VARIANTS)
-def test_gpt_variant_geometry(T, V, heads, kv, ch, window, pos_emb, remat):
+@pytest.mark.parametrize("T,V,heads,kv,ch,window,pos_emb,remat,experts,top_k",
+                         VARIANTS)
+def test_gpt_variant_geometry(T, V, heads, kv, ch, window, pos_emb, remat,
+                              experts, top_k):
     cfg = ViTConfig(mode="gpt", max_seq_len=T, vocab_size=V, num_layers=2,
                     num_heads=heads, channels=ch, num_kv_heads=kv,
                     window=window, pos_emb=pos_emb, remat=remat,
+                    num_experts=experts, moe_top_k=top_k,
+                    moe_cap_factor=4.0 if experts else 1.25,
                     use_flash=False).validate()
     params = P.init_params(cfg, jax.random.PRNGKey(T * V + ch))
     rng = np.random.default_rng(1)
@@ -127,7 +136,8 @@ def test_gpt_variant_geometry(T, V, heads, kv, ch, window, pos_emb, remat):
     assert np.isfinite(float(loss))
     for k, g in grads.items():
         assert np.all(np.isfinite(np.asarray(g))), k
-    for k in ("wte", "qkvw", "fcw", "lnfw"):
+    for k in ("wte", "qkvw", "fcw", "lnfw") + (
+            ("routerw",) if experts else ()):
         assert np.abs(np.asarray(grads[k])).max() > 0, k
     if pos_emb == "rope":
         np.testing.assert_array_equal(np.asarray(grads["wpe"]), 0.0)

@@ -305,3 +305,49 @@ def test_pp_interleaved_train_step_decreases_loss():
                                jnp.asarray(0.0, jnp.float32))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+MOE_PP_CFG = get_config("gpt-nano", use_flash=False).replace(
+    num_layers=4, channels=32, num_heads=2, max_seq_len=8,
+    num_experts=4, moe_top_k=2, moe_cap_factor=8.0)
+
+
+def test_pp_1f1b_moe_grads_match_gpipe():
+    """MoE through 1F1B (round-4 verdict #5): the per-stage aux rides
+    stage_out's scalar with its cotangent seeded on every stage.  At
+    MATCHED microbatching GPipe computes the identical per-microbatch
+    routing, so the two schedules' losses and grads must agree (and GPipe
+    itself is pinned vs single device in test_moe)."""
+    params = PRM.init_params(MOE_PP_CFG, jax.random.PRNGKey(6))
+    toks = np.asarray(jax.random.randint(jax.random.PRNGKey(7), (8, 8),
+                                         0, MOE_PP_CFG.vocab_size))
+    tgt = np.asarray(jax.random.randint(jax.random.PRNGKey(8), (8, 8),
+                                        0, MOE_PP_CFG.vocab_size))
+    toks, tgt = jnp.asarray(toks), jnp.asarray(tgt)
+    loss_g, got_g = _grads_via("gpipe", MOE_PP_CFG, toks, tgt, params, mb=2)
+    loss_1, got_1 = _grads_via("1f1b", MOE_PP_CFG, toks, tgt, params, mb=2)
+    np.testing.assert_allclose(loss_1, loss_g, rtol=2e-5)
+    _assert_grads_match(got_1, got_g)
+    # the aux actually flows: router grads are nonzero under both
+    assert np.abs(np.asarray(got_1["routerw"])).max() > 0
+
+
+def test_pp_1f1b_moe_train_step_decreases_loss():
+    mesh = pp.make_mesh_dp_pp(dp=2, pp=4)
+    params = PRM.init_params(MOE_PP_CFG, jax.random.PRNGKey(9))
+    ppp = pp.place_pp_params(params, MOE_PP_CFG, mesh)
+    m, v = pp.init_pp_opt_state(ppp, mesh, MOE_PP_CFG)
+    step = pp.make_pp_train_step(MOE_PP_CFG, mesh, microbatches=2,
+                                 schedule="1f1b")
+    rng = np.random.default_rng(10)
+    toks = jnp.asarray(rng.integers(0, MOE_PP_CFG.vocab_size, (8, 8)))
+    tgt = jnp.asarray(rng.integers(0, MOE_PP_CFG.vocab_size, (8, 8)))
+    dsh = NamedSharding(mesh, P("data"))
+    x, y = jax.device_put(toks, dsh), jax.device_put(tgt, dsh)
+    losses = []
+    for i in range(1, 6):
+        ppp, m, v, loss = step(ppp, m, v, x, y, jnp.asarray(i, jnp.int32),
+                               jnp.asarray(1e-2, jnp.float32),
+                               jnp.asarray(0.0, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

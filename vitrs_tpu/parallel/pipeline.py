@@ -200,20 +200,27 @@ def _pp_1f1b(p, inputs, labels, cfg: ViTConfig, n_stages: int,
         of (params, input activation) so one jax.vjp gives both dp and dx.
         Stage 0's input is the raw microbatch (encode inside); the last
         stage's outputs include the loss.  with_head=False skips the head on
-        forward ticks — it is recomputed under vjp on the backward tick."""
+        forward ticks — it is recomputed under vjp on the backward tick.
+
+        MoE: the stage's router aux (mean over its L/S local layers) rides
+        the scalar output as aux/S on EVERY stage — the backward seeds its
+        cotangent to 1.0 everywhere, so d(aux)/d(router/experts) lands in
+        this stage's dp and d(aux)/d(x_in) propagates to earlier stages
+        through da.  Summed over the pipe, Σ_s aux_s/S is the same
+        full-depth per-layer mean the GPipe tick accumulates (_pp_loss)."""
         x_in = jax.lax.cond(
             stage == 0,
             lambda aa: encode(pp_, jax.lax.dynamic_index_in_dim(
                 micro_x, idx, 0, keepdims=False)),
             lambda aa: aa, a)
-        y, _ = apply(pp_, x_in)   # 1F1B is dense-only
+        y, aux = apply(pp_, x_in)
         if not with_head:
             return y, jnp.zeros((), jnp.float32)
         lbl = jax.lax.dynamic_index_in_dim(micro_y, idx, 0, keepdims=False)
         ml = jax.lax.cond(stage == S - 1,
                           lambda yy: head_loss(pp_, yy, lbl),
                           lambda yy: jnp.zeros((), jnp.float32), y)
-        return y, ml
+        return y, ml + aux / S
 
     zero_grads = jax.tree_util.tree_map(
         lambda v: jnp.zeros(v.shape, jnp.float32), p)
@@ -250,12 +257,13 @@ def _pp_1f1b(p, inputs, labels, cfg: ViTConfig, n_stages: int,
                                                    keepdims=False)
             (y_r, ml), vjp = jax.vjp(
                 lambda pp_, aa: stage_out(pp_, aa, bc), p, a_saved)
-            # cotangents: last stage seeds the loss (1.0); others push the
-            # gradient received from stage s+1 into y
+            # cotangents: last stage seeds the loss into y's head; every
+            # stage seeds the scalar (1.0) — for dense stages the non-last
+            # scalar is a constant 0 (no flow), for MoE it carries the
+            # stage-local router aux gradient
             is_last = stage == S - 1
             g_y = jnp.where(is_last, jnp.zeros_like(g_in), g_in)
-            g_ml = jnp.where(is_last, 1.0, 0.0).astype(jnp.float32)
-            dp, da = vjp((g_y.astype(y_r.dtype), g_ml))
+            dp, da = vjp((g_y.astype(y_r.dtype), jnp.float32(1.0)))
             return dp, da, ml
 
         def skip_bwd(args):
@@ -425,10 +433,11 @@ def make_pp_train_step(cfg: ViTConfig, mesh: Mesh, microbatches: int,
     micro-batches); clip_norm applies the DP path's global-norm clip after
     the data combine (parallel/gradops.py)."""
     S = mesh.shape["pipe"]
-    assert not cfg.is_moe or schedule == "gpipe", (
-        "MoE under pipeline parallelism rides the GPipe schedule (the tick "
-        "scan carries the router aux; the 1F1B vjp interleave does not) — "
-        "or use dp/ep (parallel/expert_parallel.py)")
+    assert not cfg.is_moe or schedule in ("gpipe", "1f1b"), (
+        "MoE under pipeline parallelism rides GPipe or 1F1B (the stage_out "
+        "scalar carries the router aux with its cotangent seeded on every "
+        "stage); the interleaved schedule is dense-only — or use dp/ep "
+        "(parallel/expert_parallel.py)")
     assert cfg.num_layers % (S * virtual_stages) == 0, (
         cfg.num_layers, S, virtual_stages)
     assert schedule in ("gpipe", "1f1b", "1f1b-interleaved"), schedule
