@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -58,6 +59,22 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 MASK_VALUE = -1e30
 LANES = 128
+# Round-5 fwd-softmax experiment: route the row-sum of p through the MXU
+# (p @ ones, landing lane-broadcast) instead of a cross-lane VPU reduce —
+# the forward is VPU-bound (BASELINE.md attribution: 116.8 vs bwd's
+# 127.6 TF/s) and the sum is the one big reduce that CAN leave the VPU.
+FWD_MXU_LSUM = os.environ.get("VITRS_FA_FWD_MXU_LSUM", "0") == "1"
+# Constant-substitution isolation knobs (TIMING ONLY — wrong math): replace
+# the fwd softmax's transcendentals/reduces with cheap stand-ins of the
+# same shapes to attribute the VPU residue per mechanism (the ROPE_DIAG
+# method).  "noexp" = both exps -> linear; "nomax" = running-max machinery
+# -> constants (keeps the big exp); "" = production math.
+FWD_DIAG = os.environ.get("VITRS_FA_DIAG", "")
+# Split the per-head max/alpha work into its own phase before any exp: the
+# max's cross-lane tree reduce is the serial link between a head's s-dot
+# and its exp — listing all heads' maxes first gives Mosaic a window to
+# overlap head g's reduce with head g-1's exp stream.
+FWD_SPLITMAX = os.environ.get("VITRS_FA_SPLITMAX", "0") == "1"
 # Multi-tile backward runs with a 32 MB Mosaic scoped-vmem stack (the
 # 16 MB default is a compiler knob, not hardware — v5e VMEM is 128 MB):
 # that admits the G=4 phase-split backward (more independent head chains
@@ -570,6 +587,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
             kf = k_ref[0]
         vf = v_ref[0]
 
+        mxu_lsum = FWD_MXU_LSUM
+        ones_t = (jnp.ones((block_k, LANES), vf.dtype) if mxu_lsum else None)
+
         def body(masked: bool):
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
@@ -582,29 +602,78 @@ def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
                         qf[:, g * D:(g + 1) * D], kf[:, kv],
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32))
-                ps, alphas = [], []
+                if FWD_SPLITMAX:
+                    sms, mns = [], []
+                    for i, g in enumerate(hs):
+                        s = (jnp.where(msk, ss[i], MASK_VALUE) if masked
+                             else ss[i])
+                        m_curr = jnp.max(s, axis=1, keepdims=True)
+                        m_next = jnp.maximum(m_scr[g], m_curr)
+                        sms.append(s)
+                        mns.append(m_next)
+                    ss = sms
+                ps, alphas, lps = [], [], []
                 for i, g in enumerate(hs):
-                    s = jnp.where(msk, ss[i], MASK_VALUE) if masked else ss[i]
-                    m_prev, l_prev = m_scr[g], l_scr[g]
-                    m_curr = jnp.max(s, axis=1, keepdims=True)
-                    m_next = jnp.maximum(m_prev, m_curr)
-                    alpha = jnp.exp(m_prev - m_next)
-                    p = jnp.exp(s - m_next[:, :1])
-                    m_scr[g] = m_next
-                    l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1,
-                                                        keepdims=True)
-                    ps.append(p)
+                    if FWD_SPLITMAX:
+                        s = ss[i]
+                        m_prev, l_prev = m_scr[g], l_scr[g]
+                        m_next = mns[i]
+                        alpha = jnp.exp(m_prev - m_next)
+                        p = jnp.exp(s - m_next[:, :1])
+                        m_scr[g] = m_next
+                    else:
+                        s = (jnp.where(msk, ss[i], MASK_VALUE) if masked
+                             else ss[i])
+                        m_prev, l_prev = m_scr[g], l_scr[g]
+                        if FWD_DIAG == "nomax":     # timing isolation only
+                            m_next = jnp.zeros_like(m_prev)
+                            alpha = jnp.ones_like(m_prev)
+                            p = jnp.exp(s * 0.01)
+                        elif FWD_DIAG == "noexp":   # timing isolation only
+                            m_curr = jnp.max(s, axis=1, keepdims=True)
+                            m_next = jnp.maximum(m_prev, m_curr)
+                            alpha = (m_prev - m_next) * 0.01 + 1.0
+                            p = (s - m_next[:, :1]) * 0.01
+                        else:
+                            m_curr = jnp.max(s, axis=1, keepdims=True)
+                            m_next = jnp.maximum(m_prev, m_curr)
+                            alpha = jnp.exp(m_prev - m_next)
+                            p = jnp.exp(s - m_next[:, :1])
+                        m_scr[g] = m_next
+                    if mxu_lsum:
+                        # the row-sum of p rides the MXU in the output phase
+                        # (a p @ ones dot landing lane-broadcast) instead of
+                        # a cross-lane VPU reduce here — the VPU phase keeps
+                        # only exp/max work.  p is cast ONCE to the pv dtype
+                        # so numerator and denominator see the same rounding.
+                        ps.append(p.astype(vf.dtype))
+                        lps.append(l_prev)
+                    else:
+                        l_scr[g] = alpha * l_prev + jnp.sum(p, axis=1,
+                                                            keepdims=True)
+                        ps.append(p)
                     alphas.append(alpha)
                 for i, g in enumerate(hs):
                     kv = slice((g // R) * D, (g // R + 1) * D)
-                    pv = jax.lax.dot_general(ps[i].astype(vf.dtype),
-                                             vf[:, kv],
-                                             (((1,), (0,)), ((), ())),
-                                             preferred_element_type=jnp.float32)
+                    if mxu_lsum:
+                        lsum = jax.lax.dot_general(
+                            ps[i], ones_t, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        l_scr[g] = alphas[i] * lps[i] + lsum
+                        pv = jax.lax.dot_general(
+                            ps[i], vf[:, kv], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    else:
+                        pv = jax.lax.dot_general(
+                            ps[i].astype(vf.dtype), vf[:, kv],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
                     acc_scr[g] = acc_scr[g] * alphas[i][:, :1] + pv
 
         has_pad = seq_len != T
-        if not causal and not has_pad:
+        if FWD_DIAG == "skip":      # timing isolation: no tile compute
+            pass
+        elif not causal and not has_pad:
             body(masked=False)
         else:
             edge = False

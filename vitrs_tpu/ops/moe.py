@@ -38,10 +38,20 @@ Auxiliary losses returned to the caller (weighted in models/model.gpt_loss):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Constant-substitution attribution knobs (TIMING ONLY — wrong math, same
+# shapes; the ROPE_DIAG method, benchmarks/moe_attribution.py):
+#   "fixedroute"  replace the whole routing chain (fp32 router matmul,
+#                 softmax, top_k, one-hot cumsum, aux) with a static
+#                 round-robin slot map -> measures the routing-chain cost
+#   "nogather"    replace the dispatch/combine row gathers with same-shape
+#                 linear copies -> measures the gather traffic cost
+MOE_DIAG = os.environ.get("VITRS_MOE_DIAG", "")
 
 
 class MoEAux(NamedTuple):
@@ -272,13 +282,25 @@ def moe_mlp(x: jax.Array, routerw: jax.Array, fcw: jax.Array, fcb: jax.Array,
         assert E % ep == 0 and fcw.shape[0] == E // ep, (E, ep, fcw.shape)
     cap = capacity(S, E, top_k, cap_factor)
 
-    dst, weight, keep, aux = router(xs, routerw, top_k, cap)
+    if MOE_DIAG == "fixedroute":     # timing isolation only
+        K = top_k
+        a = jnp.arange(K * S, dtype=jnp.int32)
+        dst = (a % (E * cap)).reshape(K, S)
+        weight = jnp.full((K, S), 1.0 / K, jnp.float32)
+        aux = MoEAux(*(jnp.zeros((), jnp.float32),) * 3)
+    else:
+        dst, weight, keep, aux = router(xs, routerw, top_k, cap)
 
     # dispatch: gather-only (see the gather-only dispatch/combine note) —
     # inv inverts the slot map once, then tokens flow to their slots by a
     # row gather whose VJP is also a row gather
-    inv = build_inverse(dst, E, cap)
-    buf = dispatch(xs, inv, dst, E * cap, S)
+    if MOE_DIAG == "nogather":       # timing isolation only
+        reps = -(-(E * cap) // S)
+        buf = jnp.tile(xs, (reps, 1))[:E * cap]
+        inv = dst = None
+    else:
+        inv = build_inverse(dst, E, cap)
+        buf = dispatch(xs, inv, dst, E * cap, S)
     if ep_axis is not None:
         # (E, cap, C) -> (E/ep, ep·cap, C): device e receives every peer's
         # slot block for ITS experts, stacked along the slot axis
@@ -293,7 +315,10 @@ def moe_mlp(x: jax.Array, routerw: jax.Array, fcw: jax.Array, fcb: jax.Array,
                         erf, tp_axis)
 
     # combine: gather expert outputs back to token order, weight, sum over k
-    out = combine(y.reshape(E * cap, C), weight, inv, dst, S)
+    if MOE_DIAG == "nogather":       # timing isolation only
+        out = y.reshape(E * cap, C)[:S].astype(jnp.float32) / top_k
+    else:
+        out = combine(y.reshape(E * cap, C), weight, inv, dst, S)
     return out.astype(x.dtype).reshape(orig_shape), aux
 
 
