@@ -27,6 +27,17 @@ def main():
                     help="weight-only int8 params")
     ap.add_argument("--chunk", type=int, default=16,
                     help="decode ticks per host sync (1 = per-token)")
+    ap.add_argument("--preset", default="gpt2-124m",
+                    help="e.g. gpt2-moe-8e for the MoE decode row")
+    ap.add_argument("--kv-heads", type=int, default=0,
+                    help="GQA decode (0 = config default)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window attention")
+    ap.add_argument("--prompt-len", type=int, default=0,
+                    help="fixed prompt length (0 = mixed 16..128) — long "
+                         "prompts quantify the GQA KV-cache-traffic win")
+    ap.add_argument("--seq", type=int, default=0,
+                    help="override max_seq_len (long-context serving)")
     args = ap.parse_args()
 
     import jax
@@ -35,14 +46,24 @@ def main():
     from vitrs_tpu.config import get_config
     from vitrs_tpu.serving_gen import GenerationEngine
 
-    cfg = get_config("gpt2-124m", dtype="bfloat16", use_flash=True)
+    over = {}
+    if args.kv_heads:
+        over["num_kv_heads"] = args.kv_heads
+    if args.window:
+        over["window"] = args.window
+    if args.seq:
+        over["max_seq_len"] = args.seq
+    cfg = get_config(args.preset, dtype="bfloat16", use_flash=True, **over)
     params = PRM.init_params(cfg, jax.random.PRNGKey(0))
     if args.int8:
         from vitrs_tpu.ops import quant
         params = quant.quantize_params(params, mode="gpt")
 
     rng = np.random.default_rng(0)
-    lengths = rng.integers(16, 128, args.requests)
+    if args.prompt_len:
+        lengths = np.full(args.requests, args.prompt_len)
+    else:
+        lengths = rng.integers(16, 128, args.requests)
     prompts = [rng.integers(0, cfg.vocab_size, n) for n in lengths]
 
     eng = GenerationEngine(params, cfg, max_slots=args.slots,
@@ -63,7 +84,11 @@ def main():
     dt = time.perf_counter() - t0
     gen_toks = sum(len(o) - len(p) for (_, o), p in zip(outs, prompts))
     print({"engine_tok_per_sec": round(gen_toks / dt),
-           "requests": args.requests, "slots": args.slots,
+           "ms_per_tok_slotstep": round(1e3 * dt / max(gen_toks // min(
+               args.slots, args.requests), 1), 2),
+           "preset": args.preset, "kv_heads": args.kv_heads or None,
+           "window": args.window or None, "prompt_len": args.prompt_len
+           or None, "requests": args.requests, "slots": args.slots,
            "paged": args.paged, "int8": args.int8, "chunk": args.chunk,
            "wall_s": round(dt, 2)})
 
