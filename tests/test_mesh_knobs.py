@@ -189,3 +189,35 @@ def test_mesh_cli_clip_accum_end_to_end(mesh, tmp_path):
     assert all("grad_norm" in r and np.isfinite(r["grad_norm"])
                for r in recs), recs
     assert np.isfinite(summary["final_loss"])
+
+
+def test_mesh_ema_rides_families(tmp_path):
+    """EMA (Polyak) on the mesh path (verdict #2 'EMA for vit mode next'):
+    the elementwise update rides the family layout; side tree saves
+    canonically and resumes; final eval uses the EMA weights."""
+    from vitrs_tpu import checkpoint_tree as CT
+    w = str(tmp_path)
+    tc = TrainConfig(preset="vit-tiny-4-cifar10", dataset="synthetic-shapes",
+                     steps=8, batch_size=8, lr=3e-3, warmup=2,
+                     weight_decay=0.0, dtype="float32", workdir=w,
+                     log_every=4, ckpt_every=4, resume=True,
+                     mesh="dp=4,tp=2", ema_decay=0.9,
+                     model_overrides={"num_layers": 2, "channels": 32,
+                                      "num_heads": 2})
+    train(tc)
+    trees = sorted(glob.glob(w + "/ema_*.tree"))
+    assert trees, "EMA side trees written"
+    host_ema, meta = CT.load_tree(trees[-1])
+    assert meta["decay"] == 0.9 and "qkvw" in host_ema   # canonical keys
+    # resume continues with the saved EMA (no crash, loss finite)
+    tc2 = TrainConfig(preset="vit-tiny-4-cifar10", dataset="synthetic-shapes",
+                      steps=12, batch_size=8, lr=3e-3, warmup=2,
+                      weight_decay=0.0, dtype="float32", workdir=w,
+                      log_every=4, ckpt_every=4, resume=True,
+                      mesh="dp=4,tp=2", ema_decay=0.9,
+                      model_overrides={"num_layers": 2, "channels": 32,
+                                       "num_heads": 2})
+    summary = train(tc2)
+    assert np.isfinite(summary["final_loss"])
+    recs = [json.loads(l) for l in open(os.path.join(w, "metrics.jsonl"))]
+    assert recs[-1]["step"] == 12

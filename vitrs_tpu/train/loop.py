@@ -506,9 +506,10 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
     plain-DP path and single device."""
     import jax.numpy as jnp
     from .. import checkpoint_tree as CT
-    assert tc.mixup_alpha == 0.0 and tc.ema_decay == 0.0, \
-        "mixup/EMA ride the native DP path (mesh-path steps wire " \
-        "accum_steps/clip_norm/log_grad_norm — parallel/gradops.py)"
+    assert tc.mixup_alpha == 0.0, \
+        "mixup rides the native DP path (mesh-path steps wire accum_steps/" \
+        "clip_norm/log_grad_norm — parallel/gradops.py; EMA is layout-" \
+        "agnostic and rides every family)"
     plan.validate_batch(tc.batch_size, cfg)
     n_chips = plan.mesh.size
     device_kind = jax.devices()[0].device_kind
@@ -556,6 +557,25 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
     if opt_state is None:
         opt_state = plan.init_opt(params)
 
+    # EMA (Polyak) rides every family: the update is elementwise, so the
+    # EMA tree simply lives in the SAME sharded layout as the params; the
+    # side tree is saved canonically (plan.to_canonical works on any
+    # same-structure tree) and re-placed on resume
+    ema = None
+    ema_update = None
+    if tc.ema_decay > 0.0:
+        from ..ops import ema as EMA
+        ema_path = (os.path.join(tc.workdir, f"ema_{start_step:08d}.tree")
+                    if latest else None)
+        if ema_path and os.path.exists(ema_path):
+            host_ema, _ = CT.load_tree(ema_path)
+            ema = plan.place(host_ema)
+            print(f"[resume] EMA from {ema_path}")
+        else:
+            ema = jax.jit(EMA.init_ema)(params)
+        ema_update = jax.jit(functools.partial(EMA.update_ema,
+                                               decay=tc.ema_decay))
+
     # ---- data ---------------------------------------------------------------
     if cfg.mode == "gpt":
         from ..data import tokens as TOK
@@ -588,6 +608,10 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
                      meta={"step": step, "cursor": consumed,
                            "mesh": plan.spec.describe(),
                            "optimizer": plan.optimizer})
+        if ema is not None:
+            CT.save_tree(os.path.join(tc.workdir, f"ema_{step:08d}.tree"),
+                         plan.to_canonical(ema),
+                         meta={"decay": tc.ema_decay, "step": step})
 
     stop_step = (min(tc.steps, start_step + tc.run_steps) if tc.run_steps
                  else tc.steps)
@@ -613,6 +637,8 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
             else:
                 params, opt_state, loss = outs
                 gnorm = None
+            if ema_update is not None:
+                ema = ema_update(ema, params)
             imgs_since += tc.batch_size
             if step % tc.log_every == 0 or step == tc.steps:
                 loss_val = float(loss)      # sync point
@@ -640,7 +666,14 @@ def _train_mesh(tc: TrainConfig, cfg: ViTConfig, plan) -> dict:
             save(stop_step)
             summary["final_loss"] = float(loss)
         if tc.dataset and stop_step == tc.steps:
-            host_params = plan.to_canonical(params)
+            if ema is not None:
+                from ..ops import ema as EMA
+                host_params = plan.to_canonical(params)
+                host_params = jax.device_get(jax.tree.map(
+                    lambda e, p: np.asarray(e, dtype=np.asarray(p).dtype),
+                    plan.to_canonical(ema), host_params))
+            else:
+                host_params = plan.to_canonical(params)
             if cfg.mode == "gpt":
                 from ..data import tokens as TOK
                 val = TOK.TokenLoader(loader.tokens, min(tc.batch_size, 16),
