@@ -52,6 +52,11 @@ import jax.numpy as jnp
 #   "nogather"    replace the dispatch/combine row gathers with same-shape
 #                 linear copies -> measures the gather traffic cost
 MOE_DIAG = os.environ.get("VITRS_MOE_DIAG", "")
+# Round-5 gather-coalescing experiment: fold each K-loop of row gathers
+# into ONE take over the flattened (K·S,) index (same bytes, 1/K the ops)
+# — the attribution measured the gathers at 24.7 ms/step (3.4x their
+# bandwidth roofline) at 8e top-2 B=24.
+BATCHED_GATHER = os.environ.get("VITRS_MOE_BATCHED_GATHER", "0") == "1"
 
 
 class MoEAux(NamedTuple):
@@ -171,8 +176,14 @@ def _dispatch_fwd(xs, inv, dst, E_cap, S):
 
 def _dispatch_bwd(E_cap, S, res, dbuf):
     (dst,) = res
-    dxs = sum(jnp.take(dbuf, dst[k], axis=0, mode="fill", fill_value=0)
-              for k in range(dst.shape[0]))
+    if BATCHED_GATHER:
+        K, S_ = dst.shape
+        g = jnp.take(dbuf, dst.reshape(K * S_), axis=0, mode="fill",
+                     fill_value=0)
+        dxs = jnp.sum(g.reshape(K, S_, -1), axis=0)
+    else:
+        dxs = sum(jnp.take(dbuf, dst[k], axis=0, mode="fill", fill_value=0)
+                  for k in range(dst.shape[0]))
     return dxs, None, None
 
 
@@ -183,6 +194,11 @@ dispatch.defvjp(_dispatch_fwd, _dispatch_bwd)
 def combine(ys, weight, inv, dst, S):
     """out[s] = Σ_k weight[k, s] · ys[dst[k, s]] in fp32; VJP is gathers
     both ways (see module note)."""
+    if BATCHED_GATHER:
+        K = dst.shape[0]
+        g = jnp.take(ys, dst.reshape(K * S), axis=0, mode="fill",
+                     fill_value=0).reshape(K, S, -1)
+        return jnp.sum(weight[:, :, None] * g.astype(jnp.float32), axis=0)
     out = jnp.zeros((S, ys.shape[-1]), jnp.float32)
     for k in range(dst.shape[0]):
         g = jnp.take(ys, dst[k], axis=0, mode="fill", fill_value=0)
@@ -203,10 +219,16 @@ def _combine_bwd(S, res, dout):
     dys = (wflat[:, None]
            * jnp.take(dout, tok, axis=0, mode="fill", fill_value=0)
            ).astype(ys.dtype)
-    dw = jnp.stack([
-        jnp.sum(dout * jnp.take(ys, dst[k], axis=0, mode="fill",
-                                fill_value=0).astype(jnp.float32), axis=-1)
-        for k in range(K)])
+    if BATCHED_GATHER:
+        g = jnp.take(ys, dst.reshape(K * S), axis=0, mode="fill",
+                     fill_value=0).reshape(K, S, -1)
+        dw = jnp.sum(dout[None] * g.astype(jnp.float32), axis=-1)
+    else:
+        dw = jnp.stack([
+            jnp.sum(dout * jnp.take(ys, dst[k], axis=0, mode="fill",
+                                    fill_value=0).astype(jnp.float32),
+                    axis=-1)
+            for k in range(K)])
     return dys, dw, None, None
 
 
