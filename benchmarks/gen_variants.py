@@ -43,14 +43,22 @@ def main():
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size,
                                       (args.batch, args.prompt)))
     key = jax.random.PRNGKey(1)
-    fn = G.generate_streaming if args.mode == "window" else G.generate
 
-    out = fn(params, prompt, cfg, args.max_new, key, temperature=0.0)
+    if args.mode == "window":
+        fn = G.generate_streaming
+        kw = {}
+    else:
+        # whole-prompt prefill would materialize (B, T0, V) logits (6.4 GB
+        # at B=8 T0=7936) — chunked prefill keeps it at (B, 512, V)
+        fn = G.generate
+        kw = {"prefill_chunk": 512}
+    out = fn(params, prompt, cfg, args.max_new, key, temperature=0.0, **kw)
     np.asarray(out[:, -1])                 # sync (relay-safe)
     t0 = time.perf_counter()
-    out = fn(params, prompt, cfg, args.max_new, key, temperature=0.0)
+    out = fn(params, prompt, cfg, args.max_new, key, temperature=0.0, **kw)
     np.asarray(out[:, -1])
     dt = time.perf_counter() - t0
+
     toks = args.batch * args.max_new
     print({"mode": args.mode, "decode_tok_per_sec": round(toks / dt),
            "ms_per_step": round(1e3 * dt / args.max_new, 2),

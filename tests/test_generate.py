@@ -194,3 +194,19 @@ def test_beam_search_gqa_rope_window_smoke():
     out = G.generate_beam(params, prompt, cfg, max_new=5, beams=3)
     assert out.shape == (2, 9)
     assert np.asarray(out).max() < cfg.vocab_size
+
+
+def test_chunked_prefill_matches_whole_prefill():
+    """generate(prefill_chunk=N) == generate() exactly: the chunked prefill
+    (long-prompt memory fix — a whole-prompt prefill materializes
+    (B, T0, V) logits) seeds the same first token and cache state."""
+    import numpy as np
+    cfg = get_config("gpt-nano", use_flash=False, max_seq_len=64).replace(
+        num_layers=2, channels=16, num_heads=2)
+    p = P.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32)))
+    a = G.generate(p, prompt, cfg, 8, jax.random.PRNGKey(1), temperature=0.0)
+    b = G.generate(p, prompt, cfg, 8, jax.random.PRNGKey(1), temperature=0.0,
+                   prefill_chunk=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

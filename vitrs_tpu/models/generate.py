@@ -246,20 +246,33 @@ def _sample(logits, key, temperature, top_k, top_p=0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new", "temperature",
-                                             "top_k", "top_p", "kv_int8"))
+                                             "top_k", "top_p", "kv_int8",
+                                             "prefill_chunk"))
 def generate(params: Dict, prompt: jax.Array, cfg: ViTConfig, max_new: int,
              key: jax.Array, temperature: float = 1.0,
              top_k: int = 0, top_p: float = 0.0,
-             kv_int8: bool = False) -> jax.Array:
+             kv_int8: bool = False, prefill_chunk: int = 0) -> jax.Array:
     """prompt (B, T0) -> (B, T0 + max_new).  Prefill once, then scan decode.
     kv_int8=True stores the KV cache quantized (per-token-per-head absmax
-    int8) — half the decode HBM traffic vs bf16 at ~1e-2 logit error."""
+    int8) — half the decode HBM traffic vs bf16 at ~1e-2 logit error.
+
+    prefill_chunk > 0 runs the prefill in fixed-size segments through the
+    same cache API: a whole-prompt prefill materializes (B, T0, V) logits —
+    6.4 GB at B=8, T0≈8K, V=50304 — while chunks keep it at
+    (B, chunk, V).  T0 must divide the chunk; the last chunk's logits seed
+    the first sampled token, so the math is identical."""
     B, T0 = prompt.shape
     Tmax = T0 + max_new
     assert Tmax <= cfg.max_seq_len
     caches = init_kv_cache(cfg, B, Tmax, int8=kv_int8)
     key, first_key = jax.random.split(key)
-    logits, caches = forward_with_cache(params, prompt, caches, 0, cfg)
+    if prefill_chunk and T0 > prefill_chunk:
+        assert T0 % prefill_chunk == 0, (T0, prefill_chunk)
+        for off in range(0, T0, prefill_chunk):
+            logits, caches = forward_with_cache(
+                params, prompt[:, off:off + prefill_chunk], caches, off, cfg)
+    else:
+        logits, caches = forward_with_cache(params, prompt, caches, 0, cfg)
     first = _sample(logits[:, -1, :], first_key, temperature, top_k, top_p)
     if max_new == 1:
         return jnp.concatenate([prompt, first[:, None]], axis=1)
