@@ -28,7 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="gqa", choices=["gqa", "mha", "window"])
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--prompt", type=int, default=7936)
+    ap.add_argument("--prompt", type=int, default=7680)
     ap.add_argument("--max-new", type=int, default=128)
     args = ap.parse_args()
 
