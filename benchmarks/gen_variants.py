@@ -2,8 +2,10 @@
 GQA kv=4 vs MHA at a LONG prompt (where the KV-cache read traffic should
 matter), and streaming-window generation (ring cache, O(window) memory).
 
-The relay's known per-dispatch floor (~5.2 ms/token single-stream) is why
-rates are measured at batch: per-token wall divides over B rows.
+generate() prefills long prompts directly since round 5: flash-path prompt
+self-attention + last-only head — no (B, T0, V) logits, no O(S·Tmax)
+dense scores, no chunking.  The relay's known per-dispatch floor
+(~5.2 ms/token single-stream) is why rates are measured at batch.
 
 Usage: python benchmarks/gen_variants.py [--mode gqa|mha|window]
 """
@@ -44,65 +46,17 @@ def main():
                                       (args.batch, args.prompt)))
     key = jax.random.PRNGKey(1)
 
-    if args.mode == "window":
-        out = G.generate_streaming(params, prompt, cfg, args.max_new, key,
-                                   temperature=0.0)
-        np.asarray(out[:, -1])             # sync (relay-safe)
-        t0 = time.perf_counter()
-        out = G.generate_streaming(params, prompt, cfg, args.max_new, key,
-                                   temperature=0.0)
-        np.asarray(out[:, -1])
-        dt = time.perf_counter() - t0
-    else:
-        # DECODE-ONLY timing: the chunked prefill (untimed, one-time)
-        # builds the cache; the timed program is one jitted greedy decode
-        # scan — exactly the per-step KV-cache read traffic the GQA row is
-        # meant to quantify.  (The dense cache-attention prefill is
-        # O(S·Tmax) score memory per chunk — fine at the engine's 256-token
-        # contexts, a known wall at 8K; the training-side flash kernels are
-        # the long-context path.)
-        B, T0 = prompt.shape
-        Tmax = T0 + args.max_new
-        caches = G.init_kv_cache(cfg, B, Tmax)
-        CH = 512
-
-        import functools
-
-        # jit the chunk step (pos TRACED so one compile serves all
-        # offsets; eager would be one relay RPC per op)
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def pre(chunk, caches, off):
-            return G.forward_with_cache(params, chunk, caches, off, cfg)
-
-        logits = None
-        for off in range(0, T0, CH):
-            logits, caches = pre(prompt[:, off:off + CH], caches,
-                                 jnp.asarray(off, jnp.int32))
-        first = jnp.argmax(logits[:, -1, :], axis=-1)
-
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def decode_n(tok, caches, n):
-            def step(carry, _):
-                tok, pos, cc = carry
-                lg, cc = G.forward_with_cache(params, tok[:, None], cc,
-                                              pos, cfg)
-                nxt = jnp.argmax(lg[:, -1, :], axis=-1)
-                return (nxt, pos + 1, cc), nxt
-            (last, _, _), toks = jax.lax.scan(
-                step, (tok, jnp.asarray(T0, jnp.int32), caches), None,
-                length=n)
-            return toks
-
-        toks_out = decode_n(first, caches, args.max_new)
-        np.asarray(toks_out[-1])           # sync
-        t0 = time.perf_counter()
-        toks_out = decode_n(first, caches, args.max_new)
-        np.asarray(toks_out[-1])
-        dt = time.perf_counter() - t0
+    fn = G.generate_streaming if args.mode == "window" else G.generate
+    out = fn(params, prompt, cfg, args.max_new, key, temperature=0.0)
+    np.asarray(out[:, -1])                 # sync (relay-safe)
+    t0 = time.perf_counter()
+    out = fn(params, prompt, cfg, args.max_new, key, temperature=0.0)
+    np.asarray(out[:, -1])
+    dt = time.perf_counter() - t0
 
     toks = args.batch * args.max_new
-    print({"mode": args.mode, "decode_tok_per_sec": round(toks / dt),
-           "ms_per_step": round(1e3 * dt / args.max_new, 2),
+    print({"mode": args.mode, "tok_per_sec_incl_prefill": round(toks / dt),
+           "ms_per_new_token": round(1e3 * dt / args.max_new, 2),
            "B": args.batch, "prompt": args.prompt, "max_new": args.max_new,
            "kv_heads": over.get("num_kv_heads"),
            "window": over.get("window")})

@@ -158,15 +158,38 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
         kh = k_cache.reshape(B, Tmax, KH, D).transpose(0, 2, 1, 3)
         vh = v_cache.reshape(B, Tmax, KH, D).transpose(0, 2, 1, 3)
 
-    # attention of q against the cache, causal w.r.t. absolute positions
-    qh = q.reshape(B, S, NH, D).transpose(0, 2, 1, 3)       # (B, NH, S, D)
-    q_pos = pos + jnp.arange(S)[:, None]                    # (S, 1)
-    t_pos = jnp.arange(Tmax)[None, :]                       # (1, Tmax)
-    mask = t_pos <= q_pos                                   # causal + unfilled
-    if cfg.window:
-        mask = jnp.logical_and(mask, t_pos > q_pos - cfg.window)
-    atty = _cache_attention(qh, kh, vh, mask[None], x.dtype)
-    atty = atty.transpose(0, 2, 1, 3).reshape(B, S, C)
+    # attention of q against the cache, causal w.r.t. absolute positions.
+    # Fresh-prompt prefill (static pos == 0, S > 1) is plain causal
+    # SELF-attention over the prompt — route it through the fused flash
+    # path instead of the dense cache form, whose (S, Tmax) score tensor is
+    # O(S·Tmax) memory (1.5 GB/layer at S=512 against an 8K cache; the
+    # long-context serving wall).  Cache slots ≥ S hold nothing the causal
+    # mask would admit, so the math is identical.  int8 caches keep the
+    # dense path (they attend against the DEQUANTIZED history — the
+    # quantization round-trip is part of that mode's contract).
+    flash_prefill = (isinstance(pos, int) and pos == 0 and S > 1
+                     and not int8_cache and not cfg.quirks)
+    if flash_prefill:
+        from ..ops import attention as ATT
+        if KH == NH:
+            packed = jnp.concatenate([q, k, v], axis=-1)
+            atty = ATT.attention(packed, NH, causal=True,
+                                 use_flash=cfg.use_flash,
+                                 window=cfg.window, rope=False)
+        else:
+            packed = jnp.concatenate([q, k, v], axis=-1)
+            atty = ATT.attention_gqa(packed, NH, KH, causal=True,
+                                     use_flash=cfg.use_flash,
+                                     window=cfg.window)
+    else:
+        qh = q.reshape(B, S, NH, D).transpose(0, 2, 1, 3)   # (B, NH, S, D)
+        q_pos = pos + jnp.arange(S)[:, None]                # (S, 1)
+        t_pos = jnp.arange(Tmax)[None, :]                   # (1, Tmax)
+        mask = t_pos <= q_pos                               # causal+unfilled
+        if cfg.window:
+            mask = jnp.logical_and(mask, t_pos > q_pos - cfg.window)
+        atty = _cache_attention(qh, kh, vh, mask[None], x.dtype)
+        atty = atty.transpose(0, 2, 1, 3).reshape(B, S, C)
 
     x = x + _plin(p, "attprojw", "attprojb", atty)
     ln2 = basic.layernorm_cv(x, p["ln2w"], p["ln2b"])
@@ -187,9 +210,11 @@ def init_kv_cache(cfg: ViTConfig, B: int, Tmax: int, int8: bool = False):
 
 
 def forward_with_cache(params: Dict, tokens: jax.Array, caches, pos,
-                       cfg: ViTConfig):
+                       cfg: ViTConfig, last_only: bool = False):
     """Run S tokens starting at `pos` through the stack, updating caches.
-    Returns (logits (B, S, V), caches)."""
+    Returns (logits (B, S, V), caches) — or (B, 1, V) when last_only
+    (prefill only needs the final position's logits to seed sampling;
+    the full (B, S, V) head output is 6.4 GB at B=8, S≈8K, V=50304)."""
     k_caches, v_caches = caches
     dtype = jnp.dtype(cfg.dtype)
     S = tokens.shape[-1]
@@ -211,6 +236,8 @@ def forward_with_cache(params: Dict, tokens: jax.Array, caches, pos,
 
     x, (k_caches, v_caches) = jax.lax.scan(step, x,
                                            (blocks, k_caches, v_caches))
+    if last_only:
+        x = x[:, -1:, :]
     lnf = basic.layernorm_cv(x, params["lnfw"], params["lnfb"])
     if int8_w:
         from ..ops import quant
@@ -270,9 +297,14 @@ def generate(params: Dict, prompt: jax.Array, cfg: ViTConfig, max_new: int,
         assert T0 % prefill_chunk == 0, (T0, prefill_chunk)
         for off in range(0, T0, prefill_chunk):
             logits, caches = forward_with_cache(
-                params, prompt[:, off:off + prefill_chunk], caches, off, cfg)
+                params, prompt[:, off:off + prefill_chunk], caches, off, cfg,
+                last_only=True)
     else:
-        logits, caches = forward_with_cache(params, prompt, caches, 0, cfg)
+        # last_only: sampling needs only the final position's logits, so
+        # the (B, T0, V) head output never materializes; with the flash
+        # prefill in _block_with_kv, a whole 8K prompt prefills directly
+        logits, caches = forward_with_cache(params, prompt, caches, 0, cfg,
+                                            last_only=True)
     first = _sample(logits[:, -1, :], first_key, temperature, top_k, top_p)
     if max_new == 1:
         return jnp.concatenate([prompt, first[:, None]], axis=1)
