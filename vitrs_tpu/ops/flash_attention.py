@@ -55,8 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 # 512 measured best across configs on v5e: T<=512 (all ViT/CLIP towers, incl.
 # CLIP-L/14's 257 tokens) rides the single-tile path with no padding, and the
 # causal GPT T=1024 grid drops to 2x2 tiles (fewer cells, same VMEM head-room)
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = int(os.environ.get("VITRS_FA_BLOCK_Q", "512"))
+DEFAULT_BLOCK_K = int(os.environ.get("VITRS_FA_BLOCK_K", "512"))
 MASK_VALUE = -1e30
 LANES = 128
 # Round-5 fwd-softmax experiment: route the row-sum of p through the MXU
