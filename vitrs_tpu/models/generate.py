@@ -164,11 +164,13 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     # path instead of the dense cache form, whose (S, Tmax) score tensor is
     # O(S·Tmax) memory (1.5 GB/layer at S=512 against an 8K cache; the
     # long-context serving wall).  Cache slots ≥ S hold nothing the causal
-    # mask would admit, so the math is identical.  int8 caches keep the
-    # dense path (they attend against the DEQUANTIZED history — the
-    # quantization round-trip is part of that mode's contract).
+    # mask would admit, so the math is identical.  int8 caches take this
+    # path too: the prefill attends with the EXACT k/v (the stored history
+    # stays quantized for decode) — strictly better numerics than the old
+    # dense form's quantize-dequantize round trip, within the mode's
+    # tolerance contract (tests/test_serving_depth.py).
     flash_prefill = (isinstance(pos, int) and pos == 0 and S > 1
-                     and not int8_cache and not cfg.quirks)
+                     and not cfg.quirks)
     if flash_prefill:
         from ..ops import attention as ATT
         if KH == NH:
