@@ -600,7 +600,7 @@ def prefill_into_slot(params: Dict, prompt: jax.Array, caches, slot: int,
     kc1 = jax.lax.dynamic_slice_in_dim(k_caches, slot, 1, axis=1)
     vc1 = jax.lax.dynamic_slice_in_dim(v_caches, slot, 1, axis=1)
     logits, (kc1, vc1) = forward_with_cache(params, prompt[None], (kc1, vc1),
-                                            0, cfg)
+                                            0, cfg, last_only=True)
     k_caches = jax.lax.dynamic_update_slice_in_dim(k_caches, kc1, slot, axis=1)
     v_caches = jax.lax.dynamic_update_slice_in_dim(v_caches, vc1, slot, axis=1)
     return logits[0, -1, :], (k_caches, v_caches)
@@ -620,7 +620,7 @@ def prefill_into_slots(params: Dict, prompts: jax.Array, caches, slots,
     kcK = jnp.take(k_caches, slots, axis=1)[:, :, :T0]
     vcK = jnp.take(v_caches, slots, axis=1)[:, :, :T0]
     logits, (kcK, vcK) = forward_with_cache(params, prompts, (kcK, vcK),
-                                            0, cfg)
+                                            0, cfg, last_only=True)
     k_caches = k_caches.at[:, slots, :T0].set(kcK)
     v_caches = v_caches.at[:, slots, :T0].set(vcK)
     return logits[:, -1, :], (k_caches, v_caches)
@@ -716,7 +716,7 @@ def prefill_into_pages(params: Dict, prompt: jax.Array, caches, page_ids,
     n_pg = prompt.shape[0] // PAGE
     kc1, vc1 = init_kv_cache(cfg, 1, prompt.shape[0])
     logits, (kc1, vc1) = forward_with_cache(params, prompt[None], (kc1, vc1),
-                                            0, cfg)
+                                            0, cfg, last_only=True)
     L, _, T0, C = kc1.shape
     kpages = kc1.reshape(L, n_pg, PAGE, C)
     vpages = vc1.reshape(L, n_pg, PAGE, C)
