@@ -141,6 +141,50 @@ def main():
     except Exception as e:     # the ViT metric must still be emitted
         gpt = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
+    # ---- MoE row (8-expert top-2 on the 124M geometry, Adafactor) ----------
+    moe = {}
+    try:
+        mcfg = get_config("gpt2-moe-8e").replace(
+            dtype="bfloat16" if on_tpu else "float32", use_flash=on_tpu,
+            moe_cap_factor=1.0)
+        MB, MT = (24, 1024) if on_tpu else (2, 64)
+        if not on_tpu:
+            mcfg = mcfg.replace(num_layers=2, channels=128, num_heads=2,
+                                max_seq_len=MT, num_experts=4)
+        from vitrs_tpu.ops import adafactor as AF
+        mp = PRM.init_params(mcfg, jax.random.PRNGKey(0))
+        mst = AF.init_state(mp)
+        mx = jnp.asarray(rng.integers(0, mcfg.vocab_size, (MB, MT)))
+        my = jnp.asarray(rng.integers(0, mcfg.vocab_size, (MB, MT)))
+
+        def moe_step(p, st, step, lr):
+            loss, grads = jax.value_and_grad(M.loss_fn)(p, mx, my, mcfg)
+            p, st = AF.step(p, grads, st, step, lr)
+            return p, st, loss
+
+        mstep = jax.jit(moe_step, donate_argnums=(0, 1))
+        mp, mst, mloss = mstep(mp, mst, jnp.asarray(1, jnp.int32),
+                               jnp.asarray(1e-4, jnp.float32))
+        float(mloss)
+        miters = 10 if on_tpu else 3
+        t0 = time.perf_counter()
+        for i in range(2, miters + 2):
+            mp, mst, mloss = mstep(mp, mst, jnp.asarray(i, jnp.int32),
+                                   jnp.asarray(1e-4, jnp.float32))
+        mloss_val = float(mloss)
+        mdt = (time.perf_counter() - t0) / miters
+        mtok_s = MB * MT / mdt
+        mflops = F.train_flops_per_example(mcfg) / mcfg.max_seq_len
+        moe = {"tok_per_sec": round(mtok_s, 0),
+               "step_ms": round(mdt * 1e3, 2),
+               "sparse_mfu": round(
+                   mtok_s * mflops / F.peak_flops(dev.device_kind,
+                                                  mcfg.dtype), 4),
+               "batch": MB, "experts": mcfg.num_experts,
+               "loss_finite": bool(np.isfinite(mloss_val))}
+    except Exception as e:
+        moe = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     print(json.dumps({
         "metric": "ViT-B/16 train images/sec/chip (bf16, fused AdamW)",
         "value": round(imgs_per_sec, 2),
@@ -153,6 +197,7 @@ def main():
             "device": dev.device_kind,
             "loss_finite": bool(np.isfinite(loss_val)),
             "gpt2_124m": gpt,
+            "gpt2_moe_8e": moe,
         },
     }))
 
