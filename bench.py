@@ -144,6 +144,14 @@ def main():
     # ---- MoE row (8-expert top-2 on the 124M geometry, Adafactor) ----------
     moe = {}
     try:
+        # free the ViT and GPT rows' buffers first: B=24 is the MoE HBM
+        # knee and ~2.5 GB of retained params/m/v from the earlier rows
+        # pushes it to RESOURCE_EXHAUSTED
+        del params, m, v, images, labels
+        try:
+            del gp, gm, gv, toks, tgts
+        except NameError:
+            pass
         mcfg = get_config("gpt2-moe-8e").replace(
             dtype="bfloat16" if on_tpu else "float32", use_flash=on_tpu,
             moe_cap_factor=1.0)
