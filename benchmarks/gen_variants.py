@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt", type=int, default=7680)
     ap.add_argument("--max-new", type=int, default=128)
+    # 0 = whole-prompt flash prefill; N = chunked prefill (continuation
+    # chunks ride the rectangular flash kernel, ops/flash_prefill.py) —
+    # with --max-new 1 this times the prefill itself
+    ap.add_argument("--prefill-chunk", type=int, default=0)
     args = ap.parse_args()
 
     over = {"max_seq_len": 8192}
@@ -46,7 +50,12 @@ def main():
                                       (args.batch, args.prompt)))
     key = jax.random.PRNGKey(1)
 
-    fn = G.generate_streaming if args.mode == "window" else G.generate
+    if args.mode == "window":
+        def fn(*a, **kw):
+            return G.generate_streaming(*a, **kw)
+    else:
+        def fn(*a, **kw):
+            return G.generate(*a, prefill_chunk=args.prefill_chunk, **kw)
     out = fn(params, prompt, cfg, args.max_new, key, temperature=0.0)
     np.asarray(out[:, -1])                 # sync (relay-safe)
     t0 = time.perf_counter()
@@ -59,7 +68,8 @@ def main():
            "ms_per_new_token": round(1e3 * dt / args.max_new, 2),
            "B": args.batch, "prompt": args.prompt, "max_new": args.max_new,
            "kv_heads": over.get("num_kv_heads"),
-           "window": over.get("window")})
+           "window": over.get("window"),
+           "prefill_chunk": args.prefill_chunk})
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ traffic shrink by num_heads/kv_heads, which is the point of GQA serving.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
@@ -27,6 +28,31 @@ from ..config import ViTConfig
 from ..ops import basic
 from ..ops.rope import rope_qk
 from . import model as M
+
+
+# Tests force the rectangular continuation-prefill kernel in Pallas
+# interpret mode on the CPU backend (the flash-vs-dense convention of
+# test_flash_attention.py, at the integrated generate() level).
+_FLASH_CONT_INTERPRET = os.environ.get("VITRS_FLASH_CONT_INTERPRET") == "1"
+
+
+def _flash_cont_ok(cfg: ViTConfig, Tmax: int) -> bool:
+    """Whether the rectangular flash kernel can serve a continuation chunk
+    against this cache: tileable geometry, block-aligned cache length
+    (generate() rounds the allocation up when chunking), and a backend that
+    runs Mosaic (or forced interpret mode).  VITRS_NO_FLASH_CONT=1 forces
+    the dense cache form (A/B benchmarking)."""
+    if os.environ.get("VITRS_NO_FLASH_CONT") == "1":
+        return False
+    from ..ops.flash_prefill import PREFILL_BLOCK, supports_prefill
+    if not supports_prefill(cfg.num_heads, cfg.kv_heads, cfg.head_size):
+        return False
+    if Tmax % PREFILL_BLOCK != 0:
+        return False
+    if _FLASH_CONT_INTERPRET:
+        return True
+    from ..ops.attention import _flash_available
+    return _flash_available()
 
 
 def quantize_kv(x: jax.Array, num_heads: int):
@@ -171,6 +197,9 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
     # tolerance contract (tests/test_serving_depth.py).
     flash_prefill = (isinstance(pos, int) and pos == 0 and S > 1
                      and not cfg.quirks)
+    flash_cont = (isinstance(pos, int) and pos > 0 and S > 1
+                  and not cfg.quirks and cfg.use_flash
+                  and _flash_cont_ok(cfg, Tmax))
     if flash_prefill:
         from ..ops import attention as ATT
         if KH == NH:
@@ -183,6 +212,23 @@ def _block_with_kv(x, p, cfg, k_cache, v_cache, pos):
             atty = ATT.attention_gqa(packed, NH, KH, causal=True,
                                      use_flash=cfg.use_flash,
                                      window=cfg.window)
+    elif flash_cont:
+        # CONTINUATION chunk (pos > 0): S queries against the filled cache
+        # prefix — the rectangular flash kernel streams KV tiles up to the
+        # chunk's causal frontier instead of materializing the dense
+        # (B, NH, S, Tmax) score tensor (ops/flash_prefill.py).  q/k are
+        # already rope-rotated at absolute positions above; int8 caches
+        # dequantize to the flat packed layout first (same values decode
+        # sees — the dense branch's kh/vh dequant, flattened).
+        from ..ops.flash_prefill import flash_prefill_qkv
+        if int8_cache:
+            kf = kh.transpose(0, 2, 1, 3).reshape(B, Tmax, KH * D)
+            vf = vh.transpose(0, 2, 1, 3).reshape(B, Tmax, KH * D)
+        else:
+            kf, vf = k_cache, v_cache
+        atty = flash_prefill_qkv(
+            q, kf.astype(x.dtype), vf.astype(x.dtype), NH, KH, pos,
+            window=cfg.window, interpret=_FLASH_CONT_INTERPRET)
     else:
         qh = q.reshape(B, S, NH, D).transpose(0, 2, 1, 3)   # (B, NH, S, D)
         q_pos = pos + jnp.arange(S)[:, None]                # (S, 1)
@@ -293,7 +339,15 @@ def generate(params: Dict, prompt: jax.Array, cfg: ViTConfig, max_new: int,
     B, T0 = prompt.shape
     Tmax = T0 + max_new
     assert Tmax <= cfg.max_seq_len
-    caches = init_kv_cache(cfg, B, Tmax, int8=kv_int8)
+    cache_len = Tmax
+    if prefill_chunk and T0 > prefill_chunk:
+        # round the cache up to the rectangular kernel's tile so every
+        # continuation chunk rides the flash path (_flash_cont_ok); the
+        # tail slots are never read (causal frontier < Tmax <= cache_len)
+        from ..ops.flash_prefill import PREFILL_BLOCK
+        cache_len = ((Tmax + PREFILL_BLOCK - 1) // PREFILL_BLOCK
+                     * PREFILL_BLOCK)
+    caches = init_kv_cache(cfg, B, cache_len, int8=kv_int8)
     key, first_key = jax.random.split(key)
     if prefill_chunk and T0 > prefill_chunk:
         assert T0 % prefill_chunk == 0, (T0, prefill_chunk)

@@ -313,11 +313,17 @@ def _rope_rotate(x, tab, D, inverse=False, scale=None):
     return x.astype(jnp.float32) * cos + _rope_swap(x, D) * sin
 
 
-def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len, window=0):
+def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len, window=0,
+          q_off=0):
+    """q_off: ABSOLUTE position of query row 0 — 0 for self-attention (all
+    training kernels); the chunk's cache offset for the rectangular
+    continuation-prefill kernel (ops/flash_prefill.py), whose queries sit at
+    positions q_off..q_off+S-1 against keys 0..seq_len-1."""
     col = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1) + i_kv * block_k
     m = col < seq_len
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0) + i_q * block_q
+        row = (jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
+               + i_q * block_q + q_off)
         m = jnp.logical_and(m, col <= row)
         if window:
             # sliding window: query t attends keys in (t-window, t]
@@ -325,17 +331,17 @@ def _mask(s_shape, i_q, i_kv, block_q, block_k, causal, seq_len, window=0):
     return m
 
 
-def _tile_overlaps_band(i_q, i_kv, block_q, block_k, window):
+def _tile_overlaps_band(i_q, i_kv, block_q, block_k, window, q_off=0):
     """Whether tile (i_q, i_kv) contains ANY in-window element: its largest
     column must exceed its smallest row minus the window."""
-    return (i_kv + 1) * block_k - 1 > i_q * block_q - window
+    return (i_kv + 1) * block_k - 1 > i_q * block_q + q_off - window
 
 
-def _band_crosses_tile(i_q, i_kv, block_q, block_k, window):
+def _band_crosses_tile(i_q, i_kv, block_q, block_k, window, q_off=0):
     """Whether the window's LOWER boundary cuts through tile (i_q, i_kv)
     (some element falls below the band): smallest column <= largest row −
     window."""
-    return i_kv * block_k <= (i_q + 1) * block_q - 1 - window
+    return i_kv * block_k <= (i_q + 1) * block_q - 1 + q_off - window
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +567,7 @@ def _bwd_single(qkv, num_heads, out, lse, do, sm_scale, causal, seq_len,
 def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, sm_scale, causal, block_q, block_k, n_kv, seq_len, T,
-                QH, R, D, chunk, window=0, rope=False):
+                QH, R, D, chunk, window=0, rope=False, q_off=0):
     i_q, i_kv = pl.program_id(2), pl.program_id(3)
 
     @pl.when(i_kv == 0)
@@ -570,10 +576,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    run = (i_q * block_q + block_q - 1 >= i_kv * block_k) if causal else True
+    run = ((i_q * block_q + block_q - 1 + q_off >= i_kv * block_k)
+           if causal else True)
     if window:
         run = jnp.logical_and(
-            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window))
+            run, _tile_overlaps_band(i_q, i_kv, block_q, block_k, window,
+                                     q_off))
 
     @pl.when(run)
     def _compute():
@@ -593,7 +601,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
         def body(masked: bool):
             if masked:
                 msk = _mask((block_q, block_k), i_q, i_kv, block_q, block_k,
-                            causal, seq_len, window)
+                            causal, seq_len, window, q_off)
             for hs in _chunks(QH, chunk):
                 ss = []
                 for g in hs:
@@ -678,10 +686,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, tq_ref, tk_ref, o_ref, lse_ref,
         else:
             edge = False
             if causal:
-                edge = i_q * block_q < (i_kv + 1) * block_k
+                edge = i_q * block_q + q_off < (i_kv + 1) * block_k
             if window:
                 edge = jnp.logical_or(edge, _band_crosses_tile(
-                    i_q, i_kv, block_q, block_k, window))
+                    i_q, i_kv, block_q, block_k, window, q_off))
             if has_pad:
                 edge = jnp.logical_or(edge, i_kv == n_kv - 1)
 
