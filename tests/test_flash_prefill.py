@@ -124,3 +124,24 @@ def test_chunked_generate_int8_cache(monkeypatch):
     chunked = G.generate(p, prompt, cfg, 8, jax.random.PRNGKey(1),
                          temperature=0.0, kv_int8=True, prefill_chunk=128)
     np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
+
+
+def test_unaligned_cache_falls_back_dense(monkeypatch):
+    """A supported geometry with a NON-tile-aligned cache length (possible
+    only through direct forward_with_cache use — generate() rounds the
+    allocation) must fall back to the dense cache form, not assert."""
+    monkeypatch.setattr(G, "_FLASH_CONT_INTERPRET", True)
+    cfg = _gen_cfg().replace(num_layers=2, use_flash=True)
+    p = P.init_params(cfg, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(4)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 256)))
+    assert not G._flash_cont_ok(cfg, 500)
+    caches = G.init_kv_cache(cfg, 2, 500)
+    _, caches = G.forward_with_cache(p, prompt[:, :128], caches, 0, cfg)
+    lg_unaligned, _ = G.forward_with_cache(p, prompt[:, 128:], caches, 128,
+                                           cfg)
+    caches2 = G.init_kv_cache(cfg, 2, 512)
+    _, caches2 = G.forward_with_cache(p, prompt[:, :128], caches2, 0, cfg)
+    lg_flash, _ = G.forward_with_cache(p, prompt[:, 128:], caches2, 128, cfg)
+    np.testing.assert_allclose(np.asarray(lg_unaligned), np.asarray(lg_flash),
+                               rtol=2e-4, atol=2e-4)
